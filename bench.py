@@ -1,0 +1,62 @@
+"""Benchmark harness: register + sigma-clip stack throughput at 4K×4K mono.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Baseline target (BASELINE.json): >= 50 frames/sec/chip for register +
+sigma-clip stack of a 100-frame 4096x4096 mono sequence on TPU v5e.
+vs_baseline = value / 50.
+"""
+
+import json
+import os
+import sys
+import time
+
+_PKG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "siril-0.9_tpu")
+if _PKG not in sys.path:
+    sys.path.insert(0, _PKG)
+
+TARGET_FPS = 50.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    nframes = int(os.environ.get("BENCH_FRAMES", "100"))
+    size = int(os.environ.get("BENCH_SIZE", "4096"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "20"))
+
+    rng = np.random.default_rng(0)
+
+    try:
+        from siriltpu.pipelines.register_stack import RegisterStackBench
+        bench = RegisterStackBench(size=size, nframes=nframes, chunk=chunk)
+        fps = bench.run()
+        metric = "register+sigma-clip-stack 4Kx4K mono"
+    except ImportError:
+        # fallback: sum-stack throughput (pre-M2/M3 milestone)
+        from siriltpu.ops.stack import stack_sum
+        frames = rng.integers(0, 65535, size=(nframes, 1, size, size),
+                              dtype=np.uint16)
+        shifts = rng.integers(-20, 21, size=(nframes, 2)).astype(np.int32)
+        # warmup (compile)
+        stack_sum(frames[:4], shifts[:4], chunk=chunk, exact_rescale=False)
+        t0 = time.perf_counter()
+        stack_sum(frames, shifts, chunk=chunk, exact_rescale=False)
+        dt = time.perf_counter() - t0
+        fps = nframes / dt
+        metric = "sum-stack 4Kx4K mono (placeholder)"
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

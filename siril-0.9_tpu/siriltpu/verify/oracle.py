@@ -1,0 +1,326 @@
+"""NumPy float64 oracle: literal re-derivations of the reference C code's
+semantics, used as the golden standard in tests (the reference itself has
+no test suite — SURVEY §4 — so configs are validated against these).
+
+Everything here favors clarity/exactness over speed. Each function cites
+the C code whose behavior it freezes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from siriltpu.utils.rounding import np_round_to_word
+
+
+def shift_gather(img: np.ndarray, shiftx: int, shifty: int,
+                 fill: int = 0, skip_origin: bool = True) -> np.ndarray:
+    """out[y,x] = img[y-shifty, x-shiftx] with bounds + ``ii > 0`` quirk
+    (stacking.c:298-312)."""
+    h, w = img.shape[-2:]
+    out = np.full_like(img, fill)
+    yy, xx = np.mgrid[0:h, 0:w]
+    iy, ix = yy - shifty, xx - shiftx
+    valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    if skip_origin:
+        valid &= ~((iy == 0) & (ix == 0))
+    out[..., valid] = img[..., iy[valid], ix[valid]]
+    return out
+
+
+def stack_sum(frames: np.ndarray, shifts: np.ndarray) -> tuple:
+    """stack_summing (stacking.c:196-355): u64 accumulate, rescale max->65535."""
+    f, c, h, w = frames.shape
+    acc = np.zeros((c, h, w), dtype=np.uint64)
+    for i in range(f):
+        acc += shift_gather(frames[i].astype(np.uint64), shifts[i, 0],
+                            shifts[i, 1], fill=0)
+    maxim = int(acc.max())
+    if maxim > 65535:
+        out = np_round_to_word(acc.astype(np.float64) * (65535.0 / maxim))
+    else:
+        out = np_round_to_word(acc.astype(np.float64))
+    return out, min(maxim, 65535)
+
+
+def stack_max(frames: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    f, c, h, w = frames.shape
+    acc = np.zeros((c, h, w), dtype=np.uint16)
+    for i in range(f):
+        sh = shift_gather(frames[i], shifts[i, 0], shifts[i, 1], fill=0)
+        acc = np.maximum(acc, sh)
+    return acc
+
+
+def stack_min(frames: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    f, c, h, w = frames.shape
+    acc = np.full((c, h, w), 65535, dtype=np.uint16)
+    for i in range(f):
+        sh = shift_gather(frames[i], shifts[i, 0], shifts[i, 1], fill=65535)
+        acc = np.minimum(acc, sh)
+    return acc
+
+
+# --------------------------------------------------------- GSL helper stats
+
+def gsl_median_sorted(a: np.ndarray) -> float:
+    """gsl_stats_median_from_sorted_data."""
+    n = a.size
+    if n == 0:
+        return 0.0
+    if n % 2 == 1:
+        return float(a[(n - 1) // 2])
+    return float((a[n // 2 - 1] + a[n // 2]) / 2.0)
+
+
+def gsl_sd(a: np.ndarray) -> float:
+    """gsl_stats_ushort_sd: SAMPLE standard deviation (N-1)."""
+    n = a.size
+    if n < 2:
+        return 0.0
+    m = a.astype(np.float64).mean()
+    return float(np.sqrt(((a.astype(np.float64) - m) ** 2).sum() / (n - 1)))
+
+
+# --------------------------------------------------- rejection (per pixel)
+
+def _percentile_flag(pixel: float, sig, median: float) -> int:
+    if median == 0:
+        median = 1e-300  # C divides by 0.0 -> inf comparisons; avoid warnings
+    if (median - pixel) / median > sig[0]:
+        return -1
+    if (pixel - median) / median > sig[1]:
+        return 1
+    return 0
+
+
+def _sigma_flag(pixel: float, sig, sigma: float, median: float) -> int:
+    if median - pixel > sig[0] * sigma:
+        return -1
+    if pixel - median > sig[1] * sigma:
+        return 1
+    return 0
+
+
+def reject_pixel(stack: np.ndarray, rejection: str, sig) -> np.ndarray:
+    """Run the reference's per-pixel rejection loop
+    (stacking.c:1656-1788) on one cross-frame pixel vector; returns the
+    surviving values (uint16). ``rejection`` in {none, percentile, sigma,
+    sigmedian, winsorized, linearfit}."""
+    stack = np.array(stack, dtype=np.uint16)
+    N = stack.size
+    if rejection == "none":
+        return stack
+
+    if rejection == "percentile":
+        s = np.sort(stack)
+        median = gsl_median_sorted(s)
+        flags = np.array([_percentile_flag(float(p), sig, median) for p in s])
+        if N > 1:
+            s = s[flags == 0]
+        return s
+
+    if rejection == "sigma":
+        s = np.sort(stack)
+        r = 0
+        while True:
+            sigma = gsl_sd(s)
+            s = np.sort(s)
+            median = gsl_median_sorted(s)
+            flags = np.zeros(s.size, dtype=int)
+            for i in range(s.size):
+                flags[i] = _sigma_flag(float(s[i]), sig, sigma, median)
+                if flags[i]:
+                    r += 1
+                if s.size - r <= 4:
+                    break
+            keep = flags == 0
+            n_removed = int((~keep).sum())
+            s = s[keep]
+            if not (n_removed > 0 and s.size > 3):
+                return s
+
+    if rejection == "sigmedian":
+        s = np.sort(stack)
+        while True:
+            sigma = gsl_sd(s)
+            s = np.sort(s)
+            median = gsl_median_sorted(s)
+            n = 0
+            for i in range(s.size):
+                if _sigma_flag(float(s[i]), sig, sigma, median):
+                    s[i] = np_round_to_word(median)
+                    n += 1
+            if not (n > 0 and s.size > 3):
+                return s
+
+    if rejection == "winsorized":
+        s = np.sort(stack)
+        r = 0
+        while True:
+            sigma = gsl_sd(s)
+            s = np.sort(s)
+            median = gsl_median_sorted(s)
+            w = s.copy()
+            while True:
+                m0 = median - 1.5 * sigma
+                m1 = median + 1.5 * sigma
+                w = np.where(w < m0, np_round_to_word(m0),
+                             np.where(w > m1, np_round_to_word(m1), w)).astype(np.uint16)
+                w = np.sort(w)
+                median = gsl_median_sorted(w)
+                sigma0 = sigma
+                sigma = 1.134 * gsl_sd(w)
+                if sigma0 == 0 or abs(sigma - sigma0) / sigma0 <= 0.0005:
+                    break
+            flags = np.zeros(s.size, dtype=int)
+            for i in range(s.size):
+                flags[i] = _sigma_flag(float(s[i]), sig, sigma, median)
+                if flags[i]:
+                    r += 1
+                if s.size - r <= 4:
+                    break
+            keep = flags == 0
+            n_removed = int((~keep).sum())
+            s = s[keep]
+            if not (n_removed > 0 and s.size > 3):
+                return s
+
+    if rejection == "linearfit":
+        s = np.sort(stack)
+        r = 0
+        while True:
+            s = np.sort(s)
+            x = np.arange(s.size, dtype=np.float64)
+            y = s.astype(np.float64)
+            # gsl_fit_linear
+            xm, ym = x.mean(), y.mean()
+            ssxx = ((x - xm) ** 2).sum()
+            a = (((x - xm) * (y - ym)).sum() / ssxx) if ssxx > 0 else 0.0
+            b = ym - a * xm
+            sigma = np.abs(y - (a * x + b)).mean()
+            flags = np.zeros(s.size, dtype=int)
+            for i in range(s.size):
+                fit = a * i + b
+                if sigma > 0:
+                    if (fit - float(s[i])) / sigma > sig[0]:
+                        flags[i] = -1
+                    elif (float(s[i]) - fit) / sigma > sig[1]:
+                        flags[i] = 1
+                else:
+                    flags[i] = 0
+                if flags[i]:
+                    r += 1
+                if s.size - r <= 4:
+                    break
+            keep = flags == 0
+            n_removed = int((~keep).sum())
+            s = s[keep]
+            if not (n_removed > 0 and s.size > 3):
+                return s
+
+    raise ValueError(f"unknown rejection {rejection}")
+
+
+def normalize_pixel_vector(pix: np.ndarray, mode: str, scale, offset, mul) -> np.ndarray:
+    """Per-pixel normalization before rejection (stacking.c:1635-1651)."""
+    if mode == "none":
+        return pix.astype(np.uint16)
+    tmp = pix.astype(np.float64) * scale
+    if mode in ("additive", "additive_scaling"):
+        return np_round_to_word(tmp - offset)
+    if mode in ("multiplicative", "multiplicative_scaling"):
+        return np_round_to_word(tmp * mul)
+    raise ValueError(mode)
+
+
+def stack_mean_rejection(frames: np.ndarray, shifts: np.ndarray,
+                         rejection: str = "sigma", sig=(3.0, 3.0),
+                         norm_mode: str = "none",
+                         coeffs=None) -> np.ndarray:
+    """Reference mean-with-rejection stack (stacking.c:1189-1858), literal
+    per-pixel loop. Slow — use on small images only (tests)."""
+    f, c, h, w = frames.shape
+    out = np.zeros((c, h, w), dtype=np.uint16)
+    if coeffs is None:
+        scale = np.ones(f)
+        offset = np.zeros(f)
+        mul = np.ones(f)
+    else:
+        offset, mul, scale = coeffs
+    for ch in range(c):
+        for y in range(h):
+            for x in range(w):
+                vec = np.zeros(f, dtype=np.uint16)
+                for i in range(f):
+                    sx, sy = int(shifts[i, 0]), int(shifts[i, 1])
+                    iy, ix = y - sy, x - sx
+                    if 0 <= iy < h and 0 <= ix < w:
+                        v = frames[i, ch, iy, ix]
+                        vec[i] = normalize_pixel_vector(
+                            np.asarray(v), norm_mode, scale[i], offset[i], mul[i])
+                    else:
+                        vec[i] = 0
+                surv = reject_pixel(vec, rejection, sig)
+                out[ch, y, x] = np_round_to_word(
+                    surv.astype(np.float64).sum() / surv.size)
+    return out
+
+
+def stack_median(frames: np.ndarray, norm_mode: str = "none",
+                 coeffs=None) -> np.ndarray:
+    """Reference median stack (stacking.c:362-816): per-pixel sorted median
+    over normalized values; result is the GSL ushort median (int for odd
+    counts, can be x.5 truncated to WORD by assignment for even counts —
+    the reference assigns the double median straight into WORD, i.e. C
+    truncation, stacking.c:765-767)."""
+    f, c, h, w = frames.shape
+    if coeffs is None:
+        scale = np.ones(f)
+        offset = np.zeros(f)
+        mul = np.ones(f)
+    else:
+        offset, mul, scale = coeffs
+    vec = frames.astype(np.float64) * scale[:, None, None, None]
+    if norm_mode in ("additive", "additive_scaling"):
+        vec = np_round_to_word(vec - offset[:, None, None, None]).astype(np.float64)
+    elif norm_mode in ("multiplicative", "multiplicative_scaling"):
+        vec = np_round_to_word(vec * mul[:, None, None, None]).astype(np.float64)
+    else:
+        vec = frames.astype(np.float64)
+    s = np.sort(vec, axis=0)
+    if f % 2 == 1:
+        med = s[(f - 1) // 2]
+    else:
+        med = (s[f // 2 - 1] + s[f // 2]) / 2.0
+    return med.astype(np.uint16)  # C truncation on WORD assignment
+
+
+def compute_normalization(stats_ref, stats_all, mode: str):
+    """Normalization coefficients from IKSS location/scale
+    (stacking.c:79-123). stats_* provide .location and .scale.
+    Returns (offset, mul, scale) arrays."""
+    n = len(stats_all)
+    offset = np.zeros(n)
+    mul = np.ones(n)
+    scale = np.ones(n)
+    if mode == "none":
+        return offset, mul, scale
+    loc0 = stats_ref.location
+    scale0 = stats_ref.scale
+    for i, st in enumerate(stats_all):
+        if mode in ("additive_scaling", "multiplicative_scaling"):
+            scale[i] = scale0 / st.scale if st.scale != 0 else 1.0
+        if mode in ("additive", "additive_scaling"):
+            offset[i] = scale[i] * st.location - loc0
+        elif mode in ("multiplicative", "multiplicative_scaling"):
+            mul[i] = loc0 / (st.location * 1.0) if st.location != 0 else 1.0
+            # reference: mul[i] = mul0 / mul[i] with mul[i]=location
+    return offset, mul, scale
+
+
+__all__ = [
+    "shift_gather", "stack_sum", "stack_max", "stack_min",
+    "reject_pixel", "stack_mean_rejection", "stack_median",
+    "compute_normalization", "gsl_median_sorted", "gsl_sd",
+]

@@ -1,0 +1,25 @@
+"""Test harness configuration.
+
+Tests run on the JAX CPU backend with 8 virtual devices so multi-chip
+sharding paths (mesh over frames × rows) execute without TPU hardware —
+SURVEY §4(d). Must set env BEFORE jax import.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# this environment's TPU plugin ignores JAX_PLATFORMS env; force via config
+# (must happen before any backend initialization)
+jax.config.update("jax_platforms", "cpu")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG = os.path.join(_REPO, "siril-0.9_tpu")
+if _PKG not in sys.path:
+    sys.path.insert(0, _PKG)
