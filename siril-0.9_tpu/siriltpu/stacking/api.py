@@ -1,0 +1,319 @@
+"""High-level stacking drivers: method dispatch, frame filtering,
+normalization, blockwise streaming over row blocks.
+
+Reference: src/stacking/stacking.c —
+- ``struct stacking_args`` (stacking.h:38-56): method × rejection ×
+  normalization × filtering × memory budget;
+- normalization coefficients from cached IKSS stats (:79-190);
+- block partitioning by memory budget (:1397-1476, SURVEY §5.7);
+- mean-with-rejection main loop (:1189-1858) with y-shift folded into the
+  block read (:1546-1590) and x-shift at gather time (:1624-1632);
+- median stack (:362-816) — NOTE: the reference median stack applies NO
+  registration shifts (it's for calibration frames);
+- frame filters (:2183-2260).
+
+TPU mapping: the reference's OpenMP-over-blocks becomes a host loop over
+row blocks, each block one fused device program (normalize → x-shift →
+sort → masked fixed-point rejection → mean). Multi-chip: shard the rows
+axis of each block, or the frames axis with a reduction — see
+siriltpu/parallel/.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence as Seq, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siriltpu.core.frame import Frame, ImStats, Rect
+from siriltpu.ops import stack as basic_stack
+from siriltpu.ops.rejection import masked_median, reject_and_mean
+from siriltpu.ops.stats import STATS_EXTRA, statistics
+from siriltpu.utils.rounding import round_to_word_f
+
+NORM_MODES = ("none", "additive", "additive_scaling", "multiplicative",
+              "multiplicative_scaling")
+REJECTION_MODES = ("none", "percentile", "sigma", "sigmedian", "winsorized",
+                   "linearfit")
+METHODS = ("sum", "mean", "median", "max", "min")
+
+
+# ------------------------------------------------------------- normalization
+
+def compute_normalization(stats: Seq[ImStats], ref_index: int, mode: str):
+    """Per-frame (offset, mul, scale) from IKSS location/scale
+    (``_compute_normalization_for_image``, stacking.c:79-123)."""
+    n = len(stats)
+    offset = np.zeros(n)
+    mul = np.ones(n)
+    scale = np.ones(n)
+    if mode == "none":
+        return offset, mul, scale
+    if mode not in NORM_MODES:
+        raise ValueError(f"unknown normalization {mode}")
+    ref = stats[ref_index]
+    scale0, loc0 = ref.scale, ref.location
+    for i, st in enumerate(stats):
+        if mode.endswith("_scaling"):
+            scale[i] = scale0 / st.scale if st.scale != 0 else 1.0
+        if mode.startswith("additive"):
+            offset[i] = scale[i] * st.location - loc0
+        else:
+            mul[i] = loc0 / st.location if st.location != 0 else 1.0
+    return offset, mul, scale
+
+
+def sequence_normalization(seq, layer: int, indices: Seq[int], mode: str):
+    """Normalization for a Sequence using (and filling) the stats cache,
+    like compute_normalization + seq_get_imstats (stacking.c:125-190)."""
+    if mode == "none":
+        n = len(indices)
+        return np.zeros(n), np.ones(n), np.ones(n)
+    stats = []
+    for i in indices:
+        st = seq.get_imstats(
+            i, layer,
+            compute=lambda fr: statistics(fr, layer, option=STATS_EXTRA))
+        stats.append(st)
+    ref = seq.reference_image if seq.reference_image >= 0 else 0
+    ref_pos = indices.index(ref) if ref in indices else 0
+    return compute_normalization(stats, ref_pos, mode)
+
+
+# ----------------------------------------------------------------- filtering
+
+def filter_indices(seq, *, filter_type: str = "all", param: float = 0.0,
+                   layer: int = 0) -> List[int]:
+    """Frame filtering criteria (stack_filter_*, stacking.c:2183-2260):
+    all | included | best_fwhm (param = %) | best_quality (param = %)."""
+    if filter_type == "all":
+        return list(range(seq.number))
+    if filter_type == "included":
+        return seq.included_indices()
+    reg = seq.regparam.get(layer)
+    if not reg:
+        raise ValueError("registration data required for best_* filtering")
+    if filter_type == "best_fwhm":
+        vals = np.array([r.fwhm for r in reg])
+        ok = vals > 0
+        ordered = np.sort(vals[ok])
+        k = int(math.ceil(param / 100.0 * ordered.size))
+        if k < 1:
+            k = 1
+        thresh = ordered[k - 1]
+        return [i for i in range(seq.number) if ok[i] and vals[i] <= thresh]
+    if filter_type == "best_quality":
+        vals = np.array([r.quality for r in reg])
+        ok = vals > 0
+        ordered = np.sort(vals[ok])[::-1]
+        k = int(math.ceil(param / 100.0 * ordered.size))
+        if k < 1:
+            k = 1
+        thresh = ordered[k - 1]
+        return [i for i in range(seq.number) if ok[i] and vals[i] >= thresh]
+    raise ValueError(f"unknown filter {filter_type}")
+
+
+# ----------------------------------------------------------- device kernels
+
+def _normalize_block(block_u16: jnp.ndarray, coeffs: jnp.ndarray,
+                     mode: str) -> jnp.ndarray:
+    """Apply per-frame normalization (stacking.c:1635-1651).
+    block (F, Bh, W) uint16 -> float32 normalized WORD values."""
+    x = block_u16.astype(jnp.float32)
+    if mode == "none":
+        return x
+    scale = coeffs[:, 2][:, None, None]
+    if mode.startswith("additive"):
+        offset = coeffs[:, 0][:, None, None]
+        return round_to_word_f(x * scale - offset)
+    mul = coeffs[:, 1][:, None, None]
+    return round_to_word_f(x * scale * mul)
+
+
+def _xshift_block(vals: jnp.ndarray, shiftx: jnp.ndarray,
+                  norm_vals: jnp.ndarray) -> jnp.ndarray:
+    """x-shift at gather time with zero fill (stacking.c:1624-1632):
+    out[f, y, x] = norm_vals[f, y, x - sx] if in bounds else 0.
+    ``vals`` is unused except for shape; kept for clarity."""
+    f, bh, w = norm_vals.shape
+    xx = jax.lax.broadcasted_iota(jnp.int32, (f, bh, w), 2)
+    sx = shiftx[:, None, None]
+    rolled = jax.vmap(lambda v, s: jnp.roll(v, s, axis=-1))(norm_vals, shiftx)
+    ix = xx - sx
+    return jnp.where((ix >= 0) & (ix < w), rolled, 0.0)
+
+
+def _make_block_kernel(mode: str, rejection: str, sig: Tuple[float, float]):
+    @jax.jit
+    def kernel(block_u16, coeffs, shiftx):
+        norm = _normalize_block(block_u16, coeffs, mode)
+        shifted = _xshift_block(block_u16, shiftx, norm)
+        f, bh, w = shifted.shape
+        flat = shifted.reshape(f, bh * w)
+        out, rejl, rejh = reject_and_mean(flat, rejection, sig)
+        return (out.reshape(bh, w),
+                jnp.sum(rejl, dtype=jnp.int32),
+                jnp.sum(rejh, dtype=jnp.int32))
+
+    return kernel
+
+
+def _make_median_kernel(mode: str):
+    @jax.jit
+    def kernel(block_u16, coeffs):
+        norm = _normalize_block(block_u16, coeffs, mode)
+        f, bh, w = norm.shape
+        return masked_median(norm.reshape(f, bh * w)).reshape(bh, w)
+
+    return kernel
+
+
+# ----------------------------------------------------------- block assembly
+
+def _gather_block_rows(frames: np.ndarray, ch: int, r0: int, r1: int,
+                       shifts_y: np.ndarray) -> np.ndarray:
+    """Host-side y-shifted block gather with zero fill
+    (stacking.c:1546-1590): block row y (bottom-up) of frame i comes from
+    frame row y - shifty[i]."""
+    f, c, h, w = frames.shape
+    bh = r1 - r0
+    out = np.zeros((f, bh, w), dtype=np.uint16)
+    for i in range(f):
+        sy = int(shifts_y[i])
+        src0 = r0 - sy
+        src1 = r1 - sy
+        lo = max(src0, 0)
+        hi = min(src1, h)
+        if lo < hi:
+            out[i, lo - src0 : hi - src0] = frames[i, ch, lo:hi]
+    return out
+
+
+def default_block_rows(f: int, w: int, *, budget_bytes: int = 1 << 28) -> int:
+    """Rows per block so the f32 working set fits the budget (the
+    reference's memory_percent formula analog, stacking.c:1903-1915)."""
+    per_row = f * w * 4 * 3  # values + sort buffer + mask, f32-ish
+    rows = max(1, budget_bytes // per_row)
+    return int(rows)
+
+
+# ------------------------------------------------------------------ drivers
+
+@dataclass
+class StackResult:
+    data: np.ndarray            # (C, H, W) uint16
+    rejection_low: np.ndarray   # per channel total low-rejected pixels
+    rejection_high: np.ndarray
+    total_pixels: int = 0
+
+    def rejection_percent(self, channel: int) -> Tuple[float, float]:
+        """Per-channel rejection percentages (stacking.c:1811-1817)."""
+        npix = self.total_pixels
+        if not npix:
+            return 0.0, 0.0
+        return (100.0 * self.rejection_low[channel] / npix,
+                100.0 * self.rejection_high[channel] / npix)
+
+
+def stack_frames(frames: np.ndarray, *, method: str = "mean",
+                 shifts: Optional[np.ndarray] = None,
+                 rejection: str = "sigma", sig: Tuple[float, float] = (3.0, 3.0),
+                 normalize: str = "none",
+                 coeffs: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+                 block_rows: Optional[int] = None) -> StackResult:
+    """Stack an in-memory (F, C, H, W) uint16 array.
+
+    ``method``: sum | mean | median | max | min. ``mean`` applies the
+    rejection algorithm; ``median`` ignores shifts (reference behavior).
+    """
+    frames = np.asarray(frames)
+    f, c, h, w = frames.shape
+    if shifts is None:
+        shifts = np.zeros((f, 2), dtype=np.int32)
+    shifts = np.asarray(shifts, dtype=np.int32)
+
+    if method == "sum":
+        out, _ = basic_stack.stack_sum(frames, shifts)
+        return StackResult(out, np.zeros(c), np.zeros(c), f * c * h * w)
+    if method == "max":
+        return StackResult(basic_stack.stack_max(frames, shifts),
+                           np.zeros(c), np.zeros(c), f * c * h * w)
+    if method == "min":
+        return StackResult(basic_stack.stack_min(frames, shifts),
+                           np.zeros(c), np.zeros(c), f * c * h * w)
+
+    if coeffs is None:
+        if normalize != "none":
+            stats = [statistics(frames[i], 0, option=STATS_EXTRA)
+                     for i in range(f)]
+            off, mul, scale = compute_normalization(stats, 0, normalize)
+        else:
+            off, mul, scale = np.zeros(f), np.ones(f), np.ones(f)
+    else:
+        off, mul, scale = coeffs
+    coeff_arr = jnp.asarray(np.stack([off, mul, scale], axis=1),
+                            dtype=jnp.float32)
+
+    if block_rows is None:
+        block_rows = default_block_rows(f, w)
+    out = np.zeros((c, h, w), dtype=np.uint16)
+    rejl = np.zeros(c, dtype=np.int64)
+    rejh = np.zeros(c, dtype=np.int64)
+
+    if method == "median":
+        kernel = _make_median_kernel(normalize)
+        for ch in range(c):
+            for r0 in range(0, h, block_rows):
+                r1 = min(r0 + block_rows, h)
+                block = frames[:, ch, r0:r1, :]  # no shifts (reference)
+                out[ch, r0:r1] = np.asarray(kernel(jnp.asarray(block), coeff_arr))
+        return StackResult(out, rejl, rejh, f * c * h * w)
+
+    if method != "mean":
+        raise ValueError(f"unknown method {method}")
+    if rejection not in REJECTION_MODES:
+        raise ValueError(f"unknown rejection {rejection}")
+
+    kernel = _make_block_kernel(normalize, rejection, sig)
+    sx = jnp.asarray(shifts[:, 0])
+    for ch in range(c):
+        for r0 in range(0, h, block_rows):
+            r1 = min(r0 + block_rows, h)
+            block = _gather_block_rows(frames, ch, r0, r1, shifts[:, 1])
+            o, rl, rh = kernel(jnp.asarray(block), coeff_arr, sx)
+            out[ch, r0:r1] = np.asarray(o)
+            rejl[ch] += int(rl)
+            rejh[ch] += int(rh)
+    return StackResult(out, rejl, rejh, f * c * h * w)
+
+
+def stack_sequence(seq, *, method: str = "mean", layer_shifts: int = 0,
+                   filter_type: str = "included", filter_param: float = 0.0,
+                   rejection: str = "sigma", sig=(3.0, 3.0),
+                   normalize: str = "none",
+                   block_rows: Optional[int] = None) -> StackResult:
+    """Stack a Sequence: filtering → normalization from cached stats →
+    blockwise streaming reads → device stacking. The .seq-level driver
+    matching start_stacking (stacking.c:1871-1927)."""
+    indices = filter_indices(seq, filter_type=filter_type, param=filter_param,
+                             layer=layer_shifts)
+    if len(indices) < 2:
+        raise ValueError("No frame selected for stacking (select at least 2)")
+    shifts = seq.reg_shifts(layer_shifts)[indices]
+    frames = np.stack([seq.read_frame(i).data for i in indices])
+    coeffs = None
+    if normalize != "none" and method in ("mean", "median"):
+        coeffs = sequence_normalization(seq, layer_shifts, indices, normalize)
+    return stack_frames(frames, method=method, shifts=shifts,
+                        rejection=rejection, sig=sig, normalize=normalize,
+                        coeffs=coeffs, block_rows=block_rows)
+
+
+__all__ = ["stack_frames", "stack_sequence", "compute_normalization",
+           "sequence_normalization", "filter_indices", "StackResult",
+           "NORM_MODES", "REJECTION_MODES", "METHODS", "default_block_rows"]

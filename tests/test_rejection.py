@@ -1,0 +1,136 @@
+"""Rejection stacking: vectorized JAX kernels vs the literal C-semantics
+oracle (per-pixel loops). Covers BASELINE configs 2 and 3 math."""
+
+import numpy as np
+import pytest
+
+from siriltpu.ops.rejection import reject_and_mean, masked_median
+from siriltpu.stacking.api import compute_normalization, stack_frames
+from siriltpu.utils.rounding import np_round_to_word
+from siriltpu.verify import oracle
+
+
+def random_vectors(f, p, seed, outliers=True):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(1000, 50, size=(f, p))
+    if outliers:
+        mask = rng.random((f, p)) < 0.08
+        base = np.where(mask, rng.uniform(0, 20000, size=(f, p)), base)
+    return np.clip(np.rint(base), 0, 65535).astype(np.uint16)
+
+
+def oracle_mean(vec, rejection, sig):
+    surv = oracle.reject_pixel(vec, rejection, sig)
+    return int(np_round_to_word(surv.astype(np.float64).sum() / surv.size))
+
+
+@pytest.mark.parametrize("rejection", ["sigma", "sigmedian", "winsorized",
+                                       "linearfit", "percentile", "none"])
+def test_rejection_parity(rejection):
+    sig = (0.2, 0.1) if rejection == "percentile" else (2.5, 2.5)
+    f, p = 15, 257
+    vals = random_vectors(f, p, seed=hash(rejection) % 1000)
+    import jax.numpy as jnp
+    got, rejl, rejh = reject_and_mean(jnp.asarray(vals, jnp.float32),
+                                      rejection, sig)
+    got = np.asarray(got)
+    mism = 0
+    for j in range(p):
+        want = oracle_mean(vals[:, j], rejection, sig)
+        if abs(int(got[j]) - want) > 1:
+            mism += 1
+    assert mism == 0, f"{mism}/{p} pixels differ by >1 LSB"
+
+
+@pytest.mark.parametrize("rejection", ["sigma", "winsorized"])
+def test_rejection_exact_majority(rejection):
+    """Most pixels should be bit-exact (f32 vs f64 differences only at
+    rounding boundaries)."""
+    sig = (3.0, 3.0)
+    f, p = 25, 200
+    vals = random_vectors(f, p, seed=7)
+    import jax.numpy as jnp
+    got, _, _ = reject_and_mean(jnp.asarray(vals, jnp.float32), rejection, sig)
+    got = np.asarray(got)
+    exact = sum(int(got[j]) == oracle_mean(vals[:, j], rejection, sig)
+                for j in range(p))
+    assert exact >= p - 2
+
+
+def test_small_n_guard():
+    """N <= 3 never iterates (while n>0 && N>3)."""
+    vals = np.array([[100], [200], [50000]], dtype=np.uint16)
+    import jax.numpy as jnp
+    got, _, _ = reject_and_mean(jnp.asarray(vals, jnp.float32), "sigma", (1.0, 1.0))
+    want = oracle_mean(vals[:, 0], "sigma", (1.0, 1.0))
+    assert int(got[0]) == want
+
+
+def test_median_kernel_parity():
+    f, p = 12, 100
+    vals = random_vectors(f, p, seed=3)
+    import jax.numpy as jnp
+    got = np.asarray(masked_median(jnp.asarray(vals, jnp.float32)))
+    s = np.sort(vals.astype(np.float64), axis=0)
+    want = ((s[f // 2 - 1] + s[f // 2]) / 2).astype(np.uint16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stack_mean_rejection_full():
+    """Full blockwise driver vs literal oracle, with shifts."""
+    rng = np.random.default_rng(11)
+    f, c, h, w = 9, 1, 12, 14
+    frames = np.clip(rng.normal(2000, 100, (f, c, h, w)), 0,
+                     65535).astype(np.uint16)
+    frames[3, 0, 5, 5] = 60000  # outlier
+    shifts = rng.integers(-2, 3, size=(f, 2)).astype(np.int32)
+    res = stack_frames(frames, method="mean", shifts=shifts,
+                       rejection="sigma", sig=(3.0, 3.0), block_rows=5)
+    want = oracle.stack_mean_rejection(frames, shifts, "sigma", (3.0, 3.0))
+    diff = np.abs(res.data.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_stack_mean_rejection_normalized():
+    rng = np.random.default_rng(13)
+    f, c, h, w = 8, 1, 10, 10
+    base = rng.normal(1500, 60, (1, c, h, w))
+    gains = rng.uniform(0.7, 1.4, f)
+    offs = rng.uniform(-100, 200, f)
+    frames = np.clip(base * gains[:, None, None, None] +
+                     offs[:, None, None, None], 0, 65535).astype(np.uint16)
+    shifts = np.zeros((f, 2), dtype=np.int32)
+
+    from siriltpu.ops.stats import statistics, STATS_EXTRA
+    stats = [statistics(frames[i], 0, option=STATS_EXTRA) for i in range(f)]
+    coeffs = compute_normalization(stats, 0, "additive_scaling")
+
+    res = stack_frames(frames, method="mean", shifts=shifts,
+                       rejection="winsorized", sig=(3.0, 3.0),
+                       normalize="additive_scaling", coeffs=coeffs)
+    want = oracle.stack_mean_rejection(frames, shifts, "winsorized",
+                                       (3.0, 3.0), "additive_scaling", coeffs)
+    diff = np.abs(res.data.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_stack_median_full():
+    rng = np.random.default_rng(17)
+    frames = np.clip(rng.normal(3000, 500, (10, 1, 8, 9)), 0,
+                     65535).astype(np.uint16)
+    res = stack_frames(frames, method="median")
+    want = oracle.stack_median(frames)
+    np.testing.assert_array_equal(res.data, want)
+
+
+def test_rejection_percent_reporting():
+    rng = np.random.default_rng(19)
+    frames = np.clip(rng.normal(2000, 100, (10, 1, 16, 16)), 0,
+                     65535).astype(np.uint16)
+    frames[2] = 50000  # whole frame outlier
+    res = stack_frames(frames, method="mean", rejection="sigma",
+                       sig=(3.0, 3.0))
+    lo, hi = res.rejection_percent(0)
+    assert hi > 5.0  # the outlier frame got rejected
+    assert 0 <= lo < 5.0
