@@ -1,0 +1,76 @@
+"""FFT phase cross-correlation shift registration (the "image pattern"
+planetary registration method).
+
+Reference: ``register_shift_dft``, src/registration/registration.c:182-400.
+Semantics: on a SQUARE selection, compute FFT(ref) and per frame
+``cross = FFT(ref) * conj(FFT(frame))``, inverse-transform, take the
+argmax of the real part (first occurrence, scanning in row-major order,
+registration.c:330-345), decode (shifty, shiftx) = divmod(idx, size)
+wrapping values > size/2 to negative (:346-353).
+
+The resulting (shiftx, shifty) make ``frame(x - shiftx, y - shifty) ≈
+ref(x, y)`` in bottom-up row coordinates — exactly what the stacking
+shift consumers expect (stacking.c:298-319).
+
+TPU-native: one batched ``jnp.fft.fft2`` over all frames, fused
+cross-power and argmax — the reference's per-frame OpenMP loop becomes a
+single device program; `vmap`/sharding over the frame axis scales it out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+@jax.jit
+def _ref_fft(ref: Array) -> Array:
+    return jnp.fft.fft2(ref.astype(jnp.float32))
+
+
+@jax.jit
+def phase_correlate(ref_fft: Array, frames: Array):
+    """Batched phase correlation.
+
+    ref_fft: (S, S) complex64 (precomputed FFT of the reference selection).
+    frames: (F, S, S) uint16/float. Returns (shiftx, shifty) int32 (F,).
+    """
+    size = frames.shape[-1]
+    ffts = jnp.fft.fft2(frames.astype(jnp.float32))
+    cross = ref_fft[None] * jnp.conj(ffts)
+    corr = jnp.real(jnp.fft.ifft2(cross))
+    flat = corr.reshape(corr.shape[0], -1)
+    idx = jnp.argmax(flat, axis=1).astype(jnp.int32)  # first max, like the C scan
+    shifty = idx // size
+    shiftx = idx % size
+    shifty = jnp.where(shifty > size // 2, shifty - size, shifty)
+    shiftx = jnp.where(shiftx > size // 2, shiftx - size, shiftx)
+    return shiftx, shifty
+
+
+def register_shift_frames(ref_sel: np.ndarray, frame_sels: np.ndarray,
+                          chunk: int = 64):
+    """Host driver: phase-correlate every frame selection against the
+    reference selection. Returns (shiftx (F,), shifty (F,)) int arrays."""
+    ref_sel = np.asarray(ref_sel)
+    if ref_sel.shape[0] != ref_sel.shape[1]:
+        raise ValueError("the selection needs to be square for the DFT "
+                         "(registration.c:198)")
+    rf = _ref_fft(jnp.asarray(ref_sel))
+    f = len(frame_sels)
+    sx = np.zeros(f, dtype=np.int32)
+    sy = np.zeros(f, dtype=np.int32)
+    for s in range(0, f, chunk):
+        e = min(s + chunk, f)
+        bx, by = phase_correlate(rf, jnp.asarray(np.asarray(frame_sels[s:e])))
+        sx[s:e] = np.asarray(bx)
+        sy[s:e] = np.asarray(by)
+    return sx, sy
+
+
+__all__ = ["phase_correlate", "register_shift_frames"]

@@ -1,0 +1,176 @@
+"""Fused register + stack pipeline — the framework's flagship workload and
+the BASELINE north-star benchmark (register + sigma-clip stack of a
+100-frame 4096x4096 mono sequence at >= 50 frames/sec/chip).
+
+Combines: FFT phase-correlation shift registration on a square selection
+(register_shift_dft semantics), PIPP quality estimation, and
+mean-with-rejection stacking — all as device programs over a frame batch.
+
+Structure:
+1. ``compute_shifts``: one batched FFT over all frame selections.
+2. ``align_frames``: vmapped roll+mask translation (uint16, donated).
+3. blocked rejection stack: per row-block sort + masked fixed-point
+   sigma clipping (see siriltpu/ops/rejection.py).
+
+Multi-chip: frames axis sharded for (1) and (2); the rejection stack
+re-shards rows (GSPMD inserts the all-to-all), every chip stacking its
+row slab over all frames — mirroring the reference's OpenMP block
+parallelism (stacking.c:1513) at pod scale.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siriltpu.ops.fftreg import phase_correlate
+from siriltpu.ops.quality import quality_estimate_batch
+from siriltpu.ops.rejection import reject_and_mean
+from siriltpu.ops.shift import shift2d
+
+Array = jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("sel",))
+def compute_shifts(frames: Array, ref_index: int, sel: Tuple[int, int, int]):
+    """Phase-correlation shifts of every frame against the reference frame
+    over the square selection sel = (x0, y0, size) in bottom-up coords."""
+    x0, y0, s = sel
+    sels = jax.lax.dynamic_slice(
+        frames, (0, y0, x0), (frames.shape[0], s, s)).astype(jnp.float32)
+    ref_sel = jax.lax.dynamic_index_in_dim(sels, ref_index, axis=0,
+                                           keepdims=False)
+    ref_fft = jnp.fft.fft2(ref_sel)
+    sx, sy = phase_correlate(ref_fft, sels)
+    # the reference frame has shift 0 by construction (self-correlation
+    # peaks at 0), but enforce it like the reference does
+    sx = sx.at[ref_index].set(0)
+    sy = sy.at[ref_index].set(0)
+    return sx, sy
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def align_frames(frames: Array, sx: Array, sy: Array) -> Array:
+    """Apply integer shifts to all frames (zero fill), uint16 -> uint16."""
+    return jax.vmap(lambda f, x, y: shift2d(f, x, y, fill=0))(frames, sx, sy)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stack_block(rejection: str, sig):
+    @jax.jit
+    def kernel(block: Array) -> Array:
+        f, bh, w = block.shape
+        vals = block.astype(jnp.float32).reshape(f, bh * w)
+        out, _, _ = reject_and_mean(vals, rejection, sig)
+        return out.reshape(bh, w)
+
+    return kernel
+
+
+def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
+                       ref_index: int = 0, rejection: str = "sigma",
+                       sig=(3.0, 3.0), block_rows: int = 128,
+                       with_quality: bool = True):
+    """Full pipeline on a device-resident (F, H, W) uint16 frame batch.
+
+    Returns (stacked (H, W) uint16 np.ndarray, shifts (F,2), quality or None).
+    """
+    f, h, w = frames_dev.shape
+    sx, sy = compute_shifts(frames_dev, ref_index, sel)
+    quality = None
+    if with_quality:
+        # the reference estimates quality on the registration SELECTION,
+        # not the full frame (register_shift_dft reads only the selection,
+        # registration.c:264,309)
+        x0, y0, s = sel
+        sels = jax.lax.dynamic_slice(frames_dev, (0, y0, x0), (f, s, s))
+        quality = quality_estimate_batch(sels)
+    aligned = align_frames(frames_dev, sx, sy)
+    kernel = _make_stack_block(rejection, sig)
+    out_blocks = []
+    for r0 in range(0, h, block_rows):
+        r1 = min(r0 + block_rows, h)
+        out_blocks.append(kernel(aligned[:, r0:r1, :]))
+    stacked = jnp.concatenate(out_blocks, axis=0)
+    shifts = np.stack([np.asarray(sx), np.asarray(sy)], axis=1)
+    return (np.asarray(jax.device_get(stacked)), shifts,
+            None if quality is None else np.asarray(quality))
+
+
+@functools.partial(jax.jit, static_argnames=("nframes", "size"))
+def _make_bench_frames(key, shifts: Array, nframes: int, size: int) -> Array:
+    """Generate the synthetic shifted sequence ON DEVICE (the axon tunnel
+    in this environment moves host<->device data at ~35 MB/s, so the
+    benchmark input must never cross it)."""
+    kb, kn, kp, ka = jax.random.split(key, 4)
+    base = 1200.0 + 60.0 * jax.random.normal(kb, (size, size), jnp.float32)
+    # sprinkle bright point structure so registration/quality do real work
+    npts = 200
+    kpy, kpx = jax.random.split(kp)
+    ys = jax.random.randint(kpy, (npts,), 10, size - 10)
+    xs = jax.random.randint(kpx, (npts,), 10, size - 10)
+    amps = jax.random.uniform(ka, (npts,), minval=5000.0, maxval=40000.0)
+    base = base.at[ys, xs].add(amps)
+
+    def one(i):
+        noise = 10.0 * jax.random.normal(
+            jax.random.fold_in(kn, i), (size, size), jnp.float32)
+        shifted = jnp.roll(base, (shifts[i, 1], shifts[i, 0]), axis=(0, 1))
+        return jnp.clip(shifted + noise, 0, 65535).astype(jnp.uint16)
+
+    return jax.lax.map(one, jnp.arange(nframes))
+
+
+class RegisterStackBench:
+    """Benchmark harness for the north-star metric. All data stays on
+    device; the timed section is the full register+stack pipeline."""
+
+    def __init__(self, size: int = 4096, nframes: int = 100,
+                 chunk: int = 0, block_rows: int = 256,
+                 rejection: str = "sigma", with_quality: bool = True,
+                 seed: int = 0):
+        self.size = size
+        self.nframes = nframes
+        self.block_rows = block_rows
+        self.rejection = rejection
+        self.with_quality = with_quality
+        rng = np.random.default_rng(seed)
+        self.shifts = rng.integers(-20, 21, size=(nframes, 2)).astype(np.int32)
+        self.shifts[0] = 0
+        s = min(512, size)
+        self.sel = ((size - s) // 2, (size - s) // 2, s)
+
+    def _gen(self):
+        return _make_bench_frames(jax.random.PRNGKey(0),
+                                  jnp.asarray(self.shifts),
+                                  self.nframes, self.size)
+
+    def run(self, repeats: int = 1) -> float:
+        frames_dev = self._gen()
+        frames_dev.block_until_ready()
+        # warmup / compile on the real shapes (donation consumes frames)
+        out, shifts, q = register_and_stack(
+            frames_dev, sel=self.sel, rejection=self.rejection,
+            block_rows=self.block_rows, with_quality=self.with_quality)
+        dts = []
+        for _ in range(max(repeats, 1)):
+            frames_dev = self._gen()
+            frames_dev.block_until_ready()
+            t0 = time.perf_counter()
+            out, shifts, q = register_and_stack(
+                frames_dev, sel=self.sel, rejection=self.rejection,
+                block_rows=self.block_rows, with_quality=self.with_quality)
+            dts.append(time.perf_counter() - t0)
+        # sanity: shifts recovered
+        assert np.array_equal(shifts[:, 0], -self.shifts[:, 0]), "registration failed"
+        assert np.array_equal(shifts[:, 1], -self.shifts[:, 1]), "registration failed"
+        return self.nframes / min(dts)
+
+
+__all__ = ["register_and_stack", "compute_shifts", "align_frames",
+           "RegisterStackBench"]

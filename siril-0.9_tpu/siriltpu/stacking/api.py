@@ -21,6 +21,7 @@ siriltpu/parallel/.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence as Seq, Tuple
@@ -148,6 +149,7 @@ def _xshift_block(vals: jnp.ndarray, shiftx: jnp.ndarray,
     return jnp.where((ix >= 0) & (ix < w), rolled, 0.0)
 
 
+@functools.lru_cache(maxsize=None)
 def _make_block_kernel(mode: str, rejection: str, sig: Tuple[float, float]):
     @jax.jit
     def kernel(block_u16, coeffs, shiftx):
@@ -163,6 +165,7 @@ def _make_block_kernel(mode: str, rejection: str, sig: Tuple[float, float]):
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
 def _make_median_kernel(mode: str):
     @jax.jit
     def kernel(block_u16, coeffs):

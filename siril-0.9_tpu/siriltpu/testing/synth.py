@@ -103,8 +103,9 @@ def make_sequence_frames(n: int, h: int, w: int, *, seed: int = 0,
     frames = []
     stars = None
     for i in range(n):
-        # frame shifted by (sx, sy) means the sky moved by (+sx, +sy):
-        # registration should find shift (sx, sy) to undo it.
+        # frame i's content is displaced by (+sx, +sy); the aligning
+        # regdata shift consumed by stacking (out(y,x) = in(y-sy, x-sx))
+        # is therefore (-sx, -sy).
         data, stars = starfield(h, w, nstars, seed=seed,
                                 noise_sigma=0.0, stars=stars,
                                 shift=(shifts[i, 0], shifts[i, 1]))

@@ -64,13 +64,13 @@ def stack_min(frames: np.ndarray, shifts: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------- GSL helper stats
 
 def gsl_median_sorted(a: np.ndarray) -> float:
-    """gsl_stats_median_from_sorted_data."""
+    """gsl_stats_median_from_sorted_data (float64 math like GSL)."""
     n = a.size
     if n == 0:
         return 0.0
     if n % 2 == 1:
         return float(a[(n - 1) // 2])
-    return float((a[n // 2 - 1] + a[n // 2]) / 2.0)
+    return (float(a[n // 2 - 1]) + float(a[n // 2])) / 2.0
 
 
 def gsl_sd(a: np.ndarray) -> float:
