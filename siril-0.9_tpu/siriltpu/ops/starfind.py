@@ -1,0 +1,214 @@
+"""Star detection ("peaker").
+
+Reference: src/algos/star_finder.c:103-255.
+
+Pipeline:
+1. threshold = (WORD)median + sigma·(WORD)sigma of the layer statistics
+   (``Compute_threshold`` :39-57, both stats truncated to WORD first);
+2. detection image = plane 2 of a 3-plane B-spline à-trous transform —
+   i.e. the twice-smoothed image (:141, core/siril.c:1285);
+3. 8-neighbor local maxima within (threshold, norm) in TOP-DOWN row
+   order, ties broken towards the first-scanned pixel: an equal neighbor
+   above or to the left disqualifies (:176-199);
+4. a (2R × 2R) box around each peak from the REAL image is PSF-fitted
+   without angle (:216); results pass ``is_star`` (:59-78) including the
+   roundness test fwhmy/fwhmx >= roundness;
+5. star position = peak + subpixel − R − 1 (:222-223); stars sorted by
+   magnitude, capped at MAX_STARS = 50000 (src/core/siril.h:177).
+
+Divergence from the reference, on purpose: peaker fills the fit box
+TRANSPOSED (star_finder.c:227-235 sets z[x][y]), which swaps the fitted
+subpixel offsets and sx/sy. We fit in the natural orientation — equal
+for symmetric stars, strictly better positions for elongated ones.
+
+Star coordinates are reported in top-down (x, y) image coordinates like
+the reference GUI/star lists.
+
+TPU-native: detection is one fused device program (wavelet planes +
+compare-with-8-rolls); box gather + PSF fits are one vmapped program
+over a padded candidate list.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siriltpu.core.frame import Rect
+from siriltpu.ops.psf import fit_psf_batch
+from siriltpu.ops.stats import STATS_BASIC, statistics
+from siriltpu.ops.wavelets import TO_PAVE_BSPLINE, atrous_transform
+
+MAX_STARS = 50000
+WAVELET_SCALE = 3
+
+
+@dataclass
+class StarFinderParams:
+    """starFinder tuning (src/algos/star_finder.h:6-11; GUI defaults)."""
+    radius: int = 10
+    sigma: float = 1.0
+    roundness: float = 0.5
+
+
+@dataclass
+class Star:
+    xpos: float
+    ypos: float
+    mag: float
+    fwhmx: float
+    fwhmy: float
+    A: float
+    B: float
+    sx: float
+    sy: float
+    angle: float = 0.0
+    rmse: float = 0.0
+    layer: int = 0
+
+    @property
+    def pos(self):
+        return (self.xpos, self.ypos)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _detect_peaks(wave_td: jnp.ndarray, threshold: jnp.ndarray,
+                  norm: jnp.ndarray, radius: int,
+                  bounds: jnp.ndarray) -> jnp.ndarray:
+    """Local-maximum mask on the top-down wavelet image.
+
+    bounds = (x0, y0, x1, y1) detection window (top-down coords)."""
+    h, w = wave_td.shape
+    p = wave_td.astype(jnp.int32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    x0, y0, x1, y1 = bounds[0], bounds[1], bounds[2], bounds[3]
+    inwin = ((yy >= y0 + radius) & (yy < y1 - radius) &
+             (xx >= x0 + radius) & (xx < x1 - radius))
+    ok = (p > threshold) & (p < norm) & inwin
+
+    pad = jnp.pad(p, 1, constant_values=jnp.iinfo(jnp.int32).max)
+
+    def nb(dy, dx):
+        return pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = nb(dy, dx)
+            # tie rule (star_finder.c:189-196): an equal neighbor with
+            # (dx<=0 and dy<=0) or (dx>0 and dy<0) disqualifies
+            if (dx <= 0 and dy <= 0) or (dx > 0 and dy < 0):
+                ok = ok & (nv < p)
+            else:
+                ok = ok & (nv <= p)
+    return ok
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nmax"))
+def _gather_boxes(real_td: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                  radius: int, nmax: int) -> jnp.ndarray:
+    """Extract (nmax, 2R, 2R) boxes at top-down peak coords."""
+    def one(y, x):
+        return jax.lax.dynamic_slice(real_td, (y - radius, x - radius),
+                                     (2 * radius, 2 * radius))
+    return jax.vmap(one)(ys, xs)
+
+
+def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
+           area: Optional[Rect] = None, layer_index: int = 0,
+           norm: Optional[int] = None) -> List[Star]:
+    """Find stars on a bottom-up uint16 layer; returns stars sorted by
+    magnitude (brightest first), positions in top-down coords."""
+    sf = params or StarFinderParams()
+    layer_bu = np.asarray(layer_bu)
+    h, w = layer_bu.shape
+
+    st = statistics(layer_bu, option=STATS_BASIC, nullcheck=True)
+    if st is None:
+        return []
+    if norm is None:
+        norm = int(st.norm_value)
+    threshold = int(np.uint16(st.median) + sf.sigma * np.uint16(st.sigma))
+    bg = st.median
+
+    # wavelet smooth (plane 2 of 3) on device, then flip to top-down
+    tr = atrous_transform(jnp.asarray(layer_bu), WAVELET_SCALE,
+                          TO_PAVE_BSPLINE)
+    from siriltpu.utils.rounding import round_to_word
+    wave_bu = round_to_word(tr[WAVELET_SCALE - 1])
+    wave_td = wave_bu[::-1]
+    real_td = jnp.asarray(layer_bu)[::-1]
+
+    if area is not None:
+        bounds = jnp.asarray([area.x, area.y, area.x + area.w,
+                              area.y + area.h], jnp.int32)
+    else:
+        bounds = jnp.asarray([0, 0, w, h], jnp.int32)
+
+    mask = np.asarray(_detect_peaks(wave_td, jnp.int32(threshold),
+                                    jnp.int32(norm), sf.radius, bounds))
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return []
+    if ys.size > MAX_STARS:
+        ys, xs = ys[:MAX_STARS], xs[:MAX_STARS]
+
+    # pad candidate count to stabilize jit cache
+    n = ys.size
+    nmax = 1 << max(4, int(np.ceil(np.log2(n))))
+    ys_p = np.concatenate([ys, np.full(nmax - n, sf.radius)]).astype(np.int32)
+    xs_p = np.concatenate([xs, np.full(nmax - n, sf.radius)]).astype(np.int32)
+
+    boxes = _gather_boxes(real_td, jnp.asarray(ys_p), jnp.asarray(xs_p),
+                          sf.radius, nmax)
+    fit = fit_psf_batch(boxes, jnp.full((nmax,), bg, jnp.float32),
+                        fit_angle=False, norm=float(norm))
+
+    stars: List[Star] = []
+    A = np.asarray(fit.A)
+    B = np.asarray(fit.B)
+    x0 = np.asarray(fit.x0)
+    y0 = np.asarray(fit.y0)
+    sx = np.asarray(fit.sx)
+    sy = np.asarray(fit.sy)
+    fwx = np.asarray(fit.fwhmx)
+    fwy = np.asarray(fit.fwhmy)
+    mag = np.asarray(fit.mag)
+    okv = np.asarray(fit.ok)
+    for k in range(n):
+        # is_star checks (star_finder.c:59-78)
+        if not okv[k]:
+            continue
+        if not (np.isfinite(fwx[k]) and np.isfinite(fwy[k])):
+            continue
+        if not (np.isfinite(x0[k]) and np.isfinite(y0[k]) and
+                np.isfinite(mag[k])):
+            continue
+        if x0[k] <= 0.0 or y0[k] <= 0.0:
+            continue
+        if A[k] < 0.01:
+            continue
+        if sx[k] > 200 or sy[k] > 200:
+            continue
+        if fwx[k] <= 0.0 or fwy[k] <= 0.0:
+            continue
+        if (fwy[k] / fwx[k]) < sf.roundness:
+            continue
+        stars.append(Star(
+            xpos=float(xs[k] + x0[k] - sf.radius - 1),
+            ypos=float(ys[k] + y0[k] - sf.radius - 1),
+            mag=float(mag[k]), fwhmx=float(fwx[k]), fwhmy=float(fwy[k]),
+            A=float(A[k]), B=float(B[k]), sx=float(sx[k]), sy=float(sy[k]),
+            layer=layer_index))
+    stars.sort(key=lambda s: s.mag)
+    return stars
+
+
+__all__ = ["peaker", "Star", "StarFinderParams", "MAX_STARS"]
