@@ -1,0 +1,189 @@
+"""Global star alignment: triangle matching, RANSAC homography, warps.
+BASELINE config-4 math."""
+
+import numpy as np
+import pytest
+
+from siriltpu.core.frame import Frame
+from siriltpu.ops.warp import (INTER_CUBIC, INTER_LANCZOS4, INTER_LINEAR,
+                               INTER_NEAREST, warp_frame_bu, warp_perspective)
+from siriltpu.registration.matching import (Trans, fit_trans, match_lists,
+                                            new_star_match, vote_pairs)
+from siriltpu.registration.ransac import dlt_homography, find_homography
+
+
+def make_affine(angle_deg=0.0, scale=1.0, tx=0.0, ty=0.0):
+    a = np.radians(angle_deg)
+    return np.array([[scale * np.cos(a), -scale * np.sin(a), tx],
+                     [scale * np.sin(a), scale * np.cos(a), ty],
+                     [0, 0, 1.0]])
+
+
+def apply_h(H, xy):
+    ph = np.column_stack([xy, np.ones(len(xy))]) @ H.T
+    return ph[:, :2] / ph[:, 2:3]
+
+
+@pytest.fixture
+def star_sets():
+    rng = np.random.default_rng(60)
+    ref = rng.uniform(20, 480, size=(40, 2))
+    H = make_affine(angle_deg=4.0, scale=1.01, tx=12.3, ty=-7.7)
+    # image stars = H^-1(ref): matching should recover H (img -> ref)
+    img = apply_h(np.linalg.inv(H), ref)
+    img += rng.normal(0, 0.05, img.shape)
+    return img, ref, H
+
+
+def test_vote_pairs_identity():
+    rng = np.random.default_rng(61)
+    pts = rng.uniform(0, 100, size=(15, 2))
+    pairs, votes = vote_pairs(pts, pts)
+    assert pairs.shape[0] >= 10
+    for ia, ib in pairs[:10]:
+        assert ia == ib
+
+
+def test_new_star_match_recovers_transform(star_sets):
+    img, ref, H = star_sets
+    res = new_star_match(img, ref)
+    assert res is not None
+    mi, mr, trans = res
+    assert mi.shape[0] >= 30
+    # matched pairs are true correspondences
+    pred = apply_h(H, mi)
+    np.testing.assert_allclose(pred, mr, atol=0.5)
+
+
+def test_match_with_extra_stars(star_sets):
+    """Star lists are brightness-sorted (peaker); spurious detections are
+    faint and rank last, and a few bright stars may be missing from one
+    list — the bright heads still overlap enough for the triangle vote."""
+    img, ref, H = star_sets
+    rng = np.random.default_rng(62)
+    img2 = np.vstack([img[2:], rng.uniform(0, 500, size=(8, 2))])
+    ref2 = np.vstack([ref, rng.uniform(0, 500, size=(6, 2))])
+    res = new_star_match(img2, ref2)
+    assert res is not None
+    mi, mr, _ = res
+    pred = apply_h(H, mi)
+    d = np.hypot(*(pred - mr).T)
+    assert np.median(d) < 0.5
+
+
+def test_dlt_exact():
+    H = np.array([[1.02, 0.03, 5.0], [-0.02, 0.99, -3.0], [1e-5, -2e-5, 1.0]])
+    rng = np.random.default_rng(63)
+    src = rng.uniform(0, 400, size=(12, 2))
+    dst = apply_h(H, src)
+    Hs = dlt_homography(src, dst)
+    np.testing.assert_allclose(Hs / Hs[2, 2], H / H[2, 2], rtol=1e-6, atol=1e-6)
+
+
+def test_ransac_rejects_outliers():
+    H = make_affine(angle_deg=-2.0, scale=0.98, tx=-4.0, ty=9.0)
+    rng = np.random.default_rng(64)
+    src = rng.uniform(0, 400, size=(60, 2))
+    dst = apply_h(H, src)
+    # corrupt 20 correspondences
+    dst[:20] += rng.uniform(20, 80, size=(20, 2))
+    res = find_homography(src, dst)
+    assert res is not None
+    Hr, inl = res
+    assert inl.sum() >= 38
+    assert not inl[:20].any()
+    np.testing.assert_allclose(Hr, H / H[2, 2], atol=1e-3)
+
+
+@pytest.mark.parametrize("interp", [INTER_NEAREST, INTER_LINEAR, INTER_CUBIC,
+                                    INTER_LANCZOS4])
+def test_warp_identity(interp):
+    rng = np.random.default_rng(65)
+    img = rng.integers(0, 60000, size=(32, 40)).astype(np.uint16)
+    import jax.numpy as jnp
+    out = warp_perspective(jnp.asarray(img).astype(jnp.float32),
+                           jnp.eye(3), (32, 40), interp)
+    np.testing.assert_allclose(np.asarray(out), img.astype(np.float32),
+                               atol=0.02)
+
+
+def test_warp_pure_translation_matches_roll():
+    rng = np.random.default_rng(66)
+    img = rng.integers(100, 50000, size=(1, 48, 56)).astype(np.uint16)
+    # top-down H: translate by (+5, +3): dst(x,y) = src(x-5, y-3)
+    H = np.array([[1, 0, 5.0], [0, 1, 3.0], [0, 0, 1.0]])
+    out = warp_frame_bu(img, H, (48, 56), INTER_LINEAR)
+    # in top-down space dst(x,y)=src(x-5,y-3); check interior equality
+    td_src = img[0][::-1]
+    td_dst = out[0][::-1]
+    np.testing.assert_array_equal(td_dst[10:40, 10:50],
+                                  td_src[10 - 3 : 40 - 3, 10 - 5 : 50 - 5])
+
+
+def test_warp_rotation_content():
+    """Rotating a bright blob by H moves it to the predicted position."""
+    h = w = 100
+    img = np.zeros((1, h, w), dtype=np.uint16)
+    img[0, 30:34, 60:64] = 40000  # bottom-up blob
+    H = make_affine(angle_deg=10.0, tx=3.0, ty=-2.0)
+    out = warp_frame_bu(img, H, (h, w), INTER_LINEAR)
+    # predicted top-down position of blob center
+    td_y = h - 1 - 31.5
+    pred = apply_h(H, np.array([[61.5, td_y]]))[0]
+    ys, xs = np.nonzero(out[0][::-1] > 10000)
+    cx, cy = xs.mean(), ys.mean()
+    assert abs(cx - pred[0]) < 1.0
+    assert abs(cy - pred[1]) < 1.0
+
+
+def test_register_global_star_end_to_end(tmp_path):
+    """Full config-4 flow: rotated/translated starfields -> aligned
+    sequence on disk + stacking improves sharpness."""
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.sequence import check_seq
+    from siriltpu.registration.global_star import register_global_star
+    from siriltpu.testing.synth import starfield
+
+    h = w = 256
+    rng = np.random.default_rng(67)
+    base_stars = np.column_stack([
+        rng.uniform(30, w - 30, 25), rng.uniform(30, h - 30, 25),
+        rng.uniform(8000, 30000, 25), rng.uniform(4, 7, 25)])
+    transforms = [make_affine(),
+                  make_affine(angle_deg=2.0, tx=4.0, ty=-3.0),
+                  make_affine(angle_deg=-1.5, tx=-6.0, ty=2.0),
+                  make_affine(angle_deg=0.5, tx=8.0, ty=5.0)]
+    d = str(tmp_path)
+    for i, T in enumerate(transforms):
+        # transform star positions (top-down coords for the warp math;
+        # build in bottom-up by mapping positions)
+        pos = base_stars[:, :2]
+        newpos = apply_h(np.linalg.inv(T), np.column_stack(
+            [pos[:, 0], (h - 1) - pos[:, 1]]))
+        stars_i = base_stars.copy()
+        stars_i[:, 0] = newpos[:, 0]
+        stars_i[:, 1] = (h - 1) - newpos[:, 1]
+        data, _ = starfield(h, w, 25, seed=67, background=900,
+                            noise_sigma=6.0, stars=stars_i)
+        fits_io.write_fits(f"{d}/ds{i+1:03d}.fit", Frame(data))
+    seq = check_seq(d)[0]
+    report = register_global_star(seq, 0)
+    assert report.failed == 0
+    assert report.registered == 4
+    # homography of frame i maps frame stars onto reference stars
+    for i, T in enumerate(transforms):
+        H = report.homographies[i]
+        assert H is not None
+        np.testing.assert_allclose(H / H[2, 2], T / T[2, 2], atol=0.08)
+    # the new sequence exists and stacks sharply
+    seqs = check_seq(d)
+    rseq = [s for s in seqs if s.seqname.startswith("r_")]
+    assert rseq, f"aligned sequence missing: {[s.seqname for s in seqs]}"
+    rseq = rseq[0]
+    assert rseq.number == 4
+    frames = np.stack([rseq.read_frame(i).data for i in range(4)])
+    from siriltpu.stacking.api import stack_frames
+    res = stack_frames(frames, method="mean", rejection="sigma")
+    # aligned stack preserves star sharpness: peak value close to single
+    # frame's peak (misalignment would smear it down)
+    assert res.data.max() > 0.8 * frames[0].max()
