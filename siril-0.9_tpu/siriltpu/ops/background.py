@@ -1,0 +1,167 @@
+"""Background extraction: polynomial gradient fit over a grid of sample
+boxes.
+
+Reference: src/algos/gradient.c — box grid construction
+(``buildBoxesAutomatically`` :77-186), per-box robust value (sigma-clip
+replace-by-median then median), box rejection (deviation·sigma high side,
+deviation·unbalance low side :177-183), weighted least-squares polynomial
+fit of order 1–4 (3/6/10/15 params, :34-37, ``computeBackground``
+:188-300), evaluation clamps negatives to 0.
+
+TPU mapping: per-box statistics are a blocked reduction; the polynomial
+evaluation over the full image is a fused Vandermonde combination on
+device (vmapped powers) — but sizes are tiny, so host NumPy float64 is
+used for exactness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from siriltpu.utils.rounding import np_round_to_word
+
+NPARAMS = {1: 3, 2: 6, 3: 10, 4: 15}
+
+
+@dataclass
+class BackgroundParams:
+    """newBackground knobs (gradient.h / GUI defaults)."""
+    order: int = 4
+    box: int = 20
+    boxes_per_row: int = 10
+    boxes_per_col: int = 10
+    tolerance: float = 2.0
+    deviation: float = 1.0
+    unbalance: float = 0.8
+
+
+def _poly_terms(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Columns of the design matrix in the reference's exact order
+    (gradient.c:42-75)."""
+    cols = [np.ones_like(x), x, y]
+    if order >= 2:
+        cols += [x * x, y * x, y * y]
+    if order >= 3:
+        cols += [x ** 3, x * x * y, x * y * y, y ** 3]
+    if order >= 4:
+        cols += [x ** 4, x ** 3 * y, x * x * y * y, x * y ** 3, y ** 4]
+    return np.stack(cols, axis=-1)
+
+
+def build_background_samples(layer: np.ndarray, params: BackgroundParams
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Box grid + robust per-box values (buildBoxesAutomatically).
+
+    Returns (cols, rows, values) with rejected boxes marked value = -1.
+    ``layer`` is float64 (the reference converts WORD->double MatR).
+    """
+    p = params
+    height, width = layer.shape
+    midbox = int(p.box * 0.5)
+    nboxes = p.boxes_per_row * p.boxes_per_col
+    if nboxes < NPARAMS[p.order]:
+        raise ValueError("not enough boxes for the polynomial order")
+    mat = layer.astype(np.float64).copy()
+
+    row_pos = np.empty(p.boxes_per_col)
+    col_pos = np.empty(p.boxes_per_row)
+    tmp = midbox - 1.0
+    step_r = (height - 2 * midbox) // (p.boxes_per_col - 1)
+    for i in range(p.boxes_per_col):
+        row_pos[i] = tmp
+        tmp += step_r
+    tmp = midbox - 1.0
+    step_c = (width - 2 * midbox) // (p.boxes_per_row - 1)
+    for i in range(p.boxes_per_row):
+        col_pos[i] = tmp
+        tmp += step_c
+
+    rows = np.empty(nboxes)
+    cols = np.empty(nboxes)
+    vals = np.empty(nboxes)
+    k = 0
+    for r in range(p.boxes_per_col):
+        sr = int(round(row_pos[r] - midbox + 1))
+        for c in range(p.boxes_per_row):
+            sc = int(round(col_pos[c] - midbox + 1))
+            boxdata = mat[sr : sr + p.box, sc : sc + p.box]
+            flat = boxdata.reshape(-1)
+            sigma = flat.std(ddof=1)
+            median = _gsl_median(np.sort(flat))
+            # replace outliers by the median IN the matrix (the reference
+            # mutates MatR, gradient.c:144-153)
+            mask = boxdata > (p.tolerance * sigma + median)
+            boxdata[mask] = median
+            value = _gsl_median(np.sort(boxdata.reshape(-1)))
+            rows[k] = row_pos[r]
+            cols[k] = col_pos[c]
+            vals[k] = value
+            k += 1
+
+    med = _gsl_median(np.sort(vals.copy()))
+    sig = vals.std(ddof=1)
+    reject = ((vals - med) / sig > params.deviation) | \
+             ((med - vals) / sig > params.deviation * params.unbalance)
+    vals = np.where(reject, -1.0, vals)
+    return cols, rows, vals
+
+
+def _gsl_median(s: np.ndarray) -> float:
+    n = s.size
+    if n == 0:
+        return 0.0
+    if n % 2:
+        return float(s[(n - 1) // 2])
+    return (float(s[n // 2 - 1]) + float(s[n // 2])) / 2.0
+
+
+def compute_background(layer: np.ndarray,
+                       params: Optional[BackgroundParams] = None
+                       ) -> np.ndarray:
+    """Full background model of one layer (float64 image values in/out).
+    ``layer`` is the bottom-up uint16 data; the returned model is float64
+    (computeBackground, clamped at 0)."""
+    p = params or BackgroundParams()
+    height, width = layer.shape
+    cols, rows, vals = build_background_samples(
+        layer.astype(np.float64), p)
+    ok = vals >= 0
+    if ok.sum() < NPARAMS[p.order]:
+        raise ValueError("not enough valid background samples")
+    A = _poly_terms(cols[ok], rows[ok], p.order)
+    coef, *_ = np.linalg.lstsq(A, vals[ok], rcond=None)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    terms = _poly_terms(xx.reshape(-1), yy.reshape(-1), p.order)
+    model = terms @ coef
+    model = np.where(model < 0, 0.0, model)
+    return model.reshape(height, width)
+
+
+def extract_background(data: np.ndarray,
+                       params: Optional[BackgroundParams] = None
+                       ) -> np.ndarray:
+    """Background image of a (C, H, W) frame as uint16 (extractBackgroundAuto)."""
+    out = np.empty_like(data)
+    for c in range(data.shape[0]):
+        out[c] = np_round_to_word(compute_background(data[c], params))
+    return out
+
+
+def subtract_background(data: np.ndarray,
+                        params: Optional[BackgroundParams] = None
+                        ) -> np.ndarray:
+    """Model + sub_background in one step (bgextract command path)."""
+    from siriltpu.ops.imops import sub_background_layer
+
+    bkg = extract_background(data, params)
+    out = np.empty_like(data)
+    for c in range(data.shape[0]):
+        out[c] = sub_background_layer(data[c], bkg[c])
+    return out
+
+
+__all__ = ["compute_background", "extract_background", "subtract_background",
+           "build_background_samples", "BackgroundParams", "NPARAMS"]

