@@ -1,0 +1,151 @@
+"""Fused Pallas kernel: per-pixel sort + sigma-clip rejection + mean.
+
+The hottest op of the whole framework (SURVEY §7.4.3): stacking
+100×4096² frames needs a sort of every cross-frame pixel vector. On HBM
+the 28-stage sorting network is bandwidth-bound (~1 s per GB-scale
+block); this kernel loads an (F, TILE) slab into VMEM ONCE, runs the
+whole Batcher network, the windowed sigma-clip fixed-point loop, and the
+survivor mean in VMEM, and writes back just the (TILE,) result —
+HBM traffic collapses to one read of the data plus a 0.1% write.
+
+Each Batcher stage has a uniform partner offset k, so it lowers to two
+``pltpu.roll`` shifts along the sublane axis plus masked min/max — pure
+VPU work. Semantics match :func:`siriltpu.ops.rejection.reject_sigma_window`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from siriltpu.ops.sortnet import stage_offsets
+
+MAX_ITERS = 50
+
+
+def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
+                 sighigh: float):
+    stages = stage_offsets(n_pad)
+    ks = [k for k, _, _ in stages]
+
+    def kernel(masks_ref, x_ref, out_ref):
+        x = x_ref[:].astype(jnp.int32)  # (n_pad, tile); pad rows = 65535+1
+        for si, k in enumerate(ks):
+            lom = masks_ref[2 * si, :][:, None] != 0
+            him = masks_ref[2 * si + 1, :][:, None] != 0
+            xd = pltpu.roll(x, (n_pad - k) % n_pad, 0)  # value from i+k
+            xu = pltpu.roll(x, k, 0)                     # value from i-k
+            x = jnp.where(lom, jnp.minimum(x, xd),
+                          jnp.where(him, jnp.maximum(x, xu), x))
+        xf = x.astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tile), 0)
+
+        def win_stats(lo, hi):
+            n = hi - lo
+            nf = n.astype(jnp.float32)
+            mask = (iota >= lo) & (iota < hi)
+            s1 = jnp.sum(jnp.where(mask, xf, 0.0), axis=0, keepdims=True)
+            mean = s1 / jnp.maximum(nf, 1.0)
+            d = jnp.where(mask, xf - mean, 0.0)
+            var = jnp.sum(d * d, axis=0, keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
+            sigma = jnp.where(n > 1, jnp.sqrt(var), 0.0)
+            # sorted-window median via one-hot sums (no gather on TPU VMEM)
+            k1 = lo + (n - 1) // 2
+            k2 = lo + n // 2
+            v1 = jnp.sum(jnp.where(iota == k1, xf, 0.0), axis=0, keepdims=True)
+            v2 = jnp.sum(jnp.where(iota == k2, xf, 0.0), axis=0, keepdims=True)
+            median = 0.5 * (v1 + v2)
+            return n, mask, median, sigma
+
+        def cond(state):
+            lo, hi, r, done, it = state
+            # done carried as int32 (Mosaic cannot carry i1 vectors)
+            return jnp.logical_and(jnp.min(done) == 0, it < MAX_ITERS)
+
+        def body(state):
+            lo, hi, r, done, it = state
+            n, mask, median, sigma = win_stats(lo, hi)
+            low = mask & (median - xf > siglow * sigma)
+            high = mask & (xf - median > sighigh * sigma)
+            nlow = jnp.sum(low, axis=0, keepdims=True).astype(jnp.int32)
+            nhigh = jnp.sum(high, axis=0, keepdims=True).astype(jnp.int32)
+            over = (n - r) <= 4
+            budget = jnp.where(over, jnp.where(nlow > 0, 1, 0), n - 4 - r)
+            a_low = jnp.minimum(nlow, jnp.maximum(budget, 0))
+            a_high = jnp.minimum(nhigh, jnp.maximum(budget - a_low, 0))
+            removed = a_low + a_high
+            upd = done == 0
+            lo = jnp.where(upd, lo + a_low, lo)
+            hi = jnp.where(upd, hi - a_high, hi)
+            r = jnp.where(upd, r + removed, r)
+            newdone = (removed == 0) | ((hi - lo) <= 3)
+            done = jnp.maximum(done, newdone.astype(jnp.int32))
+            return lo, hi, r, done, it + 1
+
+        z = jnp.zeros((1, tile), jnp.int32)
+        state = (z, jnp.full((1, tile), f_real, jnp.int32), z,
+                 jnp.zeros((1, tile), jnp.int32), jnp.int32(0))
+        lo, hi, r, done, _ = jax.lax.while_loop(cond, body, state)
+        mask = (iota >= lo) & (iota < hi)
+        nf = (hi - lo).astype(jnp.float32)
+        s = jnp.sum(jnp.where(mask, xf, 0.0), axis=0, keepdims=True)
+        mean = s / jnp.maximum(nf, 1.0)
+        # round_to_WORD (f32 -> u16 needs an i32 hop on Mosaic)
+        mean = jnp.floor(mean + 0.5)
+        mean = jnp.clip(mean, 0.0, 65535.0)
+        out_ref[:] = mean.astype(jnp.int32).astype(jnp.uint16)
+
+    return kernel
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("siglow", "sighigh", "tile",
+                                             "interpret"))
+def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
+                       tile: int = 2048, interpret: bool = False) -> jnp.ndarray:
+    """Sigma-clip rejection stack of (F, P) uint16 values -> (P,) uint16.
+
+    P must be a multiple of ``tile`` (pad at the call site).
+    """
+    f, p = vals.shape
+    assert p % tile == 0, f"P={p} not a multiple of tile={tile}"
+    n_pad = 1 << (f - 1).bit_length()
+    if n_pad != f:
+        pad = jnp.full((n_pad - f, p), 65535, vals.dtype)
+        vals = jnp.concatenate([vals, pad], axis=0)
+
+    kernel = _make_kernel(f, n_pad, tile, float(siglow), float(sighigh))
+    stages = stage_offsets(n_pad)
+    masks = np.zeros((2 * len(stages), n_pad), dtype=np.int32)
+    for si, (_, lo, hi) in enumerate(stages):
+        masks[2 * si] = lo
+        masks[2 * si + 1] = hi
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, p), jnp.uint16),
+        grid=(p // tile,),
+        in_specs=[
+            pl.BlockSpec((2 * len(stages), n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(masks), vals)
+    return out[0]
+
+
+__all__ = ["sigma_stack_pallas"]

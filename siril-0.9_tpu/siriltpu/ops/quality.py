@@ -206,11 +206,15 @@ def quality_estimate_batch(layers: jnp.ndarray) -> jnp.ndarray:
     """Batched QUALTYPE_NORMAL quality over (F, H, W) uint16 frames on
     device; returns (F,) float32 sqrt(q_s3).
 
-    Uses a sequential ``lax.map`` rather than ``vmap``: the per-frame
-    working set (int32 conversions, dilation masks) is ~80 MB at 4K, and a
+    Small frames (registration selections) vmap — one fused program.
+    Large frames fall back to a sequential ``lax.map``: the per-frame
+    working set (int32 conversions, dilation masks) is ~80 MB at 4K and a
     vmapped version would materialize it for all frames at once (8+ GB)."""
     f, h, w = layers.shape
-    qs = jax.lax.map(lambda x: _quality_s3_jax(x, h, w), layers)
+    if f * h * w <= 1 << 27:  # <= ~128M pixels total: vmap comfortably
+        qs = jax.vmap(lambda x: _quality_s3_jax(x, h, w))(layers)
+    else:
+        qs = jax.lax.map(lambda x: _quality_s3_jax(x, h, w), layers)
     return jnp.sqrt(qs)
 
 

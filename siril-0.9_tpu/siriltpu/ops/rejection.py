@@ -43,6 +43,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from siriltpu.ops.sortnet import sort_axis0
 from siriltpu.utils.rounding import round_to_word, round_to_word_f
 
 Array = jnp.ndarray
@@ -56,7 +57,7 @@ MAX_ITERS = 50  # safety bound; reference loops are data-terminating
 def _sort_with_mask(vals: Array, valid: Array) -> Tuple[Array, Array]:
     """Sort values ascending with invalid entries pushed to the end."""
     keys = jnp.where(valid, vals, _INVALID)
-    s = jnp.sort(keys, axis=0)
+    s = sort_axis0(keys)
     return s, s < _INVALID / 2
 
 
@@ -134,7 +135,7 @@ def reject_sigma(vals: Array, siglow: float, sighigh: float):
     """SIGMA rejection (stacking.c:1674-1694). Returns (valid mask over the
     SORTED values, sorted values, rejl, rejh counts per pixel)."""
     f, p = vals.shape
-    sv = jnp.sort(vals, axis=0)
+    sv = sort_axis0(vals)
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def cond(state):
@@ -174,7 +175,7 @@ def reject_sigmedian(vals: Array, siglow: float, sighigh: float):
     """SIGMEDIAN (stacking.c:1696-1708): rejected values replaced by
     round_to_WORD(median); nothing removed. Returns (valid, values, rejl, rejh)."""
     f, p = vals.shape
-    sv = jnp.sort(vals, axis=0)
+    sv = sort_axis0(vals)
     valid = jnp.ones((f, p), dtype=bool)
     n = jnp.full((p,), f, jnp.int32)
 
@@ -191,7 +192,7 @@ def reject_sigmedian(vals: Array, siglow: float, sighigh: float):
         nrep = jnp.sum(flags, axis=0).astype(jnp.int32)
         medw = round_to_word_f(median)
         v_new = jnp.where(flags & ~done[None, :], medw[None, :], v)
-        v_new = jnp.sort(v_new, axis=0)
+        v_new = sort_axis0(v_new)
         rejl = rejl + jnp.where(~done, jnp.sum(low, axis=0), 0)
         rejh = rejh + jnp.where(~done, jnp.sum(high, axis=0), 0)
         done = done | (nrep == 0) | (n <= 3)
@@ -207,7 +208,7 @@ def reject_sigmedian(vals: Array, siglow: float, sighigh: float):
 def reject_winsorized(vals: Array, siglow: float, sighigh: float):
     """WINSORIZED sigma clipping (stacking.c:1710-1748)."""
     f, p = vals.shape
-    sv = jnp.sort(vals, axis=0)
+    sv = sort_axis0(vals)
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def winsor_converge(valid, n):
@@ -229,7 +230,7 @@ def reject_winsorized(vals: Array, siglow: float, sighigh: float):
                                      jnp.where(w > m1[None, :],
                                                round_to_word_f(m1)[None, :], w)),
                            w)
-            wv = jnp.sort(wv, axis=0)
+            wv = sort_axis0(wv)
             wvalid = wv < _INVALID / 2
             med_new = _gsl_median(wv, wvalid, n)
             sig_new = 1.134 * _gsl_sd(wv, wvalid, n)
@@ -280,7 +281,7 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
     """LINEARFIT rejection (stacking.c:1750-1783): least-squares line over
     (rank, sorted value), sigma = mean |residual|, clip by residual."""
     f, p = vals.shape
-    sv = jnp.sort(vals, axis=0)
+    sv = sort_axis0(vals)
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def cond(state):
@@ -333,7 +334,7 @@ def reject_percentile(vals: Array, plow: float, phigh: float):
     """PERCENTILE clipping (stacking.c:1130-1143, loop :1656-1673):
     single pass on relative deviation from the median; remove only if N>1."""
     f, p = vals.shape
-    sv = jnp.sort(vals, axis=0)
+    sv = sort_axis0(vals)
     valid = jnp.ones((f, p), dtype=bool)
     n = jnp.full((p,), f, jnp.int32)
     median = _gsl_median(sv, valid, n)
@@ -359,6 +360,86 @@ def reject_none(vals: Array):
     return jnp.ones((f, p), dtype=bool), vals, z, z
 
 
+# ------------------------------------------------- fast window formulation
+
+@functools.partial(jax.jit, static_argnames=("siglow", "sighigh"))
+def reject_sigma_window(vals: Array, siglow: float, sighigh: float):
+    """SIGMA rejection, window formulation — the benchmark hot path.
+
+    On the sorted pixel vector, sigma clipping always removes a PREFIX
+    (low rejects) and a SUFFIX (high rejects), so the survivor set is a
+    contiguous window [lo, hi). Tracking two (P,) counters replaces the
+    per-iteration cumsum chains of the masked formulation with two
+    take_along_axis gathers and ~3 fused elementwise passes.
+
+    The reference's mid-scan break (N - r <= 4, stacking.c:1684-1688) is
+    mapped to a flag budget ``N - 4 - r_prev`` applied lows-first. In the
+    (stale-memory) quirk case the reference can drop the LEAST extreme
+    highs and keep more extreme ones; this version always drops from the
+    window edges — a deviation only on that degenerate path.
+
+    Returns (mean uint16 (P,), rejl, rejh).
+    """
+    f, p = vals.shape
+    sv = sort_axis0(vals)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (f, p), 0)
+
+    def win_stats(lo, hi):
+        n = hi - lo
+        nf = n.astype(jnp.float32)
+        mask = (iota >= lo[None, :]) & (iota < hi[None, :])
+        svf = sv.astype(jnp.float32)
+        s1 = jnp.sum(jnp.where(mask, svf, 0.0), axis=0)
+        mean = s1 / jnp.maximum(nf, 1.0)
+        d = jnp.where(mask, svf - mean[None, :], 0.0)
+        var = jnp.sum(d * d, axis=0) / jnp.maximum(nf - 1.0, 1.0)
+        sigma = jnp.where(n > 1, jnp.sqrt(var), 0.0)
+        k1 = lo + (n - 1) // 2
+        k2 = lo + n // 2
+        v1 = jnp.take_along_axis(sv, k1[None, :], axis=0)[0].astype(jnp.float32)
+        v2 = jnp.take_along_axis(sv, k2[None, :], axis=0)[0].astype(jnp.float32)
+        median = 0.5 * (v1 + v2)
+        return n, mask, median, sigma
+
+    def cond(state):
+        _, _, _, done, _, _, it = state
+        return (~jnp.all(done)) & (it < MAX_ITERS)
+
+    def body(state):
+        lo, hi, r, done, rejl, rejh, it = state
+        n, mask, median, sigma = win_stats(lo, hi)
+        svf = sv.astype(jnp.float32)
+        low = mask & (median[None, :] - svf > siglow * sigma[None, :])
+        high = mask & (svf - median[None, :] > sighigh * sigma[None, :])
+        nlow = jnp.sum(low, axis=0).astype(jnp.int32)
+        nhigh = jnp.sum(high, axis=0).astype(jnp.int32)
+        # flag budget from the mid-scan break quirk
+        over = (n - r) <= 4
+        budget = jnp.where(over, jnp.where(nlow > 0, 1, 0), n - 4 - r)
+        a_low = jnp.minimum(nlow, jnp.maximum(budget, 0))
+        a_high = jnp.minimum(nhigh, jnp.maximum(budget - a_low, 0))
+        removed = a_low + a_high
+        upd = ~done
+        lo = jnp.where(upd, lo + a_low, lo)
+        hi = jnp.where(upd, hi - a_high, hi)
+        rejl = rejl + jnp.where(upd, a_low, 0)
+        rejh = rejh + jnp.where(upd, a_high, 0)
+        r = jnp.where(upd, r + removed, r)
+        done = done | (removed == 0) | ((hi - lo) <= 3)
+        return lo, hi, r, done, rejl, rejh, it + 1
+
+    z = jnp.zeros(p, jnp.int32)
+    state = (z, jnp.full((p,), f, jnp.int32), z, jnp.zeros(p, bool), z, z,
+             jnp.int32(0))
+    lo, hi, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
+    # mean of the surviving window
+    mask = (iota >= lo[None, :]) & (iota < hi[None, :])
+    nf = (hi - lo).astype(jnp.float32)
+    s = jnp.sum(jnp.where(mask, sv.astype(jnp.float32), 0.0), axis=0)
+    mean = round_to_word(s / jnp.maximum(nf, 1.0))
+    return mean, rejl, rejh
+
+
 _ALGOS = {
     "sigma": reject_sigma,
     "sigmedian": reject_sigmedian,
@@ -372,9 +453,18 @@ def reject_and_mean(vals: Array, rejection: str, sig=(3.0, 3.0)):
     """Full rejection + mean for a (F, P) block of normalized pixel values.
 
     Returns (uint16 mean (P,), rejlow (P,), rejhigh (P,)).
+    ``sigma`` uses the fast window formulation; ``sigma_masked`` forces
+    the reference-exact masked loop (quirk-path included).
     """
+    if rejection == "sigma":
+        # window kernel sorts in the input dtype (uint16 halves bandwidth)
+        return reject_sigma_window(vals, float(sig[0]), float(sig[1]))
+    if not jnp.issubdtype(vals.dtype, jnp.floating):
+        vals = vals.astype(jnp.float32)
     if rejection in ("none", None):
         valid, v, rejl, rejh = reject_none(vals)
+    elif rejection == "sigma_masked":
+        valid, v, rejl, rejh = reject_sigma(vals, float(sig[0]), float(sig[1]))
     else:
         valid, v, rejl, rejh = _ALGOS[rejection](vals, float(sig[0]), float(sig[1]))
     return _mean_of_survivors(v, valid), rejl, rejh
@@ -384,7 +474,7 @@ def masked_median(vals: Array) -> Array:
     """Median stack pixel op (stacking.c:765-767): GSL sorted median,
     C-truncated to WORD on assignment."""
     f, p = vals.shape
-    sv = jnp.sort(vals, axis=0)
+    sv = sort_axis0(vals)
     valid = jnp.ones((f, p), dtype=bool)
     n = jnp.full((p,), f, jnp.int32)
     med = _gsl_median(sv, valid, n)

@@ -56,8 +56,23 @@ def compute_shifts(frames: Array, ref_index: int, sel: Tuple[int, int, int]):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def align_frames(frames: Array, sx: Array, sy: Array) -> Array:
-    """Apply integer shifts to all frames (zero fill), uint16 -> uint16."""
-    return jax.vmap(lambda f, x, y: shift2d(f, x, y, fill=0))(frames, sx, sy)
+    """Apply integer shifts to all frames (zero fill), uint16 -> uint16.
+
+    Implemented as two axis gathers with clipped per-frame index vectors
+    (out[f, y, x] = frames[f, y - sy_f, x - sx_f]). A vmapped dynamic
+    ``jnp.roll`` lowers to pathological code on TPU (measured 145 s for
+    100x4K^2); the double take_along_axis runs in milliseconds."""
+    f, h, w = frames.shape
+    rows = jnp.arange(h)[None, :] - sy[:, None]
+    cols = jnp.arange(w)[None, :] - sx[:, None]
+    row_ok = (rows >= 0) & (rows < h)
+    col_ok = (cols >= 0) & (cols < w)
+    rows_c = jnp.clip(rows, 0, h - 1)
+    cols_c = jnp.clip(cols, 0, w - 1)
+    g = jnp.take_along_axis(frames, rows_c[:, :, None], axis=1)
+    g = jnp.take_along_axis(g, cols_c[:, None, :], axis=2)
+    mask = row_ok[:, :, None] & col_ok[:, None, :]
+    return jnp.where(mask, g, jnp.uint16(0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -65,7 +80,8 @@ def _make_stack_block(rejection: str, sig):
     @jax.jit
     def kernel(block: Array) -> Array:
         f, bh, w = block.shape
-        vals = block.astype(jnp.float32).reshape(f, bh * w)
+        # keep uint16: the sigma window kernel sorts in the input dtype
+        vals = block.reshape(f, bh * w)
         out, _, _ = reject_and_mean(vals, rejection, sig)
         return out.reshape(bh, w)
 
@@ -91,12 +107,19 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
         sels = jax.lax.dynamic_slice(frames_dev, (0, y0, x0), (f, s, s))
         quality = quality_estimate_batch(sels)
     aligned = align_frames(frames_dev, sx, sy)
-    kernel = _make_stack_block(rejection, sig)
-    out_blocks = []
-    for r0 in range(0, h, block_rows):
-        r1 = min(r0 + block_rows, h)
-        out_blocks.append(kernel(aligned[:, r0:r1, :]))
-    stacked = jnp.concatenate(out_blocks, axis=0)
+    from siriltpu.ops.pallas.reject_stack import _on_tpu, sigma_stack_pallas
+    if rejection == "sigma" and (h * w) % 2048 == 0 and _on_tpu():
+        # fused Pallas kernel: sort + clip + mean in VMEM, one pass
+        stacked = sigma_stack_pallas(
+            aligned.reshape(f, h * w), float(sig[0]), float(sig[1])
+        ).reshape(h, w)
+    else:
+        kernel = _make_stack_block(rejection, sig)
+        out_blocks = []
+        for r0 in range(0, h, block_rows):
+            r1 = min(r0 + block_rows, h)
+            out_blocks.append(kernel(aligned[:, r0:r1, :]))
+        stacked = jnp.concatenate(out_blocks, axis=0)
     shifts = np.stack([np.asarray(sx), np.asarray(sy)], axis=1)
     return (np.asarray(jax.device_get(stacked)), shifts,
             None if quality is None else np.asarray(quality))

@@ -29,7 +29,9 @@ def oracle_mean(vec, rejection, sig):
 def test_rejection_parity(rejection):
     sig = (0.2, 0.1) if rejection == "percentile" else (2.5, 2.5)
     f, p = 15, 257
-    vals = random_vectors(f, p, seed=hash(rejection) % 1000)
+    seeds = {"sigma": 1, "sigmedian": 2, "winsorized": 3, "linearfit": 4,
+             "percentile": 5, "none": 6}
+    vals = random_vectors(f, p, seed=seeds[rejection])
     import jax.numpy as jnp
     got, rejl, rejh = reject_and_mean(jnp.asarray(vals, jnp.float32),
                                       rejection, sig)
