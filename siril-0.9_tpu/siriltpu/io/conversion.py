@@ -1,0 +1,94 @@
+"""Conversion subsystem: any supported input → FITS sequence or SER.
+
+Reference: src/io/conversion.c — flags CONV1X3/3X1/1X1, CONVDSTSER,
+CONVMULTIPLE (src/core/siril.h:155-163), worker ``convert_thread_worker``
+(:509-662), ``debayer_if_needed`` (:736), ``any_to_fits`` (:802), and the
+raw-extension table with per-vendor Bayer patterns (:51-74).
+
+Inputs: FITS, SER (split into frames), PNM, BMP/PNG/JPG/TIFF via
+imageio. DSLR raw (CR2/NEF/ARW/...) requires a raw decoder (libraw/rawpy)
+that is not present in this environment; such files are skipped with a
+notice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from siriltpu.core.frame import Frame
+from siriltpu.io import fits as fits_io
+from siriltpu.io.formats import load_any
+from siriltpu.io.ser import SerFile
+
+RAW_EXTENSIONS = {
+    # conversion.c:51-74 (vendor, default bayer pattern)
+    "cr2": "RGGB", "crw": "RGGB", "nef": "RGGB", "nrw": "RGGB",
+    "arw": "RGGB", "srf": "RGGB", "sr2": "RGGB", "orf": "RGGB",
+    "raf": "RGGB", "pef": "RGGB", "ptx": "RGGB", "rw2": "RGGB",
+    "raw": "RGGB", "dng": "RGGB", "kdc": "RGGB", "dcr": "RGGB",
+    "mrw": "RGGB", "mef": "RGGB", "3fr": "RGGB", "x3f": "RGGB",
+}
+
+IMAGE_EXTENSIONS = ("png", "jpg", "jpeg", "tif", "tiff", "bmp", "ppm",
+                    "pgm", "pnm", "pic")
+
+
+def convertible_files(directory: str) -> List[str]:
+    out = []
+    for name in sorted(os.listdir(directory)):
+        low = name.lower()
+        ext = low.rsplit(".", 1)[-1] if "." in low else ""
+        if ext in IMAGE_EXTENSIONS or ext in RAW_EXTENSIONS or ext == "ser":
+            out.append(os.path.join(directory, name))
+    return out
+
+
+def convert_dir(directory: str, basename: str, *, to_ser: bool = False,
+                fits_ext: str = "fit", debayer: bool = False) -> int:
+    """Convert every supported file in ``directory`` into a numbered FITS
+    sequence ``<basename>NNNNN.<ext>`` (or one SER when ``to_ser``)."""
+    files = convertible_files(directory)
+    index = 1
+    ser_out: Optional[SerFile] = None
+    for path in files:
+        low = path.lower()
+        ext = low.rsplit(".", 1)[-1]
+        frames: List[Frame] = []
+        if ext == "ser":
+            ser = SerFile.open(path)
+            for i in range(ser.frame_count):
+                frames.append(ser.read_frame(i, debayer=debayer))
+        elif ext in RAW_EXTENSIONS:
+            try:
+                import rawpy  # noqa: F401
+            except ImportError:
+                print(f"Skipping {os.path.basename(path)}: DSLR raw "
+                      f"decoding requires libraw/rawpy (not available)")
+                continue
+        else:
+            frame = load_any(path)
+            if frame is None:
+                continue
+            frames.append(frame)
+        for frame in frames:
+            if to_ser:
+                if ser_out is None:
+                    ser_out = SerFile.create(
+                        os.path.join(directory, basename + ".ser"),
+                        width=frame.rx, height=frame.ry,
+                        color_id=100 if frame.nlayers == 3 else 0)
+                ser_out.write_frame(frame)
+            else:
+                dest = os.path.join(directory,
+                                    f"{basename}{index:05d}.{fits_ext}")
+                fits_io.write_fits(dest, frame)
+            index += 1
+    if ser_out is not None:
+        ser_out.write_and_close()
+    return index - 1
+
+
+__all__ = ["convert_dir", "convertible_files", "RAW_EXTENSIONS"]

@@ -252,3 +252,149 @@ __all__ = ["soper", "imoper", "fdiv", "ndiv", "addmax", "crop", "mirrorx",
            "mirrory", "rotate_pi", "entropy", "loglut", "ddp", "unsharp",
            "resize", "rotate", "sub_background_layer",
            "OPER_ADD", "OPER_SUB", "OPER_MUL", "OPER_DIV"]
+
+
+def threshlo(data: np.ndarray, level: int) -> np.ndarray:
+    """Clamp from below (siril.c:65-76)."""
+    return np.maximum(data, np.uint16(level))
+
+
+def threshhi(data: np.ndarray, level: int) -> np.ndarray:
+    """Clamp from above (siril.c:78-89)."""
+    return np.minimum(data, np.uint16(level))
+
+
+def nozero(data: np.ndarray, level: int) -> np.ndarray:
+    """Replace null values by level (siril.c:91-103)."""
+    return np.where(data == 0, np.uint16(level), data)
+
+
+def fill(data: np.ndarray, level: int, rect=None) -> np.ndarray:
+    """Fill image or top-down selection with level (siril.c:696-729)."""
+    out = data.copy()
+    if rect is None:
+        out[...] = level
+        return out
+    ry = data.shape[-2]
+    y0 = ry - rect.y - rect.h
+    out[..., y0 : y0 + rect.h, rect.x : rect.x + rect.w] = level
+    return out
+
+
+def off(data: np.ndarray, level: float) -> np.ndarray:
+    """Add a (possibly negative) offset with WORD clamp (siril.c `off`)."""
+    return np_round_to_word(data.astype(np.float64) + level)
+
+
+def shift_image(data: np.ndarray, sx: int, sy: int) -> np.ndarray:
+    """Integer translate with the ii>0 quirk (siril.c `shift` :478-530)."""
+    from siriltpu.verify.oracle import shift_gather
+
+    return shift_gather(data, sx, sy, fill=0, skip_origin=True)
+
+
+def median_filter(data: np.ndarray, ksize: int, amount: float,
+                  iterations: int = 1) -> np.ndarray:
+    """fmedian: ksize median filter blended with the original
+    (core/siril.c median_filter :1357-1456): out = med*amount +
+    orig*(1-amount), edges clamped."""
+    if ksize % 2 == 0 or ksize < 2:
+        raise ValueError("The size of the kernel MUST be odd and greater than 1")
+    if not 0.0 <= amount <= 1.0:
+        raise ValueError("Modulation value MUST be between 0 and 1")
+    r = ksize // 2
+    out = data.copy()
+    for _ in range(iterations):
+        for c in range(out.shape[0]):
+            img = out[c]
+            pad = np.pad(img, r, mode="edge")
+            stack = np.stack([pad[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+                              for dy in range(ksize) for dx in range(ksize)])
+            med = np.median(stack, axis=0)
+            out[c] = np_round_to_word(med * amount +
+                                      img.astype(np.float64) * (1.0 - amount))
+    return out
+
+
+def banding_reduction(data: np.ndarray, sigma: float, amount: float,
+                      protect_highlights: bool = True,
+                      apply_rotation: bool = False) -> np.ndarray:
+    """Canon banding reduction (BandingEngine, siril.c:1529-1615):
+    per-row median vs global median difference image, scaled by amount,
+    added back. Optionally operates on the 90-degree-rotated image."""
+    from siriltpu.ops.stats import STATS_BASIC, STATS_MAD, statistics
+
+    work = np.rot90(data, k=1, axes=(-2, -1)).copy() if apply_rotation else data
+    c, h, w = work.shape
+    fix = np.zeros_like(work, dtype=np.float64)
+    minimum = np.inf
+    rowvals = np.zeros((c, h))
+    for ch in range(c):
+        st = statistics(work[ch], option=STATS_BASIC | STATS_MAD,
+                        nullcheck=True)
+        background = st.median
+        globalsigma = st.mad * 1.4826 if protect_highlights else 0.0
+        srt = np.sort(work[ch].astype(np.float64), axis=1)
+        for row in range(h):
+            line = srt[row]
+            n = w
+            if protect_highlights:
+                reject = np_round_to_word(
+                    np.float64(background + globalsigma / sigma))
+                n = int(np.searchsorted(line, reject, side="left"))
+                if n == 0:
+                    n = 1
+            median = (line[(n - 1) // 2] if n % 2 else
+                      (line[n // 2 - 1] + line[n // 2]) / 2.0)
+            rowvals[ch, row] = background - median
+            minimum = min(minimum, rowvals[ch, row])
+    for ch in range(c):
+        for row in range(h):
+            fix[ch, row, :] = float(np_round_to_word(
+                np.float64(rowvals[ch, row] - minimum)))
+    fixed = np.clip(work.astype(np.int64) +
+                    np_round_to_word(fix * amount).astype(np.int64),
+                    0, 65535).astype(np.uint16)
+    if apply_rotation:
+        fixed = np.rot90(fixed, k=-1, axes=(-2, -1)).copy()
+    return fixed
+
+
+def background_noise(data: np.ndarray) -> np.ndarray:
+    """bgnoise command (backgroundnoise, siril.c:1626-1713): sigma of the
+    finest wavelet scale, 3-sigma clipped iteratively (eps 1e-4, 15
+    iters), scaled by 2.35482/0.974. Returns per-channel sigma."""
+    from siriltpu.ops.stats import STATS_BASIC, statistics
+    from siriltpu.ops.wavelets import TO_PAVE_BSPLINE, atrous_transform
+    import jax.numpy as jnp
+
+    LOW_BOUND, HIGH_BOUND = 0.00002, 0.99998
+    sigmas = np.zeros(data.shape[0])
+    for ch in range(data.shape[0]):
+        tr = atrous_transform(jnp.asarray(data[ch]), 4, TO_PAVE_BSPLINE)
+        plane = np.asarray(tr[0]).astype(np.float64)
+        mx = plane.max()
+        ratio = 65535.0 / mx if mx > 65535.0 else 1.0
+        wave = np_round_to_word(plane * ratio)
+        st = statistics(wave, option=STATS_BASIC, nullcheck=True)
+        if st is None:
+            continue
+        sigma0 = st.sigma
+        mean = st.mean
+        norm = st.norm_value
+        lo = np_round_to_word(np.float64(LOW_BOUND * norm))
+        hi = np_round_to_word(np.float64(HIGH_BOUND * norm))
+        vals = wave.reshape(-1).astype(np.float64)
+        sigma = sigma0
+        for _ in range(15):
+            s0 = sigma
+            vals = vals[(vals >= lo) & (vals <= hi) &
+                        (np.abs(vals - mean) < 3.0 * s0)]
+            if vals.size == 0:
+                sigma = 0.0
+                break
+            sigma = vals.std(ddof=1)
+            if sigma > 0 and abs(sigma - s0) / sigma <= 1e-4:
+                break
+        sigmas[ch] = sigma * 2.35482 / 0.974
+    return sigmas
