@@ -152,9 +152,19 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
     else:
         bounds = jnp.asarray([0, 0, w, h], jnp.int32)
 
-    mask = np.asarray(_detect_peaks(wave_td, jnp.int32(threshold),
-                                    jnp.int32(norm), sf.radius, bounds))
-    ys, xs = np.nonzero(mask)
+    mask = _detect_peaks(wave_td, jnp.int32(threshold),
+                         jnp.int32(norm), sf.radius, bounds)
+    # keep the peak COORDINATES device-side via top-k on the wavelet
+    # value (transfers K indices, not an H*W mask — the host link here
+    # is slow); brightness-capped rather than scan-order-capped
+    kmax = min(8192, h * w)
+    score = jnp.where(mask, wave_td.astype(jnp.int32), -1)
+    vals, idx = jax.lax.top_k(score.reshape(-1), kmax)
+    vals = np.asarray(vals)
+    idx = np.asarray(idx)
+    keep = vals >= 0
+    ys = (idx[keep] // w).astype(np.int64)
+    xs = (idx[keep] % w).astype(np.int64)
     if ys.size == 0:
         return []
     if ys.size > MAX_STARS:
