@@ -149,3 +149,35 @@ def _from_topdown_array(arr: np.ndarray) -> Frame:
 
 __all__ = ["save_bmp", "save_pnm", "load_pnm", "save_tiff", "load_tiff",
            "save_jpg", "load_any"]
+
+
+def load_pic(path: str) -> Frame:
+    """IRIS PIC reader (image_formats_internal.c:653-780): 290-byte
+    header, magic 0x31fc/0x0122, u16 LE geometry at offsets 68/70,
+    nbplane at 92; plane-sequential uint16 data in file (bottom-up) order."""
+    with open(path, "rb") as f:
+        header = f.read(290)
+        if len(header) != 290:
+            raise ValueError("truncated PIC header")
+        m0, m1 = struct.unpack_from("<HH", header, 0)
+        if not (m0 == 0x31FC and m1 == 0x0122):
+            raise ValueError("Wrong magic cookie in PIC file")
+        w, h = struct.unpack_from("<HH", header, 68)
+        nbplane = struct.unpack_from("<H", header, 92)[0]
+        if nbplane not in (1, 3):
+            raise ValueError(f"PIC with {nbplane} planes not supported")
+        raw = np.fromfile(f, dtype="<u2", count=w * h * nbplane)
+    if raw.size != w * h * nbplane:
+        raise ValueError("truncated PIC data")
+    return Frame(raw.reshape(nbplane, h, w).astype(np.uint16))
+
+
+def save_pic(path: str, frame: Frame) -> None:
+    """PIC writer (for round-trip tests; the reference is read-only)."""
+    header = bytearray(290)
+    struct.pack_into("<HH", header, 0, 0x31FC, 0x0122)
+    struct.pack_into("<HH", header, 68, frame.rx, frame.ry)
+    struct.pack_into("<H", header, 92, frame.nlayers)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        frame.data.astype("<u2").tofile(f)

@@ -5,9 +5,8 @@ super-pixel half-size (:32-80), bilinear (OpenCV scheme, :89-175),
 nearest neighbor (:177-244), VNG (:284-421), AHD (:473-665).
 
 Implemented vectorized (NumPy phase-slicing): super_pixel, bilinear,
-nearest. VNG and AHD use gradient-threshold / homogeneity selection; the
-bilinear output feeds the same downstream pipeline, so they are mapped
-to bilinear for now with a log notice (full ports planned).
+nearest, and an exact array-program port of the dcraw VNG. AHD maps to
+VNG for now (similar quality class; full homogeneity-map port planned).
 
 Conventions: input CFA is a top-down single layer as stored in SER
 (callers flip afterwards, see siriltpu/io/ser.py); output is (3, H, W)
@@ -189,17 +188,139 @@ def nearest(cfa: np.ndarray, pattern: str) -> np.ndarray:
 def debayer_buffer(cfa: np.ndarray, pattern: str,
                    method: str = "bilinear") -> np.ndarray:
     """``debayer_buffer`` (demosaicing.c:667-728): dispatch by method;
-    VNG/AHD currently map to bilinear (full ports planned)."""
+    AHD currently maps to VNG."""
     cfa = np.asarray(cfa, dtype=np.uint16)
     method = method.lower()
     if method in ("super_pixel", "superpixel", "super-pixel"):
         return super_pixel(cfa, pattern)
     if method in ("nearest", "nearestneighbor"):
         return nearest(cfa, pattern)
-    if method in ("bilinear", "vng", "ahd"):
+    if method in ("vng", "ahd"):
+        return vng(cfa, pattern)
+    if method == "bilinear":
         return bilinear(cfa, pattern)
     raise ValueError(f"unknown debayer method {method}")
 
 
-__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest",
+__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest", "vng",
            "pattern_from_ser", "BAYER_PATTERNS"]
+
+
+# ------------------------------------------------------------------- VNG
+
+_VNG_TERMS = [
+    -2, -2, +0, -1, 0, 0x01, -2, -2, +0, +0, 1, 0x01, -2, -1, -1, +0, 0, 0x01,
+    -2, -1, +0, -1, 0, 0x02, -2, -1, +0, +0, 0, 0x03, -2, -1, +0, +1, 1, 0x01,
+    -2, +0, +0, -1, 0, 0x06, -2, +0, +0, +0, 1, 0x02, -2, +0, +0, +1, 0, 0x03,
+    -2, +1, -1, +0, 0, 0x04, -2, +1, +0, -1, 1, 0x04, -2, +1, +0, +0, 0, 0x06,
+    -2, +1, +0, +1, 0, 0x02, -2, +2, +0, +0, 1, 0x04, -2, +2, +0, +1, 0, 0x04,
+    -1, -2, -1, +0, 0, 0x80, -1, -2, +0, -1, 0, 0x01, -1, -2, +1, -1, 0, 0x01,
+    -1, -2, +1, +0, 1, 0x01, -1, -1, -1, +1, 0, 0x88, -1, -1, +1, -2, 0, 0x40,
+    -1, -1, +1, -1, 0, 0x22, -1, -1, +1, +0, 0, 0x33, -1, -1, +1, +1, 1, 0x11,
+    -1, +0, -1, +2, 0, 0x08, -1, +0, +0, -1, 0, 0x44, -1, +0, +0, +1, 0, 0x11,
+    -1, +0, +1, -2, 1, 0x40, -1, +0, +1, -1, 0, 0x66, -1, +0, +1, +0, 1, 0x22,
+    -1, +0, +1, +1, 0, 0x33, -1, +0, +1, +2, 1, 0x10, -1, +1, +1, -1, 1, 0x44,
+    -1, +1, +1, +0, 0, 0x66, -1, +1, +1, +1, 0, 0x22, -1, +1, +1, +2, 0, 0x10,
+    -1, +2, +0, +1, 0, 0x04, -1, +2, +1, +0, 1, 0x04, -1, +2, +1, +1, 0, 0x04,
+    +0, -2, +0, +0, 1, 0x80, +0, -1, +0, +1, 1, 0x88, +0, -1, +1, -2, 0, 0x40,
+    +0, -1, +1, +0, 0, 0x11, +0, -1, +2, -2, 0, 0x40, +0, -1, +2, -1, 0, 0x20,
+    +0, -1, +2, +0, 0, 0x30, +0, -1, +2, +1, 1, 0x10, +0, +0, +0, +2, 1, 0x08,
+    +0, +0, +2, -2, 1, 0x40, +0, +0, +2, -1, 0, 0x60, +0, +0, +2, +0, 1, 0x20,
+    +0, +0, +2, +1, 0, 0x30, +0, +0, +2, +2, 1, 0x10, +0, +1, +1, +0, 0, 0x44,
+    +0, +1, +1, +2, 0, 0x10, +0, +1, +2, -1, 1, 0x40, +0, +1, +2, +0, 0, 0x60,
+    +0, +1, +2, +1, 0, 0x20, +0, +1, +2, +2, 0, 0x10, +1, -2, +1, +0, 0, 0x80,
+    +1, -1, +1, +1, 0, 0x88, +1, +0, +1, +2, 0, 0x08, +1, +0, +2, -1, 0, 0x40,
+    +1, +0, +2, +1, 0, 0x10,
+]
+_VNG_CHOOD = [-1, -1, -1, 0, -1, +1, 0, +1, +1, +1, +1, 0, +1, -1, 0, -1]
+
+_VNG_FILTERS = {"BGGR": 0x16161616, "GRBG": 0x61616161,
+                "RGGB": 0x94949494, "GBRG": 0x49494949}
+
+
+def _fc(filters: int, row: int, col: int) -> int:
+    return (filters >> ((((row << 1) & 14) + (col & 1)) << 1)) & 3
+
+
+def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """VNG demosaic — an exact array-program port of the dcraw-derived
+    ``bayer_VNG`` (demosaicing.c:246-421).
+
+    The reference delays write-back by two rows, so every gradient and
+    neighbor read sees BILINEAR values; reading from the bilinear result
+    and writing a fresh output reproduces it exactly. Pixels sharing
+    (row & 7, col & 1) share the precalculated code table, so each of
+    the 16 classes vectorizes over a strided subgrid.
+    """
+    cfa = np.asarray(cfa, dtype=np.uint16)
+    h, w = cfa.shape
+    filters = _VNG_FILTERS[pattern.upper()]
+    rgb = bilinear(cfa, pattern)
+    img = rgb.astype(np.int64)
+    out = rgb.copy()
+
+    def sub(ch, rows, cols, dy, dx):
+        return img[ch][np.ix_(rows + dy, cols + dx)]
+
+    all_rows = np.arange(2, h - 2)
+    all_cols = np.arange(2, w - 2)
+    for r8 in range(8):
+        rows = all_rows[(all_rows & 7) == r8]
+        if rows.size == 0:
+            continue
+        for c2 in range(2):
+            cols = all_cols[(all_cols & 1) == c2]
+            if cols.size == 0:
+                continue
+            color = _fc(filters, r8, c2)
+            # ---- gradients (bayervng_terms decode, demosaicing.c:316-341)
+            gval = np.zeros((8, rows.size, cols.size), dtype=np.int64)
+            t = 0
+            while t < len(_VNG_TERMS):
+                y1, x1, y2, x2, weight, grads = _VNG_TERMS[t : t + 6]
+                t += 6
+                c1 = _fc(filters, r8 + y1, c2 + x1)
+                if _fc(filters, r8 + y2, c2 + x2) != c1:
+                    continue
+                diag = 2 if (_fc(filters, r8, c2 + 1) == c1 and
+                             _fc(filters, r8 + 1, c2) == c1) else 1
+                if abs(y1 - y2) == diag and abs(x1 - x2) == diag:
+                    continue
+                diff = np.abs(sub(c1, rows, cols, y1, x1) -
+                              sub(c1, rows, cols, y2, x2)) << weight
+                for g in range(8):
+                    if grads & (1 << g):
+                        gval[g] += diff
+            gmin = gval.min(axis=0)
+            gmax = gval.max(axis=0)
+            thold = gmin + (gmax >> 1)
+            # ---- average the low-gradient directions (chood decode)
+            sums = np.zeros((3, rows.size, cols.size), dtype=np.int64)
+            num = np.zeros((rows.size, cols.size), dtype=np.int64)
+            for g in range(8):
+                dy, dx = _VNG_CHOOD[2 * g], _VNG_CHOOD[2 * g + 1]
+                pair = (_fc(filters, r8 + dy, c2 + dx) != color and
+                        _fc(filters, r8 + 2 * dy, c2 + 2 * dx) == color)
+                use = gval[g] <= thold
+                for c in range(3):
+                    if c == color and pair:
+                        contrib = (sub(c, rows, cols, 0, 0) +
+                                   sub(color, rows, cols, 2 * dy, 2 * dx)) >> 1
+                    else:
+                        contrib = sub(c, rows, cols, dy, dx)
+                    sums[c] += np.where(use, contrib, 0)
+                num += use
+            center = sub(color, rows, cols, 0, 0)
+            numsafe = np.maximum(num, 1)
+            for c in range(3):
+                tval = center.astype(np.float64)
+                if True:
+                    dsum = sums[c] - sums[color]
+                    # C integer division truncates toward zero
+                    q = np.trunc(dsum / numsafe)
+                    tval = np.where(c == color, tval, tval + q)
+                vals = np_round_to_word(tval)
+                keep = gmax == 0  # untouched pixels keep bilinear values
+                block = out[c][np.ix_(rows, cols)]
+                out[c][np.ix_(rows, cols)] = np.where(keep, block, vals)
+    return out

@@ -13,10 +13,8 @@ Reference: src/core/siril.c —
   calibrate, cosmetic-correct, save with the ``pp_`` prefix (FITS) or
   into a new SER.
 
-TPU note: the golden-section search is ~30 serial noise evaluations in
-the reference; ``dark_optimization_batch`` instead evaluates a ladder of
-k candidates in ONE device program (batched subtract + noise estimate)
-and refines — same minimum, massively fewer round trips.
+TPU note: the golden-section noise evaluations run on host float64
+(exact parity); the per-evaluation cost is one vectorized FnNoise1 pass.
 """
 
 from __future__ import annotations
