@@ -5,8 +5,7 @@ super-pixel half-size (:32-80), bilinear (OpenCV scheme, :89-175),
 nearest neighbor (:177-244), VNG (:284-421), AHD (:473-665).
 
 Implemented vectorized (NumPy phase-slicing): super_pixel, bilinear,
-nearest, and an exact array-program port of the dcraw VNG. AHD maps to
-VNG for now (similar quality class; full homogeneity-map port planned).
+nearest, and exact array-program ports of the dcraw VNG and AHD.
 
 Conventions: input CFA is a top-down single layer as stored in SER
 (callers flip afterwards, see siriltpu/io/ser.py); output is (3, H, W)
@@ -195,14 +194,16 @@ def debayer_buffer(cfa: np.ndarray, pattern: str,
         return super_pixel(cfa, pattern)
     if method in ("nearest", "nearestneighbor"):
         return nearest(cfa, pattern)
-    if method in ("vng", "ahd"):
+    if method == "vng":
         return vng(cfa, pattern)
+    if method == "ahd":
+        return ahd(cfa, pattern)
     if method == "bilinear":
         return bilinear(cfa, pattern)
     raise ValueError(f"unknown debayer method {method}")
 
 
-__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest", "vng",
+__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest", "vng", "ahd",
            "pattern_from_ser", "BAYER_PATTERNS"]
 
 
@@ -324,3 +325,191 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
                 block = out[c][np.ix_(rows, cols)]
                 out[c][np.ix_(rows, cols)] = np.where(keep, block, vals)
     return out
+
+
+# ------------------------------------------------------------------- AHD
+
+_XYZ_RGB = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]])
+_D65 = np.array([0.950456, 1.0, 1.088754])
+
+
+def _ahd_cbrt_lut() -> np.ndarray:
+    i = np.arange(0x10000, dtype=np.float32)
+    r = i / np.float32(65535.0)
+    return np.where(r > 0.008856, np.cbrt(r),
+                    np.float32(7.787) * r + np.float32(16.0 / 116)
+                    ).astype(np.float32)
+
+
+_CBRT_LUT = None
+
+
+def _cam_to_lab64(rgb3: np.ndarray) -> np.ndarray:
+    """cam_to_cielab (demosaicing.c:433-466) vectorized: rgb3 (3, H, W)
+    uint16 -> int16 lab*64 (C truncation to short)."""
+    global _CBRT_LUT
+    if _CBRT_LUT is None:
+        _CBRT_LUT = _ahd_cbrt_lut()
+    xyz_cam = (_XYZ_RGB / _D65[:, None]).astype(np.float32)
+    cam = rgb3.astype(np.float32)
+    xyz = np.tensordot(xyz_cam, cam, axes=1) + np.float32(0.5)
+    idx = np_round_to_word(xyz.astype(np.float64))
+    f = _CBRT_LUT[idx]
+    L = np.float32(116) * f[1] - np.float32(16)
+    a = np.float32(500) * (f[0] - f[1])
+    b = np.float32(200) * (f[1] - f[2])
+    lab = np.stack([L, a, b]) * np.float32(64)
+    return np.trunc(lab).astype(np.int16)
+
+
+def ahd(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """AHD demosaic — exact array-program port of the dcraw-derived
+    ``bayer_AHD`` (demosaicing.c:473-665, Hirakawa-Parks adaptive
+    homogeneity-directed interpolation).
+
+    The reference tiles at TS=256 purely to bound memory; the dependency
+    cone of every output pixel is identical in a full-image computation
+    (verified against a literal transcription), so each step vectorizes:
+    green H/V candidates, R/B from green differences, CIELAB via the
+    cbrt LUT, homogeneity maps, 3x3 homogeneity vote.
+    """
+    cfa = np.asarray(cfa, dtype=np.int64)
+    h, w = cfa.shape
+    filters = _VNG_FILTERS[pattern.upper()]
+    yy, xx = np.mgrid[0:h, 0:w]
+    fcmap = (((yy << 1) & 14) + (xx & 1))
+    fcmap = (filters >> (fcmap << 1)) & 3
+
+    # known CFA values placed; everything else 0
+    dst = np.zeros((3, h, w), dtype=np.int64)
+    for c in range(3):
+        m = fcmap == c
+        dst[c][m] = cfa[m]
+
+    # ---- border_interpolate(3) (demosaicing.c:521-546)
+    border = 3
+    is_border = np.zeros((h, w), dtype=bool)
+    is_border[:border, :] = True
+    is_border[h - border :, :] = True
+    is_border[:, :border] = True
+    is_border[:, w - border :] = True
+    for c in range(3):
+        known = (fcmap == c).astype(np.int64)
+        vals = np.where(fcmap == c, cfa, 0)
+        ps = np.pad(vals, 1)
+        pc = np.pad(known, 1)
+        s3 = sum(ps[dy : dy + h, dx : dx + w]
+                 for dy in range(3) for dx in range(3))
+        c3 = sum(pc[dy : dy + h, dx : dx + w]
+                 for dy in range(3) for dx in range(3))
+        fill = is_border & (fcmap != c) & (c3 > 0)
+        dst[c][fill] = (s3[fill] // np.maximum(c3[fill], 1))
+
+    g_cfa = dst[1]
+
+    def shift(a, dy, dx, fill=0):
+        out = np.full_like(a, fill)
+        ys0, ys1 = max(dy, 0), min(h + dy, h)
+        xs0, xs1 = max(dx, 0), min(w + dx, w)
+        out[ys0:ys1, xs0:xs1] = a[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
+        return out
+
+    nong = fcmap != 1
+    # value of the pixel's own CFA color at every position
+    own = cfa
+
+    # ---- green H / V candidates at non-green positions (:560-577)
+    valid_g = np.zeros((h, w), dtype=bool)
+    valid_g[2 : h - 2, 2 : w - 2] = True
+    valid_g &= nong
+    gl = shift(g_cfa, 0, 1)    # green at col-1 (value from left)
+    gr = shift(g_cfa, 0, -1)   # green at col+1
+    fl2 = shift(own, 0, 2)
+    fr2 = shift(own, 0, -2)
+    vh = ((gl + own + gr) * 2 - fl2 - fr2) >> 2
+    gh = np.clip(vh, np.minimum(gl, gr), np.maximum(gl, gr))  # ULIM
+    gu = shift(g_cfa, 1, 0)
+    gd = shift(g_cfa, -1, 0)
+    fu2 = shift(own, 2, 0)
+    fd2 = shift(own, -2, 0)
+    vv = ((gu + own + gd) * 2 - fu2 - fd2) >> 2
+    gv = np.clip(vv, np.minimum(gu, gd), np.maximum(gu, gd))
+
+    out = [np.zeros((3, h, w), dtype=np.int64), None]
+    labs = [None, None]
+    inner = np.zeros((h, w), dtype=bool)
+    inner[1 : h - 1, 1 : w - 1] = True
+    at_g = fcmap == 1
+    for d, gcand in enumerate((gh, gv)):
+        G = np.where(valid_g, gcand, 0)
+        G = np.where(at_g, own, G)  # greens keep their CFA value
+        rgbd = np.zeros((3, h, w), dtype=np.int64)
+        rgbd[1] = G
+        # at green pixels: c = FC(row+1, col) (:585-596)
+        c_below = np.roll(fcmap, -1, axis=0)
+        for cb in (0, 2):
+            m = at_g & inner & (c_below == cb)
+            hcol = 2 - cb
+            val_h = own + ((shift(dst[hcol], 0, 1) + shift(dst[hcol], 0, -1)
+                            - shift(G, 0, 1) - shift(G, 0, -1)) >> 1)
+            val_v = own + ((shift(dst[cb], 1, 0) + shift(dst[cb], -1, 0)
+                            - shift(G, 1, 0) - shift(G, -1, 0)) >> 1)
+            rgbd[hcol][m] = np.clip(val_h, 0, 65535)[m]
+            rgbd[cb][m] = np.clip(val_v, 0, 65535)[m]
+        # at non-green pixels: opposite color from diagonals (:597-607)
+        diag_g = (shift(G, 1, 1) + shift(G, 1, -1) +
+                  shift(G, -1, 1) + shift(G, -1, -1))
+        for fc_ in (0, 2):
+            o = 2 - fc_
+            m = (fcmap == fc_) & inner
+            diag_o = (shift(dst[o], 1, 1) + shift(dst[o], 1, -1) +
+                      shift(dst[o], -1, 1) + shift(dst[o], -1, -1))
+            val = G + ((diag_o - diag_g + 1) >> 2)
+            rgbd[o][m] = np.clip(val, 0, 65535)[m]
+            rgbd[fc_][m] = own[m]
+        out[d] = rgbd
+        labs[d] = _cam_to_lab64(rgbd.astype(np.uint16))
+
+    # ---- homogeneity maps (:609-637); dirs: col-1, col+1, row-1, row+1
+    dirs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+    ldiff = np.zeros((2, 4, h, w), dtype=np.int64)
+    abdiff = np.zeros((2, 4, h, w), dtype=np.int64)
+    for d in range(2):
+        L = labs[d][0].astype(np.int64)
+        A = labs[d][1].astype(np.int64)
+        B = labs[d][2].astype(np.int64)
+        for i, (dy, dx) in enumerate(dirs):
+            ldiff[d, i] = np.abs(L - shift(L, dy, dx))
+            abdiff[d, i] = ((A - shift(A, dy, dx)) ** 2 +
+                            (B - shift(B, dy, dx)) ** 2)
+    leps = np.minimum(np.maximum(ldiff[0, 0], ldiff[0, 1]),
+                      np.maximum(ldiff[1, 2], ldiff[1, 3]))
+    abeps = np.minimum(np.maximum(abdiff[0, 0], abdiff[0, 1]),
+                       np.maximum(abdiff[1, 2], abdiff[1, 3]))
+    homo = np.zeros((2, h, w), dtype=np.int64)
+    hvalid = np.zeros((h, w), dtype=bool)
+    hvalid[2 : h - 2, 2 : w - 2] = True
+    for d in range(2):
+        for i in range(4):
+            homo[d] += (hvalid & (ldiff[d, i] <= leps) &
+                        (abdiff[d, i] <= abeps))
+
+    # ---- combine (:639-658): 3x3 homogeneity vote on rows/cols [3, n-4]
+    hm = np.zeros((2, h, w), dtype=np.int64)
+    for d in range(2):
+        p = np.pad(homo[d], 1)
+        hm[d] = sum(p[dy : dy + h, dx : dx + w]
+                    for dy in range(3) for dx in range(3))
+    final = np.zeros((h, w), dtype=bool)
+    final[3 : h - 3, 3 : w - 3] = True
+    use_v = hm[1] > hm[0]
+    tie = hm[0] == hm[1]
+    result = dst.copy()
+    for c in range(3):
+        pick = np.where(use_v, out[1][c], out[0][c])
+        avg = (out[0][c] + out[1][c]) >> 1
+        val = np.where(tie, avg, pick)
+        result[c][final] = np.clip(val, 0, 65535)[final]
+    return np.clip(result, 0, 65535).astype(np.uint16)

@@ -190,3 +190,153 @@ def test_light_curve_export(tmp_path):
            for i in range(6)]
     p = export_light_curve_dat(res, str(tmp_path / "lc.dat"))
     assert len(open(p).read().splitlines()) == 7
+
+
+# ------------------------------------------------------------------ AHD
+
+def literal_ahd(cfa, pattern):
+    """Literal (tiled, per-pixel) transcription of bayer_AHD
+    (demosaicing.c:473-665) for small images."""
+    from siriltpu.ops.demosaic import _VNG_FILTERS, _fc, _cam_to_lab64
+    from siriltpu.utils.rounding import np_round_to_word
+
+    TS = 16  # small tile to exercise the tiling path
+    h, w = cfa.shape
+    filters = _VNG_FILTERS[pattern]
+    dst = np.zeros((h, w, 3), dtype=np.int64)
+    for r in range(h):
+        for c in range(w):
+            dst[r, c, _fc(filters, r, c)] = cfa[r, c]
+    # border_interpolate(3)
+    border = 3
+    for row in range(h):
+        col = 0
+        while col < w:
+            if (col == border and border <= row < h - border):
+                col = w - border
+            s = [0] * 8
+            for y in range(row - 1, row + 2):
+                for x in range(col - 1, col + 2):
+                    if 0 <= y < h and 0 <= x < w:
+                        f = _fc(filters, y, x)
+                        s[f] += dst[y, x, f]
+                        s[f + 4] += 1
+            f = _fc(filters, row, col)
+            for c in range(3):
+                if c != f and s[c + 4]:
+                    dst[row, col, c] = s[c] // s[c + 4]
+            col += 1
+
+    def ulim(x, a, b):
+        lo2, hi2 = (a, b) if a < b else (b, a)
+        return max(lo2, min(x, hi2))
+
+    out = dst.copy()
+    for top in range(0, h, TS - 6):
+        for left in range(0, w, TS - 6):
+            rgb = np.zeros((2, TS, TS, 3), dtype=np.int64)
+            lab = np.zeros((2, TS, TS, 3), dtype=np.int64)
+            # green H/V
+            for row in range(max(top, 2), min(top + TS, h - 2)):
+                col = left + (1 if _fc(filters, row, left) == 1 else 0)
+                if col < 2:
+                    col += 2
+                fc_ = _fc(filters, row, col)
+                while col < min(left + TS, w - 2):
+                    val = ((dst[row, col - 1, 1] + dst[row, col, fc_] +
+                            dst[row, col + 1, 1]) * 2
+                           - dst[row, col - 2, fc_] - dst[row, col + 2, fc_]) >> 2
+                    rgb[0, row - top, col - left, 1] = ulim(
+                        val, dst[row, col - 1, 1], dst[row, col + 1, 1])
+                    val = ((dst[row - 1, col, 1] + dst[row, col, fc_] +
+                            dst[row + 1, col, 1]) * 2
+                           - dst[row - 2, col, fc_] - dst[row + 2, col, fc_]) >> 2
+                    rgb[1, row - top, col - left, 1] = ulim(
+                        val, dst[row - 1, col, 1], dst[row + 1, col, 1])
+                    col += 2
+            # R/B + lab
+            for d in range(2):
+                for row in range(top + 1, min(top + TS - 1, h - 1)):
+                    for col in range(left + 1, min(left + TS - 1, w - 1)):
+                        tr, tc = row - top, col - left
+                        c = 2 - _fc(filters, row, col)
+                        if c == 1:
+                            c = _fc(filters, row + 1, col)
+                            val = dst[row, col, 1] + (
+                                (dst[row, col - 1, 2 - c] + dst[row, col + 1, 2 - c]
+                                 - rgb[d, tr, tc - 1, 1] - rgb[d, tr, tc + 1, 1]) >> 1)
+                            rgb[d, tr, tc, 2 - c] = int(np_round_to_word(
+                                np.float64(val)))
+                            val = dst[row, col, 1] + (
+                                (dst[row - 1, col, c] + dst[row + 1, col, c]
+                                 - rgb[d, tr - 1, tc, 1] - rgb[d, tr + 1, tc, 1]) >> 1)
+                        else:
+                            val = rgb[d, tr, tc, 1] + (
+                                (dst[row - 1, col - 1, c] + dst[row - 1, col + 1, c]
+                                 + dst[row + 1, col - 1, c] + dst[row + 1, col + 1, c]
+                                 - rgb[d, tr - 1, tc - 1, 1] - rgb[d, tr - 1, tc + 1, 1]
+                                 - rgb[d, tr + 1, tc - 1, 1] - rgb[d, tr + 1, tc + 1, 1]
+                                 + 1) >> 2)
+                        rgb[d, tr, tc, c] = int(np_round_to_word(np.float64(val)))
+                        fcc = _fc(filters, row, col)
+                        rgb[d, tr, tc, fcc] = dst[row, col, fcc]
+                        lab[d, tr, tc] = _cam_to_lab64(
+                            rgb[d, tr, tc].astype(np.uint16)[:, None, None]
+                        )[:, 0, 0]
+            # homogeneity
+            homo = np.zeros((2, TS, TS), dtype=np.int64)
+            dirs = [(0, -1), (0, 1), (-1, 0), (1, 0)]
+            for row in range(top + 2, min(top + TS - 2, h)):
+                for col in range(left + 2, min(left + TS - 2, w)):
+                    tr, tc = row - top, col - left
+                    ld = np.zeros((2, 4), dtype=np.int64)
+                    ab = np.zeros((2, 4), dtype=np.int64)
+                    for d in range(2):
+                        for i, (dy, dx) in enumerate(dirs):
+                            ld[d, i] = abs(lab[d, tr, tc, 0] -
+                                           lab[d, tr + dy, tc + dx, 0])
+                    leps = min(max(ld[0, 0], ld[0, 1]),
+                               max(ld[1, 2], ld[1, 3]))
+                    for d in range(2):
+                        for i, (dy, dx) in enumerate(dirs):
+                            ab[d, i] = ((lab[d, tr, tc, 1] -
+                                         lab[d, tr + dy, tc + dx, 1]) ** 2 +
+                                        (lab[d, tr, tc, 2] -
+                                         lab[d, tr + dy, tc + dx, 2]) ** 2)
+                    abeps = min(max(ab[0, 0], ab[0, 1]),
+                                max(ab[1, 2], ab[1, 3]))
+                    for d in range(2):
+                        for i in range(4):
+                            if ld[d, i] <= leps and ab[d, i] <= abeps:
+                                homo[d, tr, tc] += 1
+            # combine
+            for row in range(top + 3, min(top + TS - 3, h - 3)):
+                for col in range(left + 3, min(left + TS - 3, w - 3)):
+                    tr, tc = row - top, col - left
+                    hm = [int(homo[d, tr - 1 : tr + 2, tc - 1 : tc + 2].sum())
+                          for d in range(2)]
+                    for c in range(3):
+                        if hm[0] != hm[1]:
+                            out[row, col, c] = rgb[1 if hm[1] > hm[0] else 0,
+                                                   tr, tc, c]
+                        else:
+                            out[row, col, c] = (rgb[0, tr, tc, c] +
+                                                rgb[1, tr, tc, c]) >> 1
+    return np.clip(out.transpose(2, 0, 1), 0, 65535).astype(np.uint16)
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "GRBG"])
+def test_ahd_matches_literal(pattern):
+    from siriltpu.ops.demosaic import ahd
+    rng = np.random.default_rng(17)
+    cfa = rng.integers(100, 40000, size=(20, 22)).astype(np.uint16)
+    got = ahd(cfa, pattern)
+    want = literal_ahd(cfa, pattern)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ahd_flat_field():
+    from siriltpu.ops.demosaic import ahd
+    cfa = np.full((20, 20), 12000, dtype=np.uint16)
+    out = ahd(cfa, "RGGB")
+    assert (out[:, 3:-3, 3:-3] == 12000).all()
