@@ -564,9 +564,17 @@ def process_wavelet(state, args):
     if not 1 < nplanes <= maxp:
         raise CommandError(f"Wavelet: maximum number of plans for this "
                            f"image size is {maxp}")
-    state._wavelets = [
-        np.asarray(atrous_transform(jnp.asarray(img.data[c]), nplanes, kind))
-        for c in range(img.nlayers)]
+    import tempfile
+    from siriltpu.ops.wave_io import wave_write
+    names = ["r", "g", "b"]
+    state._wavelets = []
+    for c in range(img.nlayers):
+        tr = np.asarray(atrous_transform(jnp.asarray(img.data[c]),
+                                         nplanes, kind))
+        state._wavelets.append(tr)
+        # reference persists to [rgb]_rawdata.wave in tmp (command.c:484-530)
+        wave_write(os.path.join(tempfile.gettempdir(),
+                                f"{names[c]}_rawdata.wave"), tr, kind)
     state.log(f"Wavelet: {nplanes} planes computed")
 
 
@@ -577,7 +585,18 @@ def process_wrecons(state, args):
     img = state.require_image()
     tr = getattr(state, "_wavelets", None)
     if not tr:
-        raise CommandError("Run wavelet first")
+        # reload from the .wave swap files (reference behavior)
+        import tempfile
+        from siriltpu.ops.wave_io import wave_read
+        names = ["r", "g", "b"]
+        tr = []
+        try:
+            for c in range(img.nlayers):
+                planes, _ = wave_read(os.path.join(
+                    tempfile.gettempdir(), f"{names[c]}_rawdata.wave"))
+                tr.append(planes)
+        except (OSError, ValueError):
+            raise CommandError("Run wavelet first")
     weights = np.ones(tr[0].shape[0], dtype=np.float32)
     for i, a in enumerate(args[: tr[0].shape[0]]):
         weights[i] = float(a)
@@ -946,5 +965,55 @@ def process_redo(state, args):
         raise CommandError("Nothing to redo")
     state.image = nxt
 
+
+
+@command("seqexport", 2, "seqexport basename format (ser|avi|mp4|fits) "
+                         "[fps] [-norm]")
+def process_seqexport(state, args):
+    from siriltpu.io.export import ExportArgs, export_sequence
+    seq = state.require_seq()
+    fps = float(args[2]) if len(args) > 2 and not args[2].startswith("-") else 25.0
+    norm = "-norm" in args
+    ea = ExportArgs(basename=args[0], fmt=args[1], fps=fps, normalize=norm,
+                    crop=state.selection)
+    path = export_sequence(seq, ea, directory=state.cwd)
+    state.log(f"Exported sequence -> {path}")
+
+
+@command("rgbcomp", 3, "rgbcomp r_file g_file b_file [lum_file]")
+def process_rgbcomp(state, args):
+    from siriltpu.pipelines.compositing import CompositionLayer, compose
+    layers = []
+    for name, color in zip(args[:3], ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0))):
+        f = _read_fits_arg(state, name)
+        layers.append(CompositionLayer(Frame(f.data[:1].copy()), color))
+    lum = None
+    if len(args) > 3:
+        lf = _read_fits_arg(state, args[3])
+        lum = Frame(lf.data[:1].copy())
+    state.set_image(compose(layers, luminance=lum), save_undo=False)
+    state.log("Composition done")
+
+
+@command("lightcurve", 0, "lightcurve [outfile.dat] (seqpsf photometry)")
+def process_lightcurve(state, args):
+    from siriltpu.pipelines.plots import export_light_curve_dat
+    from siriltpu.registration.onestar import seqpsf
+    seq = state.require_seq()
+    if state.selection is None:
+        raise CommandError("Select the star area first")
+    res = seqpsf(seq, 0, state.selection, for_registration=False)
+    out = state.path(args[0] if args else "light_curve.dat")
+    export_light_curve_dat(res, out)
+    n = sum(1 for r in res if r.ok and r.photometry is not None)
+    state.log(f"Light curve with {n} points -> {out}")
+
+
+@command("align_rgb", 0, "align_rgb (align the 3 channels of the image)")
+def process_align_rgb(state, args):
+    from siriltpu.pipelines.compositing import align_rgb
+    img = state.require_image()
+    state.set_image(align_rgb(img))
+    state.log("RGB channels aligned")
 
 __all__ = ["COMMANDS", "process_command"]

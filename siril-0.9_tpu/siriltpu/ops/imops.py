@@ -398,3 +398,17 @@ def background_noise(data: np.ndarray) -> np.ndarray:
                 break
         sigmas[ch] = sigma * 2.35482 / 0.974
     return sigmas
+
+
+def lrgb(l: np.ndarray, r: np.ndarray, g: np.ndarray, b: np.ndarray
+         ) -> np.ndarray:
+    """LRGB combination (siril.c lrgb :815-884): HSI composition of the
+    RGB channels with the luminance layer replacing intensity."""
+    from siriltpu.core.frame import Frame
+    from siriltpu.pipelines.compositing import CompositionLayer, compose
+
+    layers = [CompositionLayer(Frame(r.reshape(1, *r.shape[-2:])), (1, 0, 0)),
+              CompositionLayer(Frame(g.reshape(1, *g.shape[-2:])), (0, 1, 0)),
+              CompositionLayer(Frame(b.reshape(1, *b.shape[-2:])), (0, 0, 1))]
+    out = compose(layers, luminance=Frame(l.reshape(1, *l.shape[-2:])))
+    return out.data
