@@ -9,9 +9,7 @@ whitespace-split into at most 16 words (command.h).
 
 from __future__ import annotations
 
-import glob
 import os
-import shlex
 from typing import Callable, Dict, List, Optional
 
 import numpy as np

@@ -26,7 +26,7 @@ siriltpu/parallel/.
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

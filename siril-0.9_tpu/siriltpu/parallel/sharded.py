@@ -18,7 +18,6 @@ tests and the driver validate the multi-chip path without hardware.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -30,8 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from siriltpu.ops.fftreg import phase_correlate
 from siriltpu.ops.rejection import reject_and_mean
 from siriltpu.ops.shift import shift2d
-from siriltpu.parallel.mesh import frames_sharding, make_mesh, replicated
-from siriltpu.utils.rounding import round_to_word
+from siriltpu.parallel.mesh import frames_sharding, replicated
 
 
 # ----------------------------------------------------------- sum stacking

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from siriltpu.core.frame import Frame, ImStats, Rect
+from siriltpu.core.frame import ImStats
 from siriltpu.ops import stack as basic_stack
 from siriltpu.ops.rejection import masked_median, reject_and_mean
 from siriltpu.ops.stats import STATS_EXTRA, statistics
