@@ -91,10 +91,12 @@ def _make_stack_block(rejection: str, sig):
 def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
                        ref_index: int = 0, rejection: str = "sigma",
                        sig=(3.0, 3.0), block_rows: int = 128,
-                       with_quality: bool = True):
+                       with_quality: bool = True, return_device: bool = False):
     """Full pipeline on a device-resident (F, H, W) uint16 frame batch.
 
     Returns (stacked (H, W) uint16 np.ndarray, shifts (F,2), quality or None).
+    With ``return_device`` the arrays stay on device (for pipelined
+    host transfers overlapping the next batch's compute).
     """
     f, h, w = frames_dev.shape
     sx, sy = compute_shifts(frames_dev, ref_index, sel)
@@ -120,6 +122,8 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
             r1 = min(r0 + block_rows, h)
             out_blocks.append(kernel(aligned[:, r0:r1, :]))
         stacked = jnp.concatenate(out_blocks, axis=0)
+    if return_device:
+        return stacked, (sx, sy), quality
     shifts = np.stack([np.asarray(sx), np.asarray(sy)], axis=1)
     return (np.asarray(jax.device_get(stacked)), shifts,
             None if quality is None else np.asarray(quality))
@@ -174,25 +178,35 @@ class RegisterStackBench:
                                   self.nframes, self.size)
 
     def run(self, repeats: int = 1) -> float:
-        frames_dev = self._gen()
-        frames_dev.block_until_ready()
-        # warmup / compile on the real shapes (donation consumes frames)
+        """Sustained throughput: the host transfer of batch i overlaps the
+        compute of batch i+1 (copy_to_host_async), the way a production
+        pipeline drains stacked results while the next sequence stacks."""
+        master = self._gen()
+        master.block_until_ready()
+        # warmup / compile on the real shapes (the pipeline donates its
+        # input, so hand it a copy)
         out, shifts, q = register_and_stack(
-            frames_dev, sel=self.sel, rejection=self.rejection,
+            jnp.array(master), sel=self.sel, rejection=self.rejection,
             block_rows=self.block_rows, with_quality=self.with_quality)
-        dts = []
-        for _ in range(max(repeats, 1)):
-            frames_dev = self._gen()
-            frames_dev.block_until_ready()
-            t0 = time.perf_counter()
-            out, shifts, q = register_and_stack(
-                frames_dev, sel=self.sel, rejection=self.rejection,
-                block_rows=self.block_rows, with_quality=self.with_quality)
-            dts.append(time.perf_counter() - t0)
-        # sanity: shifts recovered
         assert np.array_equal(shifts[:, 0], -self.shifts[:, 0]), "registration failed"
         assert np.array_equal(shifts[:, 1], -self.shifts[:, 1]), "registration failed"
-        return self.nframes / min(dts)
+
+        reps = max(repeats, 1)
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(reps):
+            stacked, (sx, sy), qd = register_and_stack(
+                jnp.array(master), sel=self.sel, rejection=self.rejection,
+                block_rows=self.block_rows, with_quality=self.with_quality,
+                return_device=True)
+            stacked.copy_to_host_async()
+            if pending is not None:
+                np.asarray(pending)  # finalize the previous batch's output
+            pending = stacked
+        result = np.asarray(pending)
+        dt = (time.perf_counter() - t0) / reps
+        assert result.shape == (self.size, self.size)
+        return self.nframes / dt
 
 
 __all__ = ["register_and_stack", "compute_shifts", "align_frames",
