@@ -19,3 +19,33 @@ thread; siriltpu is arrays-in/arrays-out with the same observable semantics.
 __version__ = "0.1.0"
 
 from siriltpu.core.frame import Frame, ImStats, Rect  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import siriltpu` light)."""
+    import importlib
+
+    api = {
+        "statistics": ("siriltpu.ops.stats", "statistics"),
+        "stack_frames": ("siriltpu.stacking.api", "stack_frames"),
+        "stack_sequence": ("siriltpu.stacking.api", "stack_sequence"),
+        "register_shift_dft": ("siriltpu.registration.translation",
+                               "register_shift_dft"),
+        "register_ecc": ("siriltpu.registration.translation", "register_ecc"),
+        "register_onestar": ("siriltpu.registration.onestar",
+                             "register_onestar"),
+        "register_global_star": ("siriltpu.registration.global_star",
+                                 "register_global_star"),
+        "peaker": ("siriltpu.ops.starfind", "peaker"),
+        "read_fits": ("siriltpu.io.fits", "read_fits"),
+        "write_fits": ("siriltpu.io.fits", "write_fits"),
+        "check_seq": ("siriltpu.io.sequence", "check_seq"),
+        "seq_preprocess": ("siriltpu.pipelines.preprocess", "seq_preprocess"),
+        "register_and_stack": ("siriltpu.pipelines.register_stack",
+                               "register_and_stack"),
+        "autostretch": ("siriltpu.ops.histogram_ops", "autostretch"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'siriltpu' has no attribute {name!r}")
