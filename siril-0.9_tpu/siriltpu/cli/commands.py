@@ -742,7 +742,14 @@ def process_seqload(state, args):
         p = state.path(name if name.endswith(".ser") else name + ".ser")
         state.seq = ser_sequence(p)
     else:
-        state.seq = read_seqfile(state.path(name))
+        seqpath = state.path(name[:-4] if name.endswith(".seq") else name)
+        if not os.path.exists(seqpath + ".seq"):
+            # discover sequences like the reference does after conversion
+            # (check_seq builds the .seq sidecars, sequence.c:145)
+            check_seq(state.cwd)
+        if not os.path.exists(seqpath + ".seq"):
+            raise CommandError(f"No sequence '{name}' found in {state.cwd}")
+        state.seq = read_seqfile(seqpath + ".seq")
     state.seq.seq_dir = state.cwd
     state.log(f"Sequence loaded: {state.seq.seqname} "
               f"({state.seq.number} images)")
@@ -865,13 +872,13 @@ def process_preprocess(state, args):
     offset = dark = flat = None
     for a in args:
         if a.startswith("-bias=") or a.startswith("-offset="):
-            offset = fits_io.read_fits(state.path(a.split("=", 1)[1]))
+            offset = _read_fits_arg(state, a.split("=", 1)[1])
             cfg.use_offset = True
         elif a.startswith("-dark="):
-            dark = fits_io.read_fits(state.path(a.split("=", 1)[1]))
+            dark = _read_fits_arg(state, a.split("=", 1)[1])
             cfg.use_dark = True
         elif a.startswith("-flat="):
-            flat = fits_io.read_fits(state.path(a.split("=", 1)[1]))
+            flat = _read_fits_arg(state, a.split("=", 1)[1])
             cfg.use_flat = True
         elif a == "-opt":
             cfg.use_dark_optim = True

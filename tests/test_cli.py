@@ -176,3 +176,34 @@ def test_script_runner(state, tmp_path):
     script.write_text("fmul 1.5\nsave scripted\n")
     assert run_script(state, str(script)) == 0
     assert os.path.exists(os.path.join(state.cwd, "scripted.fit"))
+
+
+def test_full_scripted_session(state, tmp_path):
+    """The verify-session flow: convert -> preprocess(dark,cosme) ->
+    register -> normalized winsorized stack -> bgextract -> autostretch
+    -> save/export, all through command verbs (regression for the
+    seqload-discovery and -dark= extension-resolution bugs)."""
+    from siriltpu.io.formats import save_pnm
+    from siriltpu.io.fits import read_fits
+    from siriltpu.cli.main import run_script
+
+    d = state.cwd
+    n, h, w = 4, 64, 64
+    rng = np.random.default_rng(21)
+    gen = rng.integers(-3, 4, size=(n, 2)); gen[0] = 0
+    frames, _, _ = make_sequence_frames(n, h, w, seed=21, shifts=gen,
+                                        noise_sigma=4.0)
+    dark = np.clip(rng.normal(150, 3, (1, h, w)), 0, 65535).astype(np.uint16)
+    for i in range(n):
+        raw = np.clip(frames[i].astype(np.int64) + dark, 0,
+                      65535).astype(np.uint16)
+        save_pnm(os.path.join(d, f"raw{i+1:02d}.ppm"), Frame(raw))
+    fits_io.write_fits(os.path.join(d, "master_dark.fit"), Frame(dark))
+    script = tmp_path / "sess.ssf"
+    script.write_text(
+        "convert light\nseqload light\npreprocess -dark=master_dark\n"
+        "seqload pp_light\nboxselect 8 8 48 48\nregister dft\n"
+        "stack mean sigma 3 3\nautostretch\nsave final\n")
+    assert run_script(state, str(script)) == 0
+    assert os.path.exists(os.path.join(d, "final.fit"))
+    assert os.path.exists(os.path.join(d, "pp_light_stacked.fit"))
