@@ -21,7 +21,7 @@ the n collected neighbors (documented divergence).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -15,8 +15,6 @@ at 0 exactly like the reference (calloc'd output, interior-only loops).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from siriltpu.io.ser import (SER_BAYER_BGGR, SER_BAYER_GBRG, SER_BAYER_GRBG,

@@ -26,7 +26,6 @@ single device program.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

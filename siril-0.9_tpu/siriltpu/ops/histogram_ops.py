@@ -15,7 +15,6 @@ from typing import Tuple
 
 import numpy as np
 
-from siriltpu.core.frame import Frame
 from siriltpu.ops.stats import STATS_BASIC, STATS_MAD, statistics
 from siriltpu.utils.rounding import np_round_to_word
 

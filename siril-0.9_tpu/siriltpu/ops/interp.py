@@ -12,8 +12,6 @@ OpenCV semantics reproduced where the reference relies on them:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -24,8 +24,6 @@ core/siril.c:1285).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

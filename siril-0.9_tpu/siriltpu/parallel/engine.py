@@ -15,10 +15,8 @@ no locks — results are returned, not appended under a mutex.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, List, Optional
-
-import numpy as np
 
 from siriltpu.core.frame import Frame
 

@@ -19,7 +19,7 @@ block reads, SURVEY P5).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

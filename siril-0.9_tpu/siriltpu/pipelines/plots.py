@@ -10,7 +10,7 @@ available.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -31,7 +31,6 @@ import numpy as np
 from siriltpu.ops.fftreg import phase_correlate
 from siriltpu.ops.quality import quality_estimate_batch
 from siriltpu.ops.rejection import reject_and_mean
-from siriltpu.ops.shift import shift2d
 
 Array = jnp.ndarray
 

@@ -17,11 +17,9 @@ so shifts always align the stack regardless of container format.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
-
 import numpy as np
 
-from siriltpu.core.frame import Rect, RegData, select_area
+from siriltpu.core.frame import Rect, select_area
 from siriltpu.ops.ecc import ecc_find_translation
 from siriltpu.ops.fftreg import register_shift_frames
 from siriltpu.ops.quality import (QUALTYPE_NORMAL, normalize_quality,
