@@ -176,6 +176,31 @@ def _make_median_kernel(mode: str):
     return kernel
 
 
+
+def _gather_block_rows_from_seq(seq, layer: int, r0: int, r1: int,
+                                indices, shifts_y: np.ndarray) -> np.ndarray:
+    """Stream a y-shifted bottom-up row block [r0, r1) of one layer from
+    every frame via partial reads (the reference's seq_opened_read_region
+    + shift folding, stacking.c:1535-1591). Memory: one block."""
+    from siriltpu.core.frame import Rect
+
+    h, w = seq.ry, seq.rx
+    bh = r1 - r0
+    out = np.zeros((len(indices), bh, w), dtype=np.uint16)
+    for k, i in enumerate(indices):
+        sy = int(shifts_y[k])
+        # bottom-up source rows [r0-sy, r1-sy) clipped to [0, h)
+        lo = max(r0 - sy, 0)
+        hi = min(r1 - sy, h)
+        if lo >= hi:
+            continue
+        # top-down area for the partial read
+        area = Rect(0, h - hi, w, hi - lo)
+        block_td = seq.read_frame_part(i, layer, area)
+        out[k, lo - (r0 - sy) : hi - (r0 - sy)] = block_td[::-1]
+    return out
+
+
 # ----------------------------------------------------------- block assembly
 
 def _gather_block_rows(frames: np.ndarray, ch: int, r0: int, r1: int,
@@ -299,7 +324,8 @@ def stack_sequence(seq, *, method: str = "mean", layer_shifts: int = 0,
                    filter_type: str = "included", filter_param: float = 0.0,
                    rejection: str = "sigma", sig=(3.0, 3.0),
                    normalize: str = "none",
-                   block_rows: Optional[int] = None) -> StackResult:
+                   block_rows: Optional[int] = None,
+                   stream: Optional[bool] = None) -> StackResult:
     """Stack a Sequence: filtering → normalization from cached stats →
     blockwise streaming reads → device stacking. The .seq-level driver
     matching start_stacking (stacking.c:1871-1927)."""
@@ -308,6 +334,17 @@ def stack_sequence(seq, *, method: str = "mean", layer_shifts: int = 0,
     if len(indices) < 2:
         raise ValueError("No frame selected for stacking (select at least 2)")
     shifts = seq.reg_shifts(layer_shifts)[indices]
+    if stream is None:
+        # stream when the whole sequence would not comfortably fit the
+        # reference's memory budget (stacking.c:1903-1915)
+        from siriltpu.core.memory import get_available_memory_mb
+        seq_mb = len(indices) * max(seq.nb_layers, 1) * seq.rx * seq.ry * 2 / (1 << 20)
+        stream = seq_mb > 0.25 * get_available_memory_mb()
+    if stream and method in ("mean", "median"):
+        return _stack_sequence_streaming(
+            seq, indices, shifts, method=method, layer_shifts=layer_shifts,
+            rejection=rejection, sig=sig, normalize=normalize,
+            block_rows=block_rows)
     frames = np.stack([seq.read_frame(i).data for i in indices])
     coeffs = None
     if normalize != "none" and method in ("mean", "median"):
@@ -315,6 +352,54 @@ def stack_sequence(seq, *, method: str = "mean", layer_shifts: int = 0,
     return stack_frames(frames, method=method, shifts=shifts,
                         rejection=rejection, sig=sig, normalize=normalize,
                         coeffs=coeffs, block_rows=block_rows)
+
+
+def _stack_sequence_streaming(seq, indices, shifts, *, method: str,
+                              layer_shifts: int, rejection: str, sig,
+                              normalize: str,
+                              block_rows: Optional[int]) -> StackResult:
+    """Bounded-memory stacking: row blocks are read from the files with
+    the y-shift folded into the read window (the reference's streaming
+    model, SURVEY §5.7); only one (F, Bh, W) block lives in memory."""
+    if seq.nb_layers == -1 or seq.rx == 0:
+        seq.read_frame(indices[0])  # populates nb_layers/rx/ry
+    f = len(indices)
+    c, h, w = seq.nb_layers, seq.ry, seq.rx
+    coeffs = None
+    if normalize != "none":
+        coeffs = sequence_normalization(seq, layer_shifts, indices, normalize)
+        off, mul, scale = coeffs
+    else:
+        off, mul, scale = np.zeros(f), np.ones(f), np.ones(f)
+    coeff_arr = jnp.asarray(np.stack([off, mul, scale], axis=1),
+                            dtype=jnp.float32)
+    if block_rows is None:
+        from siriltpu.core.memory import stacking_block_rows
+        block_rows = min(max(stacking_block_rows(w, f), 16), h)
+    out = np.zeros((c, h, w), dtype=np.uint16)
+    rejl = np.zeros(c, dtype=np.int64)
+    rejh = np.zeros(c, dtype=np.int64)
+    sx = jnp.asarray(shifts[:, 0])
+    median_kernel = _make_median_kernel(normalize) if method == "median" else None
+    mean_kernel = (_make_block_kernel(normalize, rejection, tuple(sig))
+                   if method == "mean" else None)
+    for ch in range(c):
+        for r0 in range(0, h, block_rows):
+            r1 = min(r0 + block_rows, h)
+            if method == "median":
+                # the reference median stack reads without shifts
+                block = _gather_block_rows_from_seq(
+                    seq, ch, r0, r1, indices, np.zeros(f, np.int32))
+                out[ch, r0:r1] = np.asarray(
+                    median_kernel(jnp.asarray(block), coeff_arr))
+            else:
+                block = _gather_block_rows_from_seq(
+                    seq, ch, r0, r1, indices, shifts[:, 1])
+                o, rl, rh = mean_kernel(jnp.asarray(block), coeff_arr, sx)
+                out[ch, r0:r1] = np.asarray(o)
+                rejl[ch] += int(rl)
+                rejh[ch] += int(rh)
+    return StackResult(out, rejl, rejh, f * c * h * w)
 
 
 __all__ = ["stack_frames", "stack_sequence", "compute_normalization",

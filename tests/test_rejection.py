@@ -136,3 +136,48 @@ def test_rejection_percent_reporting():
     lo, hi = res.rejection_percent(0)
     assert hi > 5.0  # the outlier frame got rejected
     assert 0 <= lo < 5.0
+
+
+def test_stack_sequence_streaming_matches_inmemory(tmp_path):
+    """Bounded-memory streaming path (partial reads, y-shift folded into
+    the read window) equals the in-memory path, FITS and SER."""
+    import os
+    from siriltpu.core.frame import Frame
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.sequence import check_seq, ser_sequence
+    from siriltpu.io.ser import SerFile
+    from siriltpu.io.seqfile import write_seqfile
+    from siriltpu.core.frame import RegData
+    from siriltpu.stacking.api import stack_sequence
+    from siriltpu.testing.synth import make_sequence_frames
+
+    d = str(tmp_path)
+    frames, _, shifts = make_sequence_frames(6, 24, 32, seed=33)
+    for i, f in enumerate(frames):
+        fits_io.write_fits(os.path.join(d, f"st{i+1:02d}.fit"), Frame(f))
+    seq = check_seq(d)[0]
+    seq.regparam[0] = [RegData(shiftx=int(-shifts[i, 0]),
+                               shifty=int(-shifts[i, 1]))
+                       for i in range(6)]
+    a = stack_sequence(seq, method="mean", rejection="sigma",
+                       stream=False)
+    b = stack_sequence(seq, method="mean", rejection="sigma",
+                       stream=True, block_rows=7)
+    np.testing.assert_array_equal(a.data, b.data)
+    assert a.rejection_low.sum() == b.rejection_low.sum()
+    m1 = stack_sequence(seq, method="median", stream=False)
+    m2 = stack_sequence(seq, method="median", stream=True, block_rows=5)
+    np.testing.assert_array_equal(m1.data, m2.data)
+
+    # SER container too
+    ser = SerFile.create(os.path.join(d, "v.ser"), width=32, height=24)
+    for f in frames:
+        ser.write_frame(Frame(f))
+    ser.write_and_close()
+    sseq = ser_sequence(os.path.join(d, "v.ser"))
+    sseq.regparam[0] = seq.regparam[0]
+    s1 = stack_sequence(sseq, method="mean", rejection="winsorized",
+                        stream=False)
+    s2 = stack_sequence(sseq, method="mean", rejection="winsorized",
+                        stream=True, block_rows=9)
+    np.testing.assert_array_equal(s1.data, s2.data)
