@@ -324,3 +324,89 @@ __all__ = [
     "reject_pixel", "stack_mean_rejection", "stack_median",
     "compute_normalization", "gsl_median_sorted", "gsl_sd",
 ]
+
+def fn_noise5(data, nullcheck=False):
+    """Literal transcription of quantize.c FnNoise5_ushort:260-657:
+    explicit v1..v9 pixel shifting with null-skip and end-of-row
+    continues, quick_select lower-median per row, mean-of-middles
+    across rows. differences2 zero-padded to nvals (see PARITY.md).
+    Returns (ngood, minval, maxval, noise2, noise3, noise5)."""
+    a = np.asarray(data, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[None, :]
+    ny, nx = a.shape
+    if nx < 9:
+        a = a.reshape(1, -1)
+        ny, nx = a.shape
+    ngoodpix = 0
+    xmin, xmax = 65535, 0
+    if nx < 9:
+        for ii in range(nx):
+            if nullcheck and a[0, ii] == 0:
+                continue
+            xmin = min(xmin, int(a[0, ii]))
+            xmax = max(xmax, int(a[0, ii]))
+            ngoodpix += 1
+        return ngoodpix, xmin, xmax, 0.0, 0.0, 0.0
+    diffs2, diffs3, diffs5 = [], [], []
+    for jj in range(ny):
+        row = a[jj]
+        ii = 0
+        v = []
+        # read v1..v8, bailing at end of row
+        bail = False
+        for _ in range(8):
+            while ii < nx and nullcheck and row[ii] == 0:
+                ii += 1
+            if ii == nx:
+                bail = True
+                break
+            v.append(int(row[ii]))
+            ngoodpix += 1
+            xmin = min(xmin, int(row[ii]))
+            xmax = max(xmax, int(row[ii]))
+            ii += 1
+        if bail:
+            continue
+        v1, v2, v3, v4, v5, v6, v7, v8 = v
+        d2, d3, d5 = [], [], []
+        while ii < nx:
+            while ii < nx and nullcheck and row[ii] == 0:
+                ii += 1
+            if ii == nx:
+                break
+            v9 = int(row[ii])
+            xmin = min(xmin, v9)
+            xmax = max(xmax, v9)
+            if not (v5 == v6 == v7):
+                d2.append(abs(v5 - v7))
+            if not (v3 == v4 == v5 == v6 == v7):
+                d3.append(abs(2 * v5 - v3 - v7))
+                d5.append(abs(6 * v5 - 4 * v3 - 4 * v7 + v1 + v9))
+            else:
+                ngoodpix += 1
+            v1, v2, v3, v4, v5, v6, v7, v8 = v2, v3, v4, v5, v6, v7, v8, v9
+            ii += 1
+        ngoodpix += len(d3)
+        if not d3:
+            continue
+        if len(d3) == 1:
+            if len(d2) == 1:
+                diffs2.append(float(d2[0]))
+            diffs3.append(float(d3[0]))
+            diffs5.append(float(d5[0]))
+        else:
+            if len(d2) > 1:
+                pad = d2 + [0] * (len(d3) - len(d2))
+                diffs2.append(float(sorted(pad)[(len(d3) - 1) // 2]))
+            diffs3.append(float(sorted(d3)[(len(d3) - 1) // 2]))
+            diffs5.append(float(sorted(d5)[(len(d3) - 1) // 2]))
+
+    def med(d):
+        if not d:
+            return 0.0
+        s = sorted(d)
+        return (s[(len(d) - 1) // 2] + s[len(d) // 2]) / 2.0
+
+    return (ngoodpix, xmin, xmax, 1.0483579 * med(diffs2),
+            0.6052697 * med(diffs3), 0.1772048 * med(diffs5))

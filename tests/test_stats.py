@@ -178,3 +178,43 @@ def test_statistics_starfield_sane():
     assert st.bgnoise == pytest.approx(15.0, rel=0.3)
     assert 780 < st.location < 830
     assert st.scale == pytest.approx(15.0, rel=0.35)
+
+
+def test_img_stats_noise_parity():
+    """img_stats_noise (vectorized FnNoise5) vs the literal per-pixel
+    transcription, incl. nullcheck, constant regions, tiny widths."""
+    from siriltpu.ops.stats import img_stats_noise
+    from siriltpu.verify.oracle import fn_noise5
+
+    rng = np.random.default_rng(42)
+    cases = []
+    img = np.clip(rng.normal(1200, 80, (30, 50)), 0, 65535).astype(np.uint16)
+    cases.append((img, False))
+    # constant runs trigger the skip branches
+    img2 = img.copy()
+    img2[5:9, 10:40] = 777
+    img2[12, ::2] = 777
+    cases.append((img2, False))
+    # nullcheck with scattered zeros
+    img3 = img.copy()
+    img3[rng.random(img.shape) < 0.15] = 0
+    cases.append((img3, True))
+    # one row mostly null (fewer than 9 valid pixels)
+    img4 = img.copy()
+    img4[3, 8:] = 0
+    cases.append((img4, True))
+    # tiny width -> flattened single-row, and width < 9 even flattened
+    cases.append((img[:2, :4].copy(), False))
+    cases.append((np.array([[5, 0, 9]], dtype=np.uint16), True))
+
+    for i, (m, nc) in enumerate(cases):
+        got = img_stats_noise(m, nullcheck=nc)
+        want = fn_noise5(m, nullcheck=nc)
+        assert got[0] == want[0], f"case {i} ngood {got[0]} != {want[0]}"
+        assert got[1:3] == want[1:3], f"case {i} min/max"
+        for g, w in zip(got[3:], want[3:]):
+            assert g == pytest.approx(w, abs=1e-12), f"case {i} noise"
+    # sanity: on gaussian noise, noise3 approximates sigma
+    g = np.clip(rng.normal(5000, 100, (200, 300)), 0, 65535).astype(np.uint16)
+    n = img_stats_noise(g)
+    assert 85 < n[4] < 115
