@@ -364,6 +364,23 @@ def process_log(state, args):
 
 # ------------------------------------------------------------- measurement
 
+
+@command("cdg", 0, "cdg (center of gravity)")
+def process_cdg(state, args):
+    """command.c:1165-1172 process_cdg: FindCentre then flip y back to
+    top-down for display ("FITS are stored bottom to top")."""
+    from siriltpu.ops.quality import find_centre
+    img = state.require_image()
+    maxi = int(img.data.max())
+    res = find_centre(img.data[0], eightbit=(maxi <= 255))
+    if res is None:
+        raise CommandError("Not enough significant pixels to find the "
+                           "center of gravity")
+    x_avg, y_avg = res
+    y_avg = img.ry - y_avg
+    state.log(f"Center of gravity coordinates are ({x_avg:.3f}, {y_avg:.3f})")
+
+
 @command("stat", 0, "stat")
 def process_stat(state, args):
     img = state.require_image()
