@@ -34,7 +34,7 @@ def main():
     try:
         from siriltpu.pipelines.register_stack import RegisterStackBench
         bench = RegisterStackBench(size=size, nframes=nframes, chunk=chunk)
-        fps = bench.run(repeats=int(os.environ.get("BENCH_REPEATS", "4")))
+        fps = bench.run(repeats=int(os.environ.get("BENCH_REPEATS", "10")))
         metric = "register+sigma-clip-stack 4Kx4K mono"
     except ImportError:
         # fallback: sum-stack throughput (pre-M2/M3 milestone)

