@@ -117,4 +117,48 @@ def make_sharded_register_stack(mesh: Mesh, sel: Tuple[int, int, int],
     return run
 
 
-__all__ = ["make_sharded_sum_stack", "make_sharded_register_stack"]
+
+# --------------------------------------------- row-slab rejection stacking
+
+def make_rows_sigma_stack(mesh: Mesh, rejection: str = "sigma",
+                          sig=(3.0, 3.0)):
+    """The reference's P3 pattern (OpenMP over row blocks, stacking.c
+    block table :1406) at mesh scale: every chip owns a ROW SLAB over
+    ALL frames and rejection-stacks it locally — rejection is per-pixel,
+    so the rows axis needs no collective at all; the output stays
+    row-sharded for a downstream sharded consumer (or gathers on fetch).
+
+    Composable with a 2-D ("frames", "rows") mesh: registration runs
+    frame-sharded on the frames axis while stacking re-shards onto rows.
+    """
+    axis = "rows" if "rows" in mesh.shape else list(mesh.shape)[0]
+
+    def slab_stack(frames):  # (F, H/n, W) local slab
+        f, hs, w = frames.shape
+        out, _, _ = reject_and_mean(frames.reshape(f, hs * w), rejection,
+                                    sig)
+        return out.reshape(hs, w)
+
+    # check_rep off: the slab kernel is collective-free, and the
+    # rejection while_loop seeds carries from non-varying constants.
+    fn = jax.jit(shard_map(slab_stack, mesh=mesh,
+                           in_specs=P(None, axis, None),
+                           out_specs=P(axis, None), check_rep=False))
+
+    def run(aligned: np.ndarray):
+        n = mesh.shape[axis]
+        f, h, w = aligned.shape
+        pad = (-h) % n
+        if pad:
+            aligned = np.concatenate(
+                [aligned, np.zeros((f, pad, w), aligned.dtype)], axis=1)
+        fd = jax.device_put(jnp.asarray(aligned),
+                            NamedSharding(mesh, P(None, axis, None)))
+        out = np.asarray(fn(fd))
+        return out[:h]
+
+    return run
+
+
+__all__ = ["make_sharded_sum_stack", "make_sharded_register_stack",
+           "make_rows_sigma_stack"]

@@ -73,3 +73,25 @@ def test_engine_maps_all():
     eng = SequenceEngine(chunk=3)
     out = eng.map_frames(seq, lambda i, f: int(f.data[0, 0, 0]))
     assert out == list(range(10))
+
+
+def test_rows_slab_stack_2d_mesh():
+    """P3 row-slab rejection stacking on a 2-D (frames, rows) mesh equals
+    the single-device kernel; no collective is needed on the rows axis."""
+    import jax.numpy as jnp
+    from siriltpu.parallel.mesh import make_mesh
+    from siriltpu.parallel.sharded import make_rows_sigma_stack
+    from siriltpu.ops.rejection import reject_and_mean
+
+    mesh = make_mesh(("frames", "rows"), shape=(2, 4))
+    rng = np.random.default_rng(77)
+    f, h, w = 12, 21, 16  # h=21 exercises the pad-to-mesh path (21 % 4 != 0)
+    frames = np.clip(rng.normal(2000, 150, (f, h, w)), 0,
+                     65535).astype(np.uint16)
+    frames[4, 10, 3] = 64000
+    run = make_rows_sigma_stack(mesh)
+    got = run(frames)
+    want, _, _ = reject_and_mean(
+        jnp.asarray(frames.reshape(f, h * w), jnp.float32), "sigma",
+        (3.0, 3.0))
+    np.testing.assert_array_equal(got, np.asarray(want).reshape(h, w))
