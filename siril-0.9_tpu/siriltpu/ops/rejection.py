@@ -110,7 +110,9 @@ def _apply_early_break(flags: Array, valid: Array, n: Array, r_prev: Array):
     # for all j <= i: after counting j, N - (r_prev + c_j) > 4 must have
     # held to continue; element i is applied if no break strictly before i.
     # break at j iff N - (r_prev + c_j) <= 4 ; element i kept iff no j < i broke.
-    broke = (n[None, :] - (r_prev[None, :] + c)) <= 4
+    # Only VALID positions can host a break: the C scan walks the
+    # compacted survivor stack, so already-removed slots are not steps.
+    broke = ((n[None, :] - (r_prev[None, :] + c)) <= 4) & valid
     # prefix: did any earlier element break?
     broke_before = jnp.concatenate(
         [jnp.zeros_like(broke[:1]), jnp.cumsum(broke.astype(jnp.int32), axis=0)[:-1] > 0],
@@ -206,9 +208,29 @@ def reject_sigmedian(vals: Array, siglow: float, sighigh: float):
 
 @functools.partial(jax.jit, static_argnames=("siglow", "sighigh"))
 def reject_winsorized(vals: Array, siglow: float, sighigh: float):
-    """WINSORIZED sigma clipping (stacking.c:1710-1748)."""
+    """WINSORIZED sigma clipping (stacking.c:1710-1748).
+
+    float32 precision guard: the 1.134-sigma fixed-point iteration with
+    its 5e-4 convergence test amplifies f32 rounding at large pixel
+    values (ulp(65535) ~ 0.004 vs sigma ~ units), so all math runs
+    per-pixel CENTERED on an integer anchor c (the middle order
+    statistic): every step is shift-equivariant, and the word-grid clamp
+    uses the exact identity floor(x + c + 0.5) = c + floor(x + 0.5) for
+    integer c. For raw uint16 data this makes the kernel exact; for
+    normalized (non-integer) data it stops error growth with magnitude.
+    """
     f, p = vals.shape
-    sv = sort_axis0(vals)
+    sv_orig = sort_axis0(vals)
+    anchor = jnp.floor(sv_orig[f // 2])  # (p,) integer-valued
+    sv = sv_orig - anchor[None, :]
+    lo_clip = -anchor          # word-grid 0 in the shifted domain
+    hi_clip = 65535.0 - anchor  # word-grid 65535 in the shifted domain
+
+    def round_shift(x):
+        r = jnp.floor(x + 0.5)
+        r = jnp.where(x <= lo_clip, lo_clip, r)
+        return jnp.where(x > hi_clip, hi_clip, r)
+
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def winsor_converge(valid, n):
@@ -226,11 +248,13 @@ def reject_winsorized(vals: Array, siglow: float, sighigh: float):
             m0 = med - 1.5 * sig
             m1 = med + 1.5 * sig
             wv = jnp.where(w < _INVALID / 2,
-                           jnp.where(w < m0[None, :], round_to_word_f(m0)[None, :],
+                           jnp.where(w < m0[None, :], round_shift(m0)[None, :],
                                      jnp.where(w > m1[None, :],
-                                               round_to_word_f(m1)[None, :], w)),
+                                               round_shift(m1)[None, :], w)),
                            w)
-            wv = sort_axis0(wv)
+            # no re-sort needed: clamping tails to [m0, m1] is monotone
+            # non-decreasing, so a sorted vector stays sorted (and the
+            # _INVALID sentinels stay at the top)
             wvalid = wv < _INVALID / 2
             med_new = _gsl_median(wv, wvalid, n)
             sig_new = 1.134 * _gsl_sd(wv, wvalid, n)
@@ -273,7 +297,7 @@ def reject_winsorized(vals: Array, siglow: float, sighigh: float):
     state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros(p, bool),
              jnp.zeros(p, jnp.int32), jnp.zeros(p, jnp.int32), jnp.int32(0))
     valid, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
-    return valid, sv, rejl, rejh
+    return valid, sv_orig, rejl, rejh
 
 
 @functools.partial(jax.jit, static_argnames=("siglow", "sighigh"))
@@ -281,7 +305,12 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
     """LINEARFIT rejection (stacking.c:1750-1783): least-squares line over
     (rank, sorted value), sigma = mean |residual|, clip by residual."""
     f, p = vals.shape
-    sv = sort_axis0(vals)
+    sv_orig = sort_axis0(vals)
+    # f32 guard (as in reject_winsorized): the fit and its residual test
+    # are shift-equivariant, so center on an integer anchor to keep
+    # intercept/residual math away from ulp(65535) ~ 0.004 granularity.
+    anchor = jnp.floor(sv_orig[f // 2])
+    sv = sv_orig - anchor[None, :]
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def cond(state):
@@ -326,7 +355,7 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
     state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros(p, bool),
              jnp.zeros(p, jnp.int32), jnp.zeros(p, jnp.int32), jnp.int32(0))
     valid, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
-    return valid, sv, rejl, rejh
+    return valid, sv_orig, rejl, rejh
 
 
 @functools.partial(jax.jit, static_argnames=("plow", "phigh"))

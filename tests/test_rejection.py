@@ -181,3 +181,43 @@ def test_stack_sequence_streaming_matches_inmemory(tmp_path):
     s2 = stack_sequence(sseq, method="mean", rejection="winsorized",
                         stream=True, block_rows=9)
     np.testing.assert_array_equal(s1.data, s2.data)
+
+
+def test_early_break_with_carried_rejections():
+    """Regression: the N-r<=4 early-break scan walks only the compacted
+    survivor stack (stacking.c:1684-1688); already-removed slots must not
+    trigger phantom breaks once r carries over from earlier passes."""
+    import jax.numpy as jnp
+    vec = np.array([65535, 65535, 65523, 65535, 65519, 65535, 65520,
+                    65532, 65507, 65534], dtype=np.uint16)
+    got, _, _ = reject_and_mean(jnp.asarray(vec[:, None], jnp.float32),
+                                "winsorized", (3.0, 3.0))
+    assert int(got[0]) == oracle_mean(vec, "winsorized", (3.0, 3.0)) == 65535
+
+
+@pytest.mark.parametrize("rejection", ["sigma", "sigma_masked",
+                                       "winsorized", "sigmedian"])
+def test_rejection_hard_values(rejection):
+    """Near-saturation ties and zero-filled borders (shifted stacks):
+    exact vs oracle (winsorized/linearfit run centered on an integer
+    anchor to escape f32 ulp(65535) granularity)."""
+    rng = np.random.default_rng(0)
+    F, P = 10, 600
+    suites = [
+        np.where(rng.random((F, P)) < 0.3, 65535,
+                 np.clip(65535 - rng.exponential(20, (F, P)), 65400,
+                         65535)).astype(np.uint16),
+        np.where(rng.random((F, P)) < 0.3, 0,
+                 np.clip(rng.normal(990, 10, (F, P)), 0,
+                         65535)).astype(np.uint16),
+    ]
+    import jax.numpy as jnp
+    orej = "sigma" if rejection == "sigma_masked" else rejection
+    for vals in suites:
+        got, _, _ = reject_and_mean(jnp.asarray(vals, jnp.float32),
+                                    rejection, (3.0, 3.0))
+        got = np.asarray(got)
+        nbad = sum(abs(int(got[j]) - oracle_mean(vals[:, j], orej,
+                                                 (3.0, 3.0))) > 1
+                   for j in range(P))
+        assert nbad == 0
