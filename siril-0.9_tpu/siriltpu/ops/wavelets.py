@@ -44,13 +44,34 @@ def _test_ind(idx: Array, n: int) -> Array:
     return jnp.minimum(idx, n - 1)
 
 
-def _smooth_1d(img: Array, taps, step: int, axis: int) -> Array:
+def _shift_take(img: Array, k: int, axis: int) -> Array:
+    """out[i] = img[test_ind(i + k)] along ``axis`` with STATIC k,
+    expressed as slices + concat (gathers along a full image axis
+    compile and run poorly on TPU; these fuse into the convolution).
+    k < 0: mirror-low  -> reversed prefix img[1..-k] then img[:n+k]
+    k > 0: clamp-high  -> img[k:] then the last element repeated."""
+    if k == 0:
+        return img
     n = img.shape[axis]
-    base = jnp.arange(n)
+    axis = axis % img.ndim
+
+    def take(lo, hi, rev=False):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(lo, hi, -1) if rev else slice(lo, hi)
+        return img[tuple(sl)]
+
+    if k < 0:
+        m = -k
+        head = take(m, 0, rev=True)          # img[m], ..., img[1]
+        return jnp.concatenate([head, take(0, n - m)], axis=axis)
+    tail = jnp.repeat(take(n - 1, n), k, axis=axis)
+    return jnp.concatenate([take(k, n), tail], axis=axis)
+
+
+def _smooth_1d(img: Array, taps, step: int, axis: int) -> Array:
     out = jnp.zeros_like(img)
     for off, w in taps:
-        idx = _test_ind(base + off * step, n)
-        out = out + w * jnp.take(img, idx, axis=axis)
+        out = out + w * _shift_take(img, off * step, axis)
     return out
 
 
