@@ -51,6 +51,13 @@ def _poly_terms(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
     return np.stack(cols, axis=-1)
 
 
+# (x-power, y-power) of each design-matrix column, reference order
+_TERM_POWERS = [(0, 0), (1, 0), (0, 1),
+                (2, 0), (1, 1), (0, 2),
+                (3, 0), (2, 1), (1, 2), (0, 3),
+                (4, 0), (3, 1), (2, 2), (1, 3), (0, 4)]
+
+
 def build_background_samples(layer: np.ndarray, params: BackgroundParams
                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Box grid + robust per-box values (buildBoxesAutomatically).
@@ -132,12 +139,28 @@ def compute_background(layer: np.ndarray,
     if ok.sum() < NPARAMS[p.order]:
         raise ValueError("not enough valid background samples")
     A = _poly_terms(cols[ok], rows[ok], p.order)
-    coef, *_ = np.linalg.lstsq(A, vals[ok], rcond=None)
-    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
-    terms = _poly_terms(xx.reshape(-1), yy.reshape(-1), p.order)
-    model = terms @ coef
-    model = np.where(model < 0, 0.0, model)
-    return model.reshape(height, width)
+    # column balancing as in gsl_multifit_linear (modified Golub-Reinsch
+    # SVD with column scaling): raw pixel coords give x^4 ~ 1e15 columns
+    # whose unbalanced SVD zeroes small singular values and produces a
+    # catastrophically wrong corner extrapolation.
+    scale = np.linalg.norm(A, axis=0)
+    scale[scale == 0] = 1.0
+    coef, *_ = np.linalg.lstsq(A / scale, vals[ok], rcond=None)
+    coef = coef / scale
+    # full-image evaluation: the polynomial is separable, so build the
+    # (deg+1, deg+1) coefficient grid and evaluate as Y_pows @ C @ X_pows^T
+    # (three small matmuls) instead of a (H*W, nparams) term matrix of
+    # libm pow() calls (~200s at 6K x 4K).
+    deg = p.order
+    C = np.zeros((deg + 1, deg + 1))
+    for k, (i, j) in enumerate(_TERM_POWERS[: len(coef)]):
+        C[j, i] = coef[k]
+    xp = np.vander(np.arange(width, dtype=np.float64), deg + 1,
+                   increasing=True)
+    yp = np.vander(np.arange(height, dtype=np.float64), deg + 1,
+                   increasing=True)
+    model = yp @ C @ xp.T
+    return np.where(model < 0, 0.0, model)
 
 
 def extract_background(data: np.ndarray,

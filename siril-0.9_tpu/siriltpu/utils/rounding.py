@@ -25,9 +25,13 @@ UCHAR_MAX = 255.0
 
 def np_round_to_word(x) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
-    out = np.floor(x + 0.5)
-    out = np.where(x <= 0.0, 0.0, out)
-    out = np.where(x > USHRT_MAX, USHRT_MAX, out)
+    # floor(x+0.5) clipped to [0, 65535] is exactly the reference rule
+    # (x <= 0 -> 0 agrees with the clip since floor(x+0.5) < 0 iff
+    # x < -0.5); fused in-place to avoid 200MB-scale temporaries.
+    out = np.array(x, dtype=np.float64)  # fresh buffer, stays ndarray
+    out += 0.5
+    np.floor(out, out=out)
+    np.clip(out, 0.0, float(USHRT_MAX), out=out)
     return out.astype(np.uint16)
 
 
