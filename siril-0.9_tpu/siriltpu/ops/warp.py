@@ -76,7 +76,8 @@ def _tap(img: Array, yi: Array, xi: Array) -> Array:
     inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
     yc = jnp.clip(yi, 0, h - 1)
     xc = jnp.clip(xi, 0, w - 1)
-    return jnp.where(inb, img[yc, xc], 0.0)
+    # flat linear-index gather: measurably faster than a 2-D gather on TPU
+    return jnp.where(inb, img.reshape(-1)[yc * w + xc], 0.0)
 
 
 def _interp(img: Array, xs: Array, ys: Array, interpolation: int) -> Array:
