@@ -37,12 +37,22 @@ def mtf(x, m):
 
 def apply_mtf(data: np.ndarray, m: float, lo: float, hi: float,
               norm: float = 65535.0) -> np.ndarray:
-    """apply_mtf_to_fits (histogram.c:537-564)."""
+    """apply_mtf_to_fits (histogram.c:537-564).
+
+    uint16 input goes through a 65536-entry LUT (bit-identical: the
+    transfer function only depends on the integer pixel value) instead
+    of 25M-pixel float64 passes."""
     pente = 1.0 / (hi - lo)
-    x = data.astype(np.float64) / norm
-    x = np.where(x - lo < 0.0, 0.0, x - lo)
-    x *= pente
-    return np_round_to_word(mtf(x, m) * norm)
+
+    def transfer(x):
+        x = np.where(x - lo < 0.0, 0.0, x - lo)
+        x *= pente
+        return np_round_to_word(mtf(x, m) * norm)
+
+    if data.dtype == np.uint16 and norm == 65535.0:
+        lut = transfer(np.arange(65536, dtype=np.float64) / norm)
+        return lut[data]
+    return transfer(data.astype(np.float64) / norm)
 
 
 def find_midtones_balance(data: np.ndarray, norm: float = 65535.0
