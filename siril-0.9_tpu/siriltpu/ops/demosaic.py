@@ -15,6 +15,8 @@ at 0 exactly like the reference (calloc'd output, interior-only loops).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from siriltpu.io.ser import (SER_BAYER_BGGR, SER_BAYER_GBRG, SER_BAYER_GRBG,
@@ -70,17 +72,18 @@ def super_pixel(cfa: np.ndarray, pattern: str) -> np.ndarray:
 def bilinear(cfa: np.ndarray, pattern: str) -> np.ndarray:
     """Bilinear debayer (OpenCV scheme, demosaicing.c:89-175): missing
     colors averaged from 2/4 neighbors with (sum + n/2) >> log2(n)
-    integer rounding; the 1-pixel border is left at 0."""
+    integer rounding; the 1-pixel border is left at 0.
+
+    The Bayer phases tile 2x2, so channels assemble from strided slices
+    of the four neighbor aggregates — no masks, no fancy indexing."""
     h, w = cfa.shape
-    a = cfa.astype(np.int64)
-    out = np.zeros((3, h, w), dtype=np.uint16)
+    a = cfa.astype(np.int32)  # sums of 4 values stay < 2^18
     off = _phase_offsets(pattern)
 
-    # neighbor aggregates for interior pixels
-    cross4 = np.zeros((h, w), dtype=np.int64)
-    diag4 = np.zeros((h, w), dtype=np.int64)
-    horiz2 = np.zeros((h, w), dtype=np.int64)
-    vert2 = np.zeros((h, w), dtype=np.int64)
+    cross4 = np.zeros((h, w), dtype=np.int32)
+    diag4 = np.zeros((h, w), dtype=np.int32)
+    horiz2 = np.zeros((h, w), dtype=np.int32)
+    vert2 = np.zeros((h, w), dtype=np.int32)
     cross4[1:-1, 1:-1] = (a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] +
                           a[1:-1, 2:] + 2) >> 2
     diag4[1:-1, 1:-1] = (a[:-2, :-2] + a[:-2, 2:] + a[2:, :-2] +
@@ -88,46 +91,30 @@ def bilinear(cfa: np.ndarray, pattern: str) -> np.ndarray:
     horiz2[1:-1, 1:-1] = (a[1:-1, :-2] + a[1:-1, 2:] + 1) >> 1
     vert2[1:-1, 1:-1] = (a[:-2, 1:-1] + a[2:, 1:-1] + 1) >> 1
 
-    yy, xx = np.mgrid[0:h, 0:w]
-    phase = ((yy & 1) * 2 + (xx & 1))
+    R = np.zeros((h, w), dtype=np.int32)
+    G = np.zeros((h, w), dtype=np.int32)
+    B = np.zeros((h, w), dtype=np.int32)
 
-    def phase_of(dydx):
-        return dydx[0] * 2 + dydx[1]
+    def sl(ph):
+        return (slice(ph[0], None, 2), slice(ph[1], None, 2))
 
-    at_r = phase == phase_of(off["R"])
-    at_b = phase == phase_of(off["B"])
-    g_phases = [phase_of(g) for g in off["G"]]
-    at_g = (phase == g_phases[0]) | (phase == g_phases[1])
-    # green rows containing R vs containing B
+    pr, pb = off["R"], off["B"]
+    R[sl(pr)] = a[sl(pr)]; G[sl(pr)] = cross4[sl(pr)]; B[sl(pr)] = diag4[sl(pr)]
+    B[sl(pb)] = a[sl(pb)]; G[sl(pb)] = cross4[sl(pb)]; R[sl(pb)] = diag4[sl(pb)]
     r_row = off["R"][0]
+    for pg in off["G"]:
+        s = sl(pg)
+        G[s] = a[s]
+        if pg[0] == r_row:   # green in an R row
+            R[s] = horiz2[s]; B[s] = vert2[s]
+        else:                # green in a B row
+            R[s] = vert2[s]; B[s] = horiz2[s]
 
-    R = np.zeros((h, w), dtype=np.int64)
-    G = np.zeros((h, w), dtype=np.int64)
-    B = np.zeros((h, w), dtype=np.int64)
-    # at R: R = value, G = cross4, B = diag4
-    R[at_r] = a[at_r]
-    G[at_r] = cross4[at_r]
-    B[at_r] = diag4[at_r]
-    # at B: B = value, G = cross4, R = diag4
-    B[at_b] = a[at_b]
-    G[at_b] = cross4[at_b]
-    R[at_b] = diag4[at_b]
-    # at G: G = value; the same-row color comes from horiz2, the other
-    # from vert2
-    G[at_g] = a[at_g]
-    in_r_row = (yy & 1) == r_row
-    g_in_r_row = at_g & in_r_row
-    g_in_b_row = at_g & ~in_r_row
-    R[g_in_r_row] = horiz2[g_in_r_row]
-    B[g_in_r_row] = vert2[g_in_r_row]
-    R[g_in_b_row] = vert2[g_in_b_row]
-    B[g_in_b_row] = horiz2[g_in_b_row]
-
-    interior = np.zeros((h, w), dtype=bool)
-    interior[1:-1, 1:-1] = True
-    out[0][interior] = np.clip(R[interior], 0, 65535)
-    out[1][interior] = np.clip(G[interior], 0, 65535)
-    out[2][interior] = np.clip(B[interior], 0, 65535)
+    out = np.stack([np.clip(R, 0, 65535).astype(np.uint16),
+                    np.clip(G, 0, 65535).astype(np.uint16),
+                    np.clip(B, 0, 65535).astype(np.uint16)])
+    out[:, 0, :] = 0; out[:, -1, :] = 0
+    out[:, :, 0] = 0; out[:, :, -1] = 0
     return out
 
 
@@ -193,15 +180,28 @@ def debayer_buffer(cfa: np.ndarray, pattern: str,
     if method in ("nearest", "nearestneighbor"):
         return nearest(cfa, pattern)
     if method == "vng":
+        # device path for large frames (same bits; numpy fallback is the
+        # literal reference used by the parity tests)
+        if cfa.size >= (1 << 20):
+            try:
+                return vng_device(cfa, pattern)
+            except Exception:
+                pass
         return vng(cfa, pattern)
     if method == "ahd":
+        if cfa.size >= (1 << 20):
+            try:
+                return ahd_device(cfa, pattern)
+            except Exception:
+                pass
         return ahd(cfa, pattern)
     if method == "bilinear":
         return bilinear(cfa, pattern)
     raise ValueError(f"unknown debayer method {method}")
 
 
-__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest", "vng", "ahd",
+__all__ = ["debayer_buffer", "super_pixel", "bilinear", "nearest", "vng",
+           "vng_device", "ahd", "ahd_device",
            "pattern_from_ser", "BAYER_PATTERNS"]
 
 
@@ -255,25 +255,33 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
     h, w = cfa.shape
     filters = _VNG_FILTERS[pattern.upper()]
     rgb = bilinear(cfa, pattern)
-    img = rgb.astype(np.int64)
+    img = rgb.astype(np.int32)  # diffs << 2 and 8-term sums stay < 2^22
     out = rgb.copy()
 
-    def sub(ch, rows, cols, dy, dx):
-        return img[ch][np.ix_(rows + dy, cols + dx)]
-
-    all_rows = np.arange(2, h - 2)
-    all_cols = np.arange(2, w - 2)
     for r8 in range(8):
-        rows = all_rows[(all_rows & 7) == r8]
-        if rows.size == 0:
+        # rows in [2, h-2) with row & 7 == r8 form an arithmetic slice:
+        # strided VIEWS replace np.ix_ fancy-index copies (the old form
+        # made ~1000 copying gathers per image)
+        start_r = r8 if r8 >= 2 else r8 + 8
+        if start_r >= h - 2:
             continue
+        nrows = len(range(start_r, h - 2, 8))
         for c2 in range(2):
-            cols = all_cols[(all_cols & 1) == c2]
-            if cols.size == 0:
+            start_c = c2 if c2 >= 2 else c2 + 2
+            if start_c >= w - 2:
                 continue
+            ncols = len(range(start_c, w - 2, 2))
+
+            def sub(ch, rows_unused, cols_unused, dy, dx):
+                return img[ch,
+                           start_r + dy : start_r + dy + 8 * nrows : 8,
+                           start_c + dx : start_c + dx + 2 * ncols : 2]
+
+            rows = np.empty(nrows)   # only .size is used below
+            cols = np.empty(ncols)
             color = _fc(filters, r8, c2)
             # ---- gradients (bayervng_terms decode, demosaicing.c:316-341)
-            gval = np.zeros((8, rows.size, cols.size), dtype=np.int64)
+            gval = np.zeros((8, rows.size, cols.size), dtype=np.int32)
             t = 0
             while t < len(_VNG_TERMS):
                 y1, x1, y2, x2, weight, grads = _VNG_TERMS[t : t + 6]
@@ -294,8 +302,8 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
             gmax = gval.max(axis=0)
             thold = gmin + (gmax >> 1)
             # ---- average the low-gradient directions (chood decode)
-            sums = np.zeros((3, rows.size, cols.size), dtype=np.int64)
-            num = np.zeros((rows.size, cols.size), dtype=np.int64)
+            sums = np.zeros((3, rows.size, cols.size), dtype=np.int32)
+            num = np.zeros((rows.size, cols.size), dtype=np.int32)
             for g in range(8):
                 dy, dx = _VNG_CHOOD[2 * g], _VNG_CHOOD[2 * g + 1]
                 pair = (_fc(filters, r8 + dy, c2 + dx) != color and
@@ -320,9 +328,332 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
                     tval = np.where(c == color, tval, tval + q)
                 vals = np_round_to_word(tval)
                 keep = gmax == 0  # untouched pixels keep bilinear values
-                block = out[c][np.ix_(rows, cols)]
-                out[c][np.ix_(rows, cols)] = np.where(keep, block, vals)
+                view = out[c,
+                           start_r : start_r + 8 * nrows : 8,
+                           start_c : start_c + 2 * ncols : 2]
+                view[...] = np.where(keep, view, vals)
     return out
+
+
+
+
+# --------------------------------------------------------- device AHD
+
+@functools.lru_cache(maxsize=8)
+def _ahd_jax_fn(h: int, w: int, filters: int):
+    """jit-compiled whole-image AHD for one (shape, pattern) — the same
+    program as :func:`ahd` in jnp. int32 arithmetic everywhere it is
+    exact; the two float32 spots (CIELAB xyz rounding, chroma-difference
+    squares) can differ from the f64/int64 host reference only on
+    knife-edge ties at extreme local chroma jumps (PARITY.md #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    yy0, xx0 = np.mgrid[0:h, 0:w]
+    fcmap_np = (filters >> (((((yy0 << 1) & 14) + (xx0 & 1))) << 1)) & 3
+
+    global _CBRT_LUT
+    if _CBRT_LUT is None:
+        _CBRT_LUT = _ahd_cbrt_lut()
+    xyz_cam_np = (_XYZ_RGB / _D65[:, None]).astype(np.float32)
+
+    def shift(a, dy, dx):
+        """out[y, x] = a[y - dy, x - dx], zero fill (matches host)."""
+        pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+        ap = jnp.pad(a, pad)
+        return ap[max(-dy, 0) : max(-dy, 0) + h,
+                  max(-dx, 0) : max(-dx, 0) + w]
+
+    def cam_to_lab(rgb3, lut):
+        cam = rgb3.astype(jnp.float32)
+        # explicit elementwise 3x3 transform: a TPU matmul would run at
+        # bf16 precision by default and shift the LUT index by hundreds
+        M = xyz_cam_np
+        xyz = jnp.stack([
+            M[c, 0] * cam[0] + M[c, 1] * cam[1] + M[c, 2] * cam[2]
+            for c in range(3)]) + 0.5
+        idx = jnp.clip(jnp.floor(xyz + 0.5), 0, 65535).astype(jnp.int32)
+        f = lut[idx]
+        L = 116.0 * f[1] - 16.0
+        a = 500.0 * (f[0] - f[1])
+        b = 200.0 * (f[1] - f[2])
+        lab = jnp.stack([L, a, b]) * 64.0
+        return jnp.trunc(lab).astype(jnp.int32)
+
+    def run(cfa_u16, fcmap, lut):
+        cfa = cfa_u16.astype(jnp.int32)
+        at = [fcmap == c for c in range(3)]
+        dst = jnp.stack([jnp.where(at[c], cfa, 0) for c in range(3)])
+
+        # border_interpolate(3)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        is_border = (iy < 3) | (iy >= h - 3) | (ix < 3) | (ix >= w - 3)
+        newdst = []
+        for c in range(3):
+            known = at[c].astype(jnp.int32)
+            vals = jnp.where(at[c], cfa, 0)
+            s3 = sum(shift(vals, dy, dx)
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            c3 = sum(shift(known, dy, dx)
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            fill = is_border & (~at[c]) & (c3 > 0)
+            newdst.append(jnp.where(fill, s3 // jnp.maximum(c3, 1),
+                                    dst[c]))
+        dst = jnp.stack(newdst)
+        g_cfa = dst[1]
+        own = cfa
+        nong = ~at[1]
+
+        valid_g = ((iy >= 2) & (iy < h - 2) & (ix >= 2) & (ix < w - 2)
+                   & nong)
+        gl = shift(g_cfa, 0, 1)
+        gr = shift(g_cfa, 0, -1)
+        vh = ((gl + own + gr) * 2 - shift(own, 0, 2)
+              - shift(own, 0, -2)) >> 2
+        gh = jnp.clip(vh, jnp.minimum(gl, gr), jnp.maximum(gl, gr))
+        gu = shift(g_cfa, 1, 0)
+        gd = shift(g_cfa, -1, 0)
+        vv = ((gu + own + gd) * 2 - shift(own, 2, 0)
+              - shift(own, -2, 0)) >> 2
+        gv = jnp.clip(vv, jnp.minimum(gu, gd), jnp.maximum(gu, gd))
+
+        inner = (iy >= 1) & (iy < h - 1) & (ix >= 1) & (ix < w - 1)
+        c_below = jnp.roll(fcmap, -1, axis=0)
+        outs, labs = [], []
+        for gcand in (gh, gv):
+            G = jnp.where(valid_g, gcand, 0)
+            G = jnp.where(at[1], own, G)
+            ch = [jnp.zeros((h, w), jnp.int32), G,
+                  jnp.zeros((h, w), jnp.int32)]
+            for cb in (0, 2):
+                m = at[1] & inner & (c_below == cb)
+                hcol = 2 - cb
+                val_h = own + ((shift(dst[hcol], 0, 1)
+                                + shift(dst[hcol], 0, -1)
+                                - shift(G, 0, 1) - shift(G, 0, -1)) >> 1)
+                val_v = own + ((shift(dst[cb], 1, 0)
+                                + shift(dst[cb], -1, 0)
+                                - shift(G, 1, 0) - shift(G, -1, 0)) >> 1)
+                ch[hcol] = jnp.where(m, jnp.clip(val_h, 0, 65535),
+                                     ch[hcol])
+                ch[cb] = jnp.where(m, jnp.clip(val_v, 0, 65535), ch[cb])
+            diag_g = (shift(G, 1, 1) + shift(G, 1, -1)
+                      + shift(G, -1, 1) + shift(G, -1, -1))
+            for fc_ in (0, 2):
+                o = 2 - fc_
+                m = at[fc_] & inner
+                diag_o = (shift(dst[o], 1, 1) + shift(dst[o], 1, -1)
+                          + shift(dst[o], -1, 1) + shift(dst[o], -1, -1))
+                val = G + ((diag_o - diag_g + 1) >> 2)
+                ch[o] = jnp.where(m, jnp.clip(val, 0, 65535), ch[o])
+                ch[fc_] = jnp.where(m, own, ch[fc_])
+            rgbd = jnp.stack(ch)
+            outs.append(rgbd)
+            labs.append(cam_to_lab(rgbd, lut))
+
+        dirs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+        ldiff = [[None] * 4 for _ in range(2)]
+        abdiff = [[None] * 4 for _ in range(2)]
+        for d in range(2):
+            L, A, B = labs[d][0], labs[d][1], labs[d][2]
+            for i, (dy, dx) in enumerate(dirs):
+                ldiff[d][i] = jnp.abs(L - shift(L, dy, dx))
+                da = (A - shift(A, dy, dx)).astype(jnp.float32)
+                db = (B - shift(B, dy, dx)).astype(jnp.float32)
+                abdiff[d][i] = da * da + db * db
+        leps = jnp.minimum(jnp.maximum(ldiff[0][0], ldiff[0][1]),
+                           jnp.maximum(ldiff[1][2], ldiff[1][3]))
+        abeps = jnp.minimum(jnp.maximum(abdiff[0][0], abdiff[0][1]),
+                            jnp.maximum(abdiff[1][2], abdiff[1][3]))
+        hvalid = (iy >= 2) & (iy < h - 2) & (ix >= 2) & (ix < w - 2)
+        homo = []
+        for d in range(2):
+            acc = jnp.zeros((h, w), jnp.int32)
+            for i in range(4):
+                acc = acc + (hvalid & (ldiff[d][i] <= leps)
+                             & (abdiff[d][i] <= abeps)).astype(jnp.int32)
+            homo.append(acc)
+        hm = [sum(shift(homo[d], dy, dx)
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+              for d in range(2)]
+        final = (iy >= 3) & (iy < h - 3) & (ix >= 3) & (ix < w - 3)
+        use_v = hm[1] > hm[0]
+        tie = hm[0] == hm[1]
+        res = []
+        for c in range(3):
+            pick = jnp.where(use_v, outs[1][c], outs[0][c])
+            avg = (outs[0][c] + outs[1][c]) >> 1
+            val = jnp.where(tie, avg, pick)
+            res.append(jnp.where(final, jnp.clip(val, 0, 65535), dst[c]))
+        return jnp.clip(jnp.stack(res), 0, 65535).astype(jnp.uint16)
+
+    jitted = jax.jit(run)
+    import jax.numpy as jnp2
+    fc_dev = jnp2.asarray(fcmap_np.astype(np.int32))
+    lut_dev = jnp2.asarray(_CBRT_LUT.astype(np.float32))
+    return lambda cfa: jitted(cfa, fc_dev, lut_dev)
+
+
+def ahd_device(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """AHD on the accelerator; see :func:`_ahd_jax_fn` for the two f32
+    knife-edge caveats vs the int64/f64 host reference."""
+    cfa = np.asarray(cfa, dtype=np.uint16)
+    h, w = cfa.shape
+    import jax.numpy as jnp
+    fn = _ahd_jax_fn(h, w, _VNG_FILTERS[pattern.upper()])
+    return np.asarray(fn(jnp.asarray(cfa)))
+
+
+# --------------------------------------------------------- device VNG
+
+@functools.lru_cache(maxsize=8)
+def _vng_jax_fn(h: int, w: int, filters: int):
+    """jit-compiled whole-image VNG for one (shape, pattern): the same
+    16-class strided-slice program as :func:`vng`, in integer jnp ops
+    (bit-exact — every quantity is an int32; the C truncating division
+    is sign * (|dsum| // num))."""
+    import jax
+    import jax.numpy as jnp
+
+    def _bilinear_dev(cfa):
+        """Device bilinear, same integer semantics as :func:`bilinear`:
+        neighbor aggregates from shifted adds, per-phase select by
+        parity masks (pure elementwise — no scatters)."""
+        a = cfa.astype(jnp.int32)
+        z = jnp.zeros((h, w), jnp.int32)
+        cross4 = z.at[1:-1, 1:-1].set(
+            (a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] + a[1:-1, 2:] + 2)
+            >> 2)
+        diag4 = z.at[1:-1, 1:-1].set(
+            (a[:-2, :-2] + a[:-2, 2:] + a[2:, :-2] + a[2:, 2:] + 2) >> 2)
+        horiz2 = z.at[1:-1, 1:-1].set((a[1:-1, :-2] + a[1:-1, 2:] + 1) >> 1)
+        vert2 = z.at[1:-1, 1:-1].set((a[:-2, 1:-1] + a[2:, 1:-1] + 1) >> 1)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) & 1
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) & 1
+        # phase of each pixel: color index via _fc on the 2x2 parity
+        col_of = [[_fc(filters, py, px) for px in (0, 1)] for py in (0, 1)]
+        at = {}
+        for py in (0, 1):
+            for px in (0, 1):
+                at[(py, px)] = (yy == py) & (xx == px)
+        is_r = jnp.zeros((h, w), bool)
+        is_b = jnp.zeros((h, w), bool)
+        is_g = jnp.zeros((h, w), bool)
+        for py in (0, 1):
+            for px in (0, 1):
+                m = at[(py, px)]
+                c = col_of[py][px]
+                if c == 0:
+                    is_r = is_r | m
+                    r_row = py
+                elif c == 2:
+                    is_b = is_b | m
+                else:
+                    is_g = is_g | m
+        in_r_row = (yy == r_row)
+        R = jnp.where(is_r, a, jnp.where(is_b, diag4,
+                      jnp.where(in_r_row, horiz2, vert2)))
+        G = jnp.where(is_g, a, cross4)
+        B = jnp.where(is_b, a, jnp.where(is_r, diag4,
+                      jnp.where(in_r_row, vert2, horiz2)))
+        rgb = jnp.stack([R, G, B])
+        rgb = jnp.clip(rgb, 0, 65535)
+        border = ((jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % (h - 1)
+                   == 0) |
+                  (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % (w - 1)
+                   == 0))
+        return jnp.where(border[None], 0, rgb)
+
+    def run(cfa):  # (h, w) uint16 CFA
+        img = _bilinear_dev(cfa)
+        out = img
+        for r8 in range(8):
+            start_r = r8 if r8 >= 2 else r8 + 8
+            if start_r >= h - 2:
+                continue
+            nrows = len(range(start_r, h - 2, 8))
+            for c2 in range(2):
+                start_c = c2 if c2 >= 2 else c2 + 2
+                if start_c >= w - 2:
+                    continue
+                ncols = len(range(start_c, w - 2, 2))
+
+                def sub(ch, dy, dx):
+                    return img[ch,
+                               start_r + dy : start_r + dy + 8 * nrows : 8,
+                               start_c + dx : start_c + dx + 2 * ncols : 2]
+
+                color = _fc(filters, r8, c2)
+                gval = [jnp.zeros((nrows, ncols), jnp.int32)
+                        for _ in range(8)]
+                t = 0
+                while t < len(_VNG_TERMS):
+                    y1, x1, y2, x2, weight, grads = _VNG_TERMS[t : t + 6]
+                    t += 6
+                    c1 = _fc(filters, r8 + y1, c2 + x1)
+                    if _fc(filters, r8 + y2, c2 + x2) != c1:
+                        continue
+                    diag = 2 if (_fc(filters, r8, c2 + 1) == c1 and
+                                 _fc(filters, r8 + 1, c2) == c1) else 1
+                    if abs(y1 - y2) == diag and abs(x1 - x2) == diag:
+                        continue
+                    diff = jnp.abs(sub(c1, y1, x1) -
+                                   sub(c1, y2, x2)) << weight
+                    for g in range(8):
+                        if grads & (1 << g):
+                            gval[g] = gval[g] + diff
+                gval = jnp.stack(gval)
+                gmin = gval.min(axis=0)
+                gmax = gval.max(axis=0)
+                thold = gmin + (gmax >> 1)
+                sums = [jnp.zeros((nrows, ncols), jnp.int32)
+                        for _ in range(3)]
+                num = jnp.zeros((nrows, ncols), jnp.int32)
+                for g in range(8):
+                    dy, dx = _VNG_CHOOD[2 * g], _VNG_CHOOD[2 * g + 1]
+                    pair = (_fc(filters, r8 + dy, c2 + dx) != color and
+                            _fc(filters, r8 + 2 * dy, c2 + 2 * dx) == color)
+                    use = gval[g] <= thold
+                    for c in range(3):
+                        if c == color and pair:
+                            contrib = (sub(c, 0, 0) +
+                                       sub(color, 2 * dy, 2 * dx)) >> 1
+                        else:
+                            contrib = sub(c, dy, dx)
+                        sums[c] = sums[c] + jnp.where(use, contrib, 0)
+                    num = num + use.astype(jnp.int32)
+                center = sub(color, 0, 0)
+                numsafe = jnp.maximum(num, 1)
+                keep = gmax == 0
+                for c in range(3):
+                    if c == color:
+                        vals = jnp.clip(center, 0, 65535)
+                    else:
+                        dsum = sums[c] - sums[color]
+                        q = jnp.sign(dsum) * (jnp.abs(dsum) // numsafe)
+                        vals = jnp.clip(center + q, 0, 65535)
+                    view = out[c,
+                               start_r : start_r + 8 * nrows : 8,
+                               start_c : start_c + 2 * ncols : 2]
+                    out = out.at[c,
+                                 start_r : start_r + 8 * nrows : 8,
+                                 start_c : start_c + 2 * ncols : 2].set(
+                        jnp.where(keep, view, vals))
+        return out.astype(jnp.uint16)
+
+    return jax.jit(run)
+
+
+def vng_device(cfa: np.ndarray, pattern: str) -> np.ndarray:
+    """VNG on the accelerator: bilinear on host (cheap, strided) feeds
+    the jitted 16-class program. Bit-identical to :func:`vng`."""
+    cfa = np.asarray(cfa, dtype=np.uint16)
+    h, w = cfa.shape
+    filters = _VNG_FILTERS[pattern.upper()]
+    import jax.numpy as jnp
+    fn = _vng_jax_fn(h, w, filters)
+    return np.asarray(fn(jnp.asarray(cfa)))
 
 
 # ------------------------------------------------------------------- AHD

@@ -340,3 +340,19 @@ def test_ahd_flat_field():
     cfa = np.full((20, 20), 12000, dtype=np.uint16)
     out = ahd(cfa, "RGGB")
     assert (out[:, 3:-3, 3:-3] == 12000).all()
+
+
+def test_demosaic_device_matches_host():
+    """Device VNG is bit-identical to the host reference; device AHD
+    matches except at most a few knife-edge f32 direction-vote ties
+    (PARITY.md #7) on adversarial data."""
+    from siriltpu.ops.demosaic import ahd, ahd_device, vng, vng_device
+    from siriltpu.testing.synth import starfield
+
+    img, _ = starfield(96, 128, nstars=20, seed=9)
+    cfa = img[0]
+    for pat in ["RGGB", "BGGR", "GRBG", "GBRG"]:
+        assert np.array_equal(vng(cfa, pat), vng_device(cfa, pat))
+        a, b = ahd(cfa, pat), ahd_device(cfa, pat)
+        ndiff = int((a != b).sum())
+        assert ndiff <= 12, f"{pat}: {ndiff} device/host AHD pixel diffs"
