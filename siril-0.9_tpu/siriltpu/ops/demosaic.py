@@ -272,16 +272,14 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
                 continue
             ncols = len(range(start_c, w - 2, 2))
 
-            def sub(ch, rows_unused, cols_unused, dy, dx):
+            def sub(ch, dy, dx):
                 return img[ch,
                            start_r + dy : start_r + dy + 8 * nrows : 8,
                            start_c + dx : start_c + dx + 2 * ncols : 2]
 
-            rows = np.empty(nrows)   # only .size is used below
-            cols = np.empty(ncols)
             color = _fc(filters, r8, c2)
             # ---- gradients (bayervng_terms decode, demosaicing.c:316-341)
-            gval = np.zeros((8, rows.size, cols.size), dtype=np.int32)
+            gval = np.zeros((8, nrows, ncols), dtype=np.int32)
             t = 0
             while t < len(_VNG_TERMS):
                 y1, x1, y2, x2, weight, grads = _VNG_TERMS[t : t + 6]
@@ -293,8 +291,8 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
                              _fc(filters, r8 + 1, c2) == c1) else 1
                 if abs(y1 - y2) == diag and abs(x1 - x2) == diag:
                     continue
-                diff = np.abs(sub(c1, rows, cols, y1, x1) -
-                              sub(c1, rows, cols, y2, x2)) << weight
+                diff = np.abs(sub(c1, y1, x1) -
+                              sub(c1, y2, x2)) << weight
                 for g in range(8):
                     if grads & (1 << g):
                         gval[g] += diff
@@ -302,8 +300,8 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
             gmax = gval.max(axis=0)
             thold = gmin + (gmax >> 1)
             # ---- average the low-gradient directions (chood decode)
-            sums = np.zeros((3, rows.size, cols.size), dtype=np.int32)
-            num = np.zeros((rows.size, cols.size), dtype=np.int32)
+            sums = np.zeros((3, nrows, ncols), dtype=np.int32)
+            num = np.zeros((nrows, ncols), dtype=np.int32)
             for g in range(8):
                 dy, dx = _VNG_CHOOD[2 * g], _VNG_CHOOD[2 * g + 1]
                 pair = (_fc(filters, r8 + dy, c2 + dx) != color and
@@ -311,13 +309,13 @@ def vng(cfa: np.ndarray, pattern: str) -> np.ndarray:
                 use = gval[g] <= thold
                 for c in range(3):
                     if c == color and pair:
-                        contrib = (sub(c, rows, cols, 0, 0) +
-                                   sub(color, rows, cols, 2 * dy, 2 * dx)) >> 1
+                        contrib = (sub(c, 0, 0) +
+                                   sub(color, 2 * dy, 2 * dx)) >> 1
                     else:
-                        contrib = sub(c, rows, cols, dy, dx)
+                        contrib = sub(c, dy, dx)
                     sums[c] += np.where(use, contrib, 0)
                 num += use
-            center = sub(color, rows, cols, 0, 0)
+            center = sub(color, 0, 0)
             numsafe = np.maximum(num, 1)
             for c in range(3):
                 tval = center.astype(np.float64)
