@@ -207,3 +207,20 @@ def test_full_scripted_session(state, tmp_path):
     assert run_script(state, str(script)) == 0
     assert os.path.exists(os.path.join(d, "final.fit"))
     assert os.path.exists(os.path.join(d, "pp_light_stacked.fit"))
+
+
+def test_every_command_fails_cleanly_without_state(tmp_path):
+    """Smoke: each of the 90+ verbs, invoked with no image/sequence
+    loaded and zero args, either works or raises CommandError — never an
+    unhandled exception (the reference prints a one-line usage/error)."""
+    from siriltpu.cli.commands import COMMANDS, process_command
+    from siriltpu.cli.main import make_state
+
+    skipped = {"exit", "quit"}
+    for verb in sorted(COMMANDS):
+        if verb in skipped:
+            continue
+        state = make_state(str(tmp_path))
+        # process_command catches CommandError and returns nonzero;
+        # anything else propagating is a failure
+        process_command(state, verb)
