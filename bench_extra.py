@@ -1,0 +1,129 @@
+"""Extended benchmarks: the BASELINE.md eval configs 2-5 hot paths.
+
+Prints one JSON line per workload. Sizes are tunable via env
+(BENCHX_SCALE=0.25 quarters the pixel dimensions for a quick pass).
+The north-star config 1/3 pipeline benchmark lives in bench.py.
+
+Run alone — a concurrent bench halves the numbers (tunnel contention).
+"""
+
+import json
+import os
+import sys
+import time
+
+_PKG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "siril-0.9_tpu")
+if _PKG not in sys.path:
+    sys.path.insert(0, _PKG)
+
+SCALE = float(os.environ.get("BENCHX_SCALE", "1.0"))
+
+
+def dim(x):
+    # multiples of 64 keep H*W divisible by the Pallas tile (2048)
+    return max(128, int(x * SCALE) & ~63)
+
+
+def report(metric, seconds, unit="s"):
+    print(json.dumps({"metric": metric, "value": round(seconds, 3),
+                      "unit": unit}))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+
+    # config 2: sigma-clip + median stacks, 50 x 2048^2
+    from siriltpu.ops.pallas.reject_stack import sigma_stack_pallas
+    from siriltpu.ops.rejection import masked_median
+    F, H, W = 50, dim(2048), dim(2048)
+    frames = jnp.clip(1500 + 80 * jax.random.normal(
+        jax.random.PRNGKey(0), (F, H, W)), 0, 65535).astype(jnp.uint16)
+    _ = float(frames[0, 0, 0])
+    v = frames.reshape(F, H * W)
+    out = sigma_stack_pallas(v, 3.0, 3.0)
+    _ = float(out[0])
+    t0 = time.perf_counter()
+    out = sigma_stack_pallas(v, 3.0, 3.0)
+    _ = float(out[0])
+    report(f"sigma-clip stack {F}x{H}x{W}", time.perf_counter() - t0)
+    med = jax.jit(masked_median)
+    out = med(v.astype(jnp.float32)); _ = float(out[0])
+    t0 = time.perf_counter()
+    out = med(v.astype(jnp.float32)); _ = float(out[0])
+    report(f"median stack {F}x{H}x{W}", time.perf_counter() - t0)
+
+    # config 3: register + winsorized, 1000 x 480x640
+    from siriltpu.pipelines.register_stack import register_and_stack
+    F3, H3, W3 = int(1000 * max(SCALE, 0.1)), dim(480), dim(640)
+    shifts = rng.integers(-8, 9, (F3, 2)).astype(np.int32); shifts[0] = 0
+    base = 1200.0 + 60.0 * jax.random.normal(jax.random.PRNGKey(1), (H3, W3))
+    base = base.at[H3 // 3 : H3 // 3 + 40, W3 // 2 : W3 // 2 + 60].add(25000.0)
+    def one(i):
+        sh = jnp.asarray(shifts)[i]
+        n = 10.0 * jax.random.normal(jax.random.fold_in(
+            jax.random.PRNGKey(2), i), (H3, W3))
+        return jnp.clip(jnp.roll(base, (sh[1], sh[0]), (0, 1)) + n,
+                        0, 65535).astype(jnp.uint16)
+    fr3 = jax.lax.map(one, jnp.arange(F3)); _ = float(fr3[0, 0, 0])
+    s = min(256, H3 // 2, W3 // 2)
+    sel = ((W3 - s) // 2, (H3 - s) // 2, s)
+    o, sh, q = register_and_stack(jnp.array(fr3), sel=sel,
+                                  rejection="winsorized", block_rows=96,
+                                  with_quality=True, return_device=True)
+    _ = float(o[0, 0])
+    t0 = time.perf_counter()
+    o, sh, q = register_and_stack(jnp.array(fr3), sel=sel,
+                                  rejection="winsorized", block_rows=96,
+                                  with_quality=True, return_device=True)
+    _ = float(o[0, 0])
+    dt = time.perf_counter() - t0
+    report(f"register+winsorized {F3}x{H3}x{W3} (frames/s)", F3 / dt,
+           unit="frames/s")
+
+    # config 4 hot ops: starfind + cubic warp at DSLR scale
+    from siriltpu.ops.starfind import peaker
+    from siriltpu.ops.warp import warp_perspective, INTER_CUBIC
+    from siriltpu.testing.synth import starfield
+    H4, W4 = dim(2048), dim(3072)
+    img, _st = starfield(H4, W4, nstars=300, seed=2)
+    peaker(img[0])
+    t0 = time.perf_counter(); found = peaker(img[0])
+    report(f"starfind {W4}x{H4} ({len(found)} stars)",
+           time.perf_counter() - t0)
+    Hm = jnp.asarray(np.linalg.inv(np.array(
+        [[1.0, 0.001, 2.3], [-0.001, 1.0, -1.7], [0, 0, 1.0]])), jnp.float32)
+    d = jnp.asarray(img[0].astype(np.float32))
+    wfn = jax.jit(lambda im, h: warp_perspective(im, h, (H4, W4),
+                                                 INTER_CUBIC))
+    w = wfn(d, Hm); _ = float(w[0, 0])
+    t0 = time.perf_counter(); w = wfn(d, Hm); _ = float(w[0, 0])
+    report(f"warp cubic {W4}x{H4}", time.perf_counter() - t0)
+
+    # config 4: VNG + AHD demosaic at DSLR scale
+    from siriltpu.ops.demosaic import debayer_buffer
+    H5, W5 = dim(3672), dim(5496)
+    cfa = rng.integers(0, 16000, (H5, W5)).astype(np.uint16)
+    for m in ("vng", "ahd"):
+        debayer_buffer(cfa, "RGGB", m)
+        t0 = time.perf_counter(); debayer_buffer(cfa, "RGGB", m)
+        report(f"{m} demosaic {W5}x{H5}", time.perf_counter() - t0)
+
+    # config 5: bgextract + autostretch at 6K x 4K RGB
+    from siriltpu.ops.background import subtract_background
+    from siriltpu.ops.histogram_ops import autostretch
+    H6, W6 = dim(4096), dim(6144)
+    yy, xx = np.mgrid[0:H6, 0:W6]
+    rgb = np.clip(rng.normal(800 + 0.08 * yy + 0.05 * xx, 40, (3, H6, W6)),
+                  0, 65535).astype(np.uint16)
+    t0 = time.perf_counter(); sub = subtract_background(rgb)
+    report(f"bgextract order4 {W6}x{H6} RGB", time.perf_counter() - t0)
+    t0 = time.perf_counter(); autostretch(sub)
+    report(f"autostretch {W6}x{H6} RGB", time.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    main()
