@@ -34,7 +34,11 @@ def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
     ks = [k for k, _, _ in stages]
 
     def kernel(masks_ref, x_ref, out_ref):
-        x = x_ref[:].astype(jnp.int32)  # (n_pad, tile); pad rows = 65535+1
+        # (n_pad, tile); pad rows equal the max value 65535, so after the
+        # sort the prefix of length f_real is multiset-equal to the real
+        # data (even when real data itself contains 65535 -- ties between
+        # real and pad values can only swap equal values).
+        x = x_ref[:].astype(jnp.int32)
         for si, k in enumerate(ks):
             lom = masks_ref[2 * si, :][:, None] != 0
             him = masks_ref[2 * si + 1, :][:, None] != 0

@@ -311,8 +311,15 @@ def ikss_from_histogram(counts: np.ndarray, norm: float):
             location, scale = m, 0.991 * s
             break
         s0 = s
-        lo = m - 4.0 * s
-        hi = m + 4.0 * s
+        # The reference trims by advancing sorted-array indices
+        # (statistics.c:180-185: `while (data[i] < xlow) i++` /
+        # `while (data[j-1] > xhigh) j--`) -- indices only move INWARD, so a
+        # window that re-expands past a previous bound never readmits trimmed
+        # values. Reproduce that by intersecting each new window with the
+        # running one. Equal values share a histogram bin, so the value-domain
+        # bound is exactly equivalent to the index-domain trim.
+        lo = max(lo, m - 4.0 * s)
+        hi = min(hi, m + 4.0 * s)
     return location * norm, scale * norm
 
 

@@ -98,24 +98,34 @@ def filter_indices(seq, *, filter_type: str = "all", param: float = 0.0,
     reg = seq.regparam.get(layer)
     if not reg:
         raise ValueError("registration data required for best_* filtering")
+    incl = np.array([bool(seq.imgparam[i].incl) for i in range(seq.number)])
     if filter_type == "best_fwhm":
-        vals = np.array([r.fwhm for r in reg])
-        ok = vals > 0
-        ordered = np.sort(vals[ok])
-        k = int(math.ceil(param / 100.0 * ordered.size))
-        if k < 1:
-            k = 1
-        thresh = ordered[k - 1]
-        return [i for i in range(seq.number) if ok[i] and vals[i] <= thresh]
+        # compute_highest_accepted_fwhm (stacking.c:2248-2278): threshold is
+        # val[(int)(percent*N/100)] over ALL N frames' fwhm (sorted ascending);
+        # any frame with fwhm <= 0 aborts with threshold 0.0. The filter
+        # itself (stack_filter_fwhm, stacking.c:2192) additionally requires
+        # imgparam[i].incl and fwhm > 0.
+        vals = np.array([r.fwhm for r in reg], dtype=np.float64)
+        if np.any(vals <= 0.0):
+            return []
+        ordered = np.sort(vals)
+        k = min(int(param * seq.number / 100.0), seq.number - 1)
+        thresh = ordered[k]
+        return [i for i in range(seq.number)
+                if incl[i] and vals[i] > 0.0 and vals[i] <= thresh]
     if filter_type == "best_quality":
-        vals = np.array([r.quality for r in reg])
-        ok = vals > 0
-        ordered = np.sort(vals[ok])[::-1]
-        k = int(math.ceil(param / 100.0 * ordered.size))
-        if k < 1:
-            k = 1
-        thresh = ordered[k - 1]
-        return [i for i in range(seq.number) if ok[i] and vals[i] >= thresh]
+        # compute_highest_accepted_quality (stacking.c:2283-2309): threshold
+        # is val[(int)((100-percent)*N/100)] ascending over ALL N frames;
+        # an included frame with quality < 0 aborts with threshold 0.0.
+        # stack_filter_quality (stacking.c:2204) requires incl and quality>0.
+        vals = np.array([r.quality for r in reg], dtype=np.float64)
+        if np.any(incl & (vals < 0.0)):
+            return []
+        ordered = np.sort(vals)
+        k = min(int((100.0 - param) * seq.number / 100.0), seq.number - 1)
+        thresh = ordered[k]
+        return [i for i in range(seq.number)
+                if incl[i] and vals[i] > 0.0 and vals[i] >= thresh]
     raise ValueError(f"unknown filter {filter_type}")
 
 

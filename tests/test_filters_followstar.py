@@ -25,11 +25,13 @@ def test_filter_all_and_included():
 
 
 def test_filter_best_fwhm():
-    """Keep the best (smallest-FWHM) percentile
-    (compute_highest_accepted_fwhm, stacking.c:2248)."""
+    """Keep the best (smallest-FWHM) percentile. The reference threshold is
+    val[(int)(percent*N/100)] over all N sorted values
+    (compute_highest_accepted_fwhm, stacking.c:2275), so at an exact integer
+    boundary (40% of 5 -> index 2) a third frame is included."""
     seq = make_seq_with_reg([2.0, 3.0, 4.0, 5.0, 6.0], [1] * 5)
     got = filter_indices(seq, filter_type="best_fwhm", param=40.0)
-    assert got == [0, 1]
+    assert got == [0, 1, 2]
     got = filter_indices(seq, filter_type="best_fwhm", param=100.0)
     assert got == [0, 1, 2, 3, 4]
 
@@ -38,6 +40,20 @@ def test_filter_best_quality():
     seq = make_seq_with_reg([1] * 5, [0.2, 0.9, 0.5, 0.7, 0.1])
     got = filter_indices(seq, filter_type="best_quality", param=40.0)
     assert sorted(got) == [1, 3]
+
+
+def test_filter_best_respects_incl():
+    """stack_filter_fwhm/quality require imgparam[i].incl
+    (stacking.c:2192-2213): excluded frames never pass, but their values
+    still participate in the threshold computation (stacking.c:2248-2309)."""
+    seq = make_seq_with_reg([2.0, 3.0, 4.0, 5.0, 6.0], [1] * 5)
+    seq.set_included(0, False)
+    got = filter_indices(seq, filter_type="best_fwhm", param=40.0)
+    assert got == [1, 2]  # threshold still val[2]=4.0; frame 0 excluded
+    seq2 = make_seq_with_reg([1] * 5, [0.2, 0.9, 0.5, 0.7, 0.1])
+    seq2.set_included(1, False)
+    got = filter_indices(seq2, filter_type="best_quality", param=40.0)
+    assert got == [3]
 
 
 def test_filter_requires_regdata():
