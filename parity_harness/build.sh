@@ -1,0 +1,43 @@
+#!/bin/bash
+# Build the C parity-golden generator and (re)generate tests/goldens/.
+#
+# The generator compiles the REFERENCE's own GUI-free kernels:
+#   - /root/reference/src/algos/statistics.c   (whole TU, shim headers)
+#   - /root/reference/src/algos/quantize.c     (whole TU)
+#   - /root/reference/src/algos/demosaicing.c  (whole TU)
+#   - verbatim line-range extractions (into the untracked gen/ dir) of
+#     core/utils.c round/quicksort functions and stacking.c's clipping
+#     helpers + per-pixel rejection switch.
+# Only the emitted golden binaries are committed; no reference source is.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=${REF:-/root/reference/src}
+OUT=${OUT:-../tests/goldens}
+mkdir -p gen build "$OUT"
+
+# --- verbatim extractions (line ranges are stable: the reference is read-only)
+sed -n '60,91p'    "$REF/core/utils.c"        > gen/utils_round.inc
+sed -n '488,533p'  "$REF/core/utils.c"        > gen/utils_qsort.inc
+sed -n '1130,1187p' "$REF/stacking/stacking.c" > gen/stack_clippers.inc
+sed -n '1656,1793p' "$REF/stacking/stacking.c" > gen/stack_reject.inc
+
+# sanity: the extractions start/end where we think they do
+grep -q '^int round_to_int' gen/utils_round.inc
+grep -q '^void quicksort_d' gen/utils_qsort.inc
+grep -q 'percentile_clipping' gen/stack_clippers.inc
+grep -q 'remove_pixel' gen/stack_clippers.inc
+head -1 gen/stack_reject.inc | grep -q 'int N = nb_frames'
+tail -3 gen/stack_reject.inc | grep -q 'sum += data->stack\[frame\]'
+
+CFLAGS="-O2 -fno-fast-math -ffp-contract=off -I shim -I $REF -I ."
+gcc $CFLAGS -c "$REF/algos/statistics.c"  -o build/statistics.o
+gcc $CFLAGS -c "$REF/algos/quantize.c"    -o build/quantize.o
+gcc $CFLAGS -c "$REF/algos/demosaicing.c" -o build/demosaicing.o
+gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
+gcc $CFLAGS -c support.c  -o build/support.o
+gcc $CFLAGS -c harness.c  -o build/harness.o
+gcc build/*.o -lm -o build/gen_goldens
+
+./build/gen_goldens "$OUT"
+ls -la "$OUT"

@@ -1,0 +1,426 @@
+/* Golden-fixture generator for siriltpu's C-parity anchor.
+ *
+ * This program links against the ACTUAL reference translation units
+ * (statistics.c, quantize.c, demosaicing.c) compiled with the shim headers
+ * in shim/, plus reference code blocks extracted verbatim at build time by
+ * build.sh into gen/*.inc (round_to_* and quicksort_* from core/utils.c,
+ * the clipping helpers and the per-pixel rejection switch from
+ * stacking/stacking.c). Nothing under gen/ is committed; only the emitted
+ * golden binaries in tests/goldens/ are.
+ *
+ * Output files (little-endian, packed): c_rounding.bin, c_rejection.bin,
+ * c_statistics.bin, c_quantize.bin, c_demosaic.bin. Record layouts are
+ * documented next to each suite and mirrored by tests/test_c_goldens.py.
+ */
+#include <assert.h>
+#include <limits.h>
+#include <math.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "core/siril.h"
+#include "core/proto.h"
+#include "gsl/gsl_statistics.h"
+#include "gsl/gsl_fit.h"
+#include "algos/demosaicing.h"
+
+/* ---- reference code, extracted verbatim by build.sh ---- */
+#include "gen/utils_round.inc"   /* src/core/utils.c:60-91  */
+#include "gen/utils_qsort.inc"   /* src/core/utils.c:488-533 */
+
+/* rejection enum, values as stacking.h:14-21 */
+typedef enum {
+	NO_REJEC, PERCENTILE, SIGMA, SIGMEDIAN, WINSORIZED, LINEARFIT
+} rejection;
+struct rejargs {
+	rejection type_of_rejection;
+	double sig[2];
+};
+struct rejdata {
+	WORD *stack;
+	int *rejected;
+};
+#include "gen/stack_clippers.inc" /* src/stacking/stacking.c:1130-1186 */
+
+imstats *statistics(fits *fit, int layer, rectangle *selection, int option,
+		int nullcheck);
+
+static WORD reject_block(struct rejdata *data, struct rejargs *args,
+		int nb_frames, uint64_t crej[2]) {
+	double sigma = -1.0;
+	int frame;
+	(void) sigma;
+#include "gen/stack_reject.inc"   /* src/stacking/stacking.c:1656-1793 */
+	return round_to_WORD(sum / (double) N);
+}
+
+/* ------------------------------- PRNG ----------------------------------- */
+
+static uint64_t rng_state = 0x9E3779B97F4A7C15ULL;
+
+static uint64_t xorshift64s(void) {
+	rng_state ^= rng_state >> 12;
+	rng_state ^= rng_state << 25;
+	rng_state ^= rng_state >> 27;
+	return rng_state * 2685821657736338717ULL;
+}
+
+static uint32_t rnd_u32(void) {
+	return (uint32_t) (xorshift64s() >> 32);
+}
+
+static WORD rnd_range(unsigned lo, unsigned hi) {
+	return (WORD) (lo + rnd_u32() % (hi - lo + 1));
+}
+
+static double rnd_unit(void) { /* [0,1) */
+	return (double) rnd_u32() / 4294967296.0;
+}
+
+/* ------------------------------ writers --------------------------------- */
+
+static void w_u8(FILE *f, uint8_t v)   { fwrite(&v, 1, 1, f); }
+static void w_u16(FILE *f, uint16_t v) { fwrite(&v, 2, 1, f); }
+static void w_i16(FILE *f, int16_t v)  { fwrite(&v, 2, 1, f); }
+static void w_i32(FILE *f, int32_t v)  { fwrite(&v, 4, 1, f); }
+static void w_u64(FILE *f, uint64_t v) { fwrite(&v, 8, 1, f); }
+static void w_i64(FILE *f, int64_t v)  { fwrite(&v, 8, 1, f); }
+static void w_f64(FILE *f, double v)   { fwrite(&v, 8, 1, f); }
+static void w_u16s(FILE *f, const WORD *v, size_t n) { fwrite(v, 2, n, f); }
+
+static FILE *open_out(const char *dir, const char *name) {
+	char path[1024];
+	snprintf(path, sizeof(path), "%s/%s", dir, name);
+	FILE *f = fopen(path, "wb");
+	if (!f) {
+		perror(path);
+		exit(1);
+	}
+	return f;
+}
+
+/* --------------------------- suite: rounding ---------------------------- */
+
+static void emit_round(FILE *f, double x) {
+	w_f64(f, x);
+	w_i32(f, round_to_int(x));
+	w_u16(f, round_to_WORD(x));
+	w_u8(f, round_to_BYTE(x));
+	w_u8(f, conv_to_BYTE(x));
+}
+
+static void suite_rounding(const char *dir) {
+	FILE *f = open_out(dir, "c_rounding.bin");
+	static const double fixed[] = {
+		0.0, 0.4999999999999999, 0.5, 0.5000000000000001, 1.5, 2.5, 3.5,
+		-0.4999999999999999, -0.5, -1.5, -2.5, 254.5, 255.0, 255.5,
+		255.49999999999997, 256.5, 65534.5, 65535.0, 65534.999999999996,
+		65535.5, 65536.0, 100000.0, -12345.6789, 42.25, 42.75,
+		1000.4999999999999, 1000.5
+	};
+	size_t i;
+	for (i = 0; i < sizeof(fixed) / sizeof(fixed[0]); i++)
+		emit_round(f, fixed[i]);
+	for (i = 0; i < 400; i++) {
+		double base = rnd_range(0, 65535);
+		double frac = rnd_unit();
+		emit_round(f, base + frac);
+		emit_round(f, base + 0.5);
+	}
+	fclose(f);
+}
+
+/* --------------------------- suite: rejection --------------------------- */
+
+static void fill_vector(WORD *v, int n, int kind) {
+	int i;
+	switch (kind) {
+	case 0: /* full-range uniform */
+		for (i = 0; i < n; i++) v[i] = rnd_range(0, 65535);
+		break;
+	case 1: /* narrow sky band */
+		for (i = 0; i < n; i++) v[i] = rnd_range(940, 1060);
+		break;
+	case 2: /* constant */
+		{ WORD c = rnd_range(1, 60000);
+		  for (i = 0; i < n; i++) v[i] = c; }
+		break;
+	case 3: /* constant + outliers */
+		{ WORD c = rnd_range(500, 2000);
+		  for (i = 0; i < n; i++) v[i] = c;
+		  v[rnd_u32() % n] = rnd_range(30000, 65535);
+		  if (n > 4) v[rnd_u32() % n] = rnd_range(0, 50); }
+		break;
+	case 4: /* near saturation incl. exact 65535 */
+		for (i = 0; i < n; i++) v[i] = rnd_range(65500, 65535);
+		v[rnd_u32() % n] = 65535;
+		break;
+	default: /* mostly zeros + narrow band: exercises median==0 quirks */
+		for (i = 0; i < n; i++)
+			v[i] = (rnd_unit() < 0.7) ? 0 : rnd_range(100, 300);
+		break;
+	}
+}
+
+static void suite_rejection(const char *dir) {
+	static const int Ns[] = { 5, 8, 16, 33, 64, 128 };
+	/* sig pairs; for PERCENTILE these are fractions */
+	static const double sig_pct[][2] = {
+		{0.2, 0.1}, {0.5, 0.5}, {0.05, 0.05}, {1.0, 1.0}
+	};
+	static const double sig_sig[][2] = {
+		{3.0, 3.0}, {2.0, 1.5}, {1.0, 1.0}, {5.0, 5.0}
+	};
+	FILE *f = open_out(dir, "c_rejection.bin");
+	WORD vec[128], work[128];
+	int rejected[128];
+	int t, s, ni, kind, rep;
+	for (t = 0; t <= 5; t++) {
+		for (s = 0; s < 4; s++) {
+			for (ni = 0; ni < 6; ni++) {
+				for (kind = 0; kind < 6; kind++) {
+					for (rep = 0; rep < 3; rep++) {
+						int n = Ns[ni];
+						struct rejargs a;
+						struct rejdata d;
+						uint64_t crej[2] = { 0, 0 };
+						WORD mean;
+						a.type_of_rejection = (rejection) t;
+						if (t == PERCENTILE) {
+							a.sig[0] = sig_pct[s][0];
+							a.sig[1] = sig_pct[s][1];
+						} else {
+							a.sig[0] = sig_sig[s][0];
+							a.sig[1] = sig_sig[s][1];
+						}
+						fill_vector(vec, n, kind);
+						memcpy(work, vec, n * sizeof(WORD));
+						/* The reference reuses data->rejected across pixels
+						 * of a block WITHOUT clearing, and its early-break
+						 * leaves stale flags that the removal loop then
+						 * reads (stacking.c:1679-1694). Cross-pixel
+						 * carryover is workload-dependent; we pin the
+						 * initial state to zeros so each record captures
+						 * the deterministic within-pixel multi-pass
+						 * semantics. */
+						memset(rejected, 0, sizeof(rejected));
+						d.stack = work;
+						d.rejected = rejected;
+						mean = reject_block(&d, &a, n, crej);
+						w_u8(f, (uint8_t) t);
+						w_u8(f, (uint8_t) kind);
+						w_u16(f, (uint16_t) n);
+						w_f64(f, a.sig[0]);
+						w_f64(f, a.sig[1]);
+						w_u16s(f, vec, n);
+						w_u16(f, mean);
+						w_u64(f, crej[0]);
+						w_u64(f, crej[1]);
+					}
+				}
+			}
+		}
+	}
+	fclose(f);
+}
+
+/* -------------------------- suite: statistics --------------------------- */
+
+static void fill_image(WORD *img, int nx, int ny, int kind) {
+	long i, npix = (long) nx * ny;
+	switch (kind) {
+	case 0: /* full-range uniform */
+		for (i = 0; i < npix; i++) img[i] = rnd_range(0, 65535);
+		break;
+	case 1: /* narrow sky */
+		for (i = 0; i < npix; i++) img[i] = rnd_range(900, 1100);
+		break;
+	case 2: /* sky + zeros + stars */
+		for (i = 0; i < npix; i++) {
+			double u = rnd_unit();
+			if (u < 0.05) img[i] = 0;
+			else if (u < 0.07) img[i] = rnd_range(20000, 65535);
+			else img[i] = rnd_range(950, 1050);
+		}
+		break;
+	case 3: /* byte range: normValue becomes 255 */
+		for (i = 0; i < npix; i++) img[i] = rnd_range(0, 255);
+		break;
+	case 4: /* includes exact 65535: upper-edge exclusion path */
+		for (i = 0; i < npix; i++)
+			img[i] = (rnd_unit() < 0.1) ? 65535 : rnd_range(30000, 65534);
+		break;
+	default: /* smooth gradient + noise */
+		{
+			long x, y, k = 0;
+			for (y = 0; y < ny; y++)
+				for (x = 0; x < nx; x++, k++)
+					img[k] = (WORD) (500 + (3000L * x) / nx
+							+ (2000L * y) / ny + rnd_range(0, 60));
+		}
+		break;
+	}
+}
+
+static void suite_statistics(const char *dir) {
+	static const int sizes[][2] = { {64, 64}, {96, 48} };
+	FILE *f = open_out(dir, "c_statistics.bin");
+	int sz, kind, nullcheck, selflag;
+	for (sz = 0; sz < 2; sz++) {
+		for (kind = 0; kind < 6; kind++) {
+			for (nullcheck = 0; nullcheck < 2; nullcheck++) {
+				for (selflag = 0; selflag < 2; selflag++) {
+					int nx = sizes[sz][0], ny = sizes[sz][1];
+					long npix = (long) nx * ny;
+					WORD *img = malloc(npix * sizeof(WORD));
+					fits fit;
+					rectangle sel = { 13, 7, 30, 22 };
+					imstats *st;
+					fill_image(img, nx, ny, kind);
+					memset(&fit, 0, sizeof(fit));
+					fit.rx = nx;
+					fit.ry = ny;
+					fit.naxis = 2;
+					fit.naxes[0] = nx;
+					fit.naxes[1] = ny;
+					fit.naxes[2] = 1;
+					fit.data = img;
+					fit.pdata[0] = img;
+					fit.pdata[1] = img;
+					fit.pdata[2] = img;
+					st = statistics(&fit, 0,
+							selflag ? &sel : NULL,
+							STATS_BASIC | STATS_AVGDEV | STATS_MAD
+									| STATS_BWMV | STATS_IKSS, nullcheck);
+					w_u16(f, (uint16_t) nx);
+					w_u16(f, (uint16_t) ny);
+					w_u8(f, (uint8_t) nullcheck);
+					w_u8(f, (uint8_t) selflag);
+					w_i16(f, (int16_t) sel.x);
+					w_i16(f, (int16_t) sel.y);
+					w_i16(f, (int16_t) sel.w);
+					w_i16(f, (int16_t) sel.h);
+					w_u16s(f, img, npix);
+					if (!st) {
+						w_u8(f, 0);
+					} else {
+						w_u8(f, 1);
+						w_i64(f, st->total);
+						w_i64(f, st->ngoodpix);
+						w_f64(f, st->mean);
+						w_f64(f, st->avgDev);
+						w_f64(f, st->mad);
+						w_f64(f, st->median);
+						w_f64(f, st->sigma);
+						w_f64(f, st->bgnoise);
+						w_f64(f, st->min);
+						w_f64(f, st->max);
+						w_f64(f, st->sqrtbwmv);
+						w_f64(f, st->location);
+						w_f64(f, st->scale);
+						w_f64(f, st->normValue);
+						free(st);
+					}
+					free(img);
+				}
+			}
+		}
+	}
+	fclose(f);
+}
+
+/* ---------------------------- suite: quantize ---------------------------- */
+
+static void suite_quantize(const char *dir) {
+	static const int sizes[][2] = { {64, 64}, {128, 32}, {9, 9}, {4, 4} };
+	FILE *f = open_out(dir, "c_quantize.bin");
+	int sz, kind, nullcheck;
+	for (sz = 0; sz < 4; sz++) {
+		for (kind = 0; kind < 3; kind++) {
+			for (nullcheck = 0; nullcheck < 2; nullcheck++) {
+				int nx = sizes[sz][0], ny = sizes[sz][1];
+				long npix = (long) nx * ny;
+				WORD *img = malloc(npix * sizeof(WORD));
+				long ngoodpix = 0;
+				WORD minv = 0, maxv = 0;
+				double mean = 0, sigma = 0, n1 = 0, n2 = 0, n3 = 0, n5 = 0;
+				int status = 0;
+				fill_image(img, nx, ny, kind == 0 ? 1 : (kind == 1 ? 2 : 5));
+				fits_img_stats_ushort(img, nx, ny, nullcheck, 0, &ngoodpix,
+						&minv, &maxv, &mean, &sigma, &n1, &n2, &n3, &n5,
+						&status);
+				w_u16(f, (uint16_t) nx);
+				w_u16(f, (uint16_t) ny);
+				w_u8(f, (uint8_t) nullcheck);
+				w_u8(f, (uint8_t) kind);
+				w_u16s(f, img, npix);
+				w_i32(f, status);
+				w_i64(f, ngoodpix);
+				w_u16(f, minv);
+				w_u16(f, maxv);
+				w_f64(f, mean);
+				w_f64(f, sigma);
+				w_f64(f, n1);
+				w_f64(f, n2);
+				w_f64(f, n3);
+				w_f64(f, n5);
+				free(img);
+			}
+		}
+	}
+	fclose(f);
+}
+
+/* ---------------------------- suite: demosaic ---------------------------- */
+
+static void suite_demosaic(const char *dir) {
+	static const int sizes[][2] = { {32, 32}, {33, 31}, {64, 48} };
+	FILE *f = open_out(dir, "c_demosaic.bin");
+	int sz, method, pattern;
+	for (method = 0; method <= 4; method++) {
+		for (pattern = 0; pattern <= 3; pattern++) {
+			for (sz = 0; sz < 3; sz++) {
+				int w = sizes[sz][0], h = sizes[sz][1];
+				int ow = w, oh = h;
+				long npix = (long) w * h;
+				WORD *img = malloc(npix * sizeof(WORD));
+				WORD *out;
+				long i;
+				for (i = 0; i < npix; i++)
+					img[i] = rnd_range(0, 65535);
+				out = debayer_buffer(img, &ow, &oh,
+						(interpolation_method) method,
+						(sensor_pattern) pattern);
+				w_u16(f, (uint16_t) w);
+				w_u16(f, (uint16_t) h);
+				w_u8(f, (uint8_t) method);
+				w_u8(f, (uint8_t) pattern);
+				w_u16s(f, img, npix);
+				w_u16(f, (uint16_t) ow);
+				w_u16(f, (uint16_t) oh);
+				w_u16s(f, out, 3L * ow * oh);
+				free(out);
+				free(img);
+			}
+		}
+	}
+	fclose(f);
+}
+
+int main(int argc, char **argv) {
+	const char *dir = (argc > 1) ? argv[1] : ".";
+	rng_state = 0x9E3779B97F4A7C15ULL;
+	suite_rounding(dir);
+	rng_state = 0xC0FFEE1234567890ULL;
+	suite_rejection(dir);
+	rng_state = 0xDEADBEEFCAFEF00DULL;
+	suite_statistics(dir);
+	rng_state = 0x1234567890ABCDEFULL;
+	suite_quantize(dir);
+	rng_state = 0xA5A5A5A55A5A5A5AULL;
+	suite_demosaic(dir);
+	printf("goldens written to %s\n", dir);
+	return 0;
+}

@@ -1,0 +1,23 @@
+/* Shim for core/proto.h: declarations for the few cross-file symbols the
+ * compiled reference kernels call. Implementations come from the extracted
+ * utils blocks (round_to_*, quicksort_*), quantize.c (fits_img_stats_ushort)
+ * and support.c (get_normalized_value). */
+#ifndef SHIM_PROTO_H
+#define SHIM_PROTO_H
+
+#include "core/siril.h"
+
+int round_to_int(double x);
+WORD round_to_WORD(double x);
+BYTE round_to_BYTE(double x);
+BYTE conv_to_BYTE(double x);
+void quicksort_d(double *a, int n);
+void quicksort_s(WORD *a, int n);
+WORD get_normalized_value(fits *fit);
+
+int fits_img_stats_ushort(WORD *array, long nx, long ny, int nullcheck,
+		WORD nullvalue, long *ngoodpix, WORD *minvalue, WORD *maxvalue,
+		double *mean, double *sigma, double *noise1, double *noise2,
+		double *noise3, double *noise5, int *status);
+
+#endif

@@ -1,0 +1,110 @@
+/* Minimal stand-in for the reference's core/siril.h, written for the parity
+ * harness. It defines ONLY the types/constants the compiled kernels touch
+ * (statistics.c, quantize.c, demosaicing.c and the extracted utils/stacking
+ * blocks), with the same names and values as the reference declares
+ * (src/core/siril.h:42-43,34-38,70-76,149-160 sensor enums :249-272,
+ * struct ffit :391-442, struct image_stats :600-605). The struct here keeps
+ * only the fields those kernels read -- all harness code compiles against
+ * this header, so layout compatibility with the real siril.h is not needed.
+ */
+#ifndef SHIM_SIRIL_H
+#define SHIM_SIRIL_H
+
+#include <limits.h>
+#include <stdint.h>
+#include <stdlib.h>
+
+typedef unsigned char BYTE;
+typedef unsigned short WORD;
+typedef int gboolean;
+#ifndef TRUE
+#define TRUE 1
+#define FALSE 0
+#endif
+
+#define SQR(x) ((x)*(x))
+
+/* cfitsio error code used by quantize.c (fitsio.h) */
+#define MEMORY_ALLOCATION 113
+
+/* glib's MIN/MAX, used by demosaicing.c */
+#ifndef MIN
+#define MIN(a, b) (((a) < (b)) ? (a) : (b))
+#endif
+#ifndef MAX
+#define MAX(a, b) (((a) > (b)) ? (a) : (b))
+#endif
+#define USHRT_MAX_DOUBLE ((double)USHRT_MAX)
+#define UCHAR_MAX_DOUBLE ((double)UCHAR_MAX)
+
+/* statistic option flags (siril.h:70-76) */
+#define STATS_BASIC   (1 << 1)
+#define STATS_AVGDEV  (1 << 2)
+#define STATS_MAD     (1 << 3)
+#define STATS_BWMV    (1 << 5)
+#define STATS_MAIN    STATS_BASIC | STATS_AVGDEV | STATS_MAD | STATS_BWMV
+#define STATS_IKSS    (1 << 6)
+#define STATS_EXTRA   STATS_MAIN | STATS_IKSS
+
+#define STATS_ZERO_NONE 0
+#define STATS_ZERO_NULLCHECK (!STATS_ZERO_NONE)
+
+typedef enum {
+	BAYER_BILINEAR,
+	BAYER_NEARESNEIGHBOR,
+	BAYER_VNG,
+	BAYER_AHD,
+	BAYER_SUPER_PIXEL
+} interpolation_method;
+
+typedef enum {
+	BAYER_FILTER_RGGB,
+	BAYER_FILTER_BGGR,
+	BAYER_FILTER_GBRG,
+	BAYER_FILTER_GRBG,
+	BAYER_FILTER_NONE = -1
+} sensor_pattern;
+#define BAYER_FILTER_MIN BAYER_FILTER_RGGB
+#define BAYER_FILTER_MAX BAYER_FILTER_GRBG
+
+typedef struct {
+	int x, y, w, h;
+} rectangle;
+
+#define RLAYER 0
+#define GLAYER 1
+#define BLAYER 2
+
+/* reduced cominfo: demosaicing.c's fits-level debayer() reads
+ * com.debayer.bayer_pattern (the harness never calls it, but the TU must
+ * compile). */
+typedef struct {
+	struct {
+		sensor_pattern bayer_pattern;
+	} debayer;
+} cominfo;
+extern cominfo com;
+
+/* reduced ffit: just the fields statistics.c / demosaicing.c / the shim
+ * computeHisto read (rx, ry, naxis, naxes, maxi, data, pdata). */
+typedef struct ffit {
+	unsigned int rx;
+	unsigned int ry;
+	int bitpix;
+	int naxis;
+	long naxes[3];
+	unsigned short maxi;
+	unsigned short mini;
+	WORD *data;
+	WORD *pdata[3];
+} fits;
+
+struct image_stats {
+	long total, ngoodpix;
+	double mean, avgDev, median, sigma, bgnoise, min, max, normValue, mad,
+			sqrtbwmv, location, scale;
+	char layername[6];
+};
+typedef struct image_stats imstats;
+
+#endif

@@ -66,6 +66,19 @@ def super_pixel(cfa: np.ndarray, pattern: str) -> np.ndarray:
     b = tiles[off["B"]]
     g = np_round_to_word((tiles[off["G"][0]] + tiles[off["G"][1]]) / 2.0)
     out = np.stack([r.astype(np.uint16), g, b.astype(np.uint16)])
+    if (h % 2) or (w % 2):
+        # Odd dimensions: the reference writes h2*w2 superpixels
+        # CONTIGUOUSLY (i += 3, demosaicing.c:76) into a calloc'd buffer
+        # that debayer_buffer sizes and reinterprets as ceil(h/2) x
+        # ceil(w/2) (demosaicing.c:713-725) -- rows wrap and the tail is
+        # zeros. Reproduce that exact (buggy) layout; verified against
+        # the compiled C in tests/test_c_goldens.py.
+        ch = h // 2 + h % 2
+        cw = w // 2 + w % 2
+        flat = np.zeros(ch * cw * 3, dtype=np.uint16)
+        interleaved = np.moveaxis(out, 0, -1).reshape(-1)
+        flat[: interleaved.size] = interleaved
+        out = np.moveaxis(flat.reshape(ch, cw, 3), -1, 0).copy()
     return out
 
 
@@ -119,53 +132,43 @@ def bilinear(cfa: np.ndarray, pattern: str) -> np.ndarray:
 
 
 def nearest(cfa: np.ndarray, pattern: str) -> np.ndarray:
-    """Nearest-neighbor debayer (demosaicing.c:177-244): like bilinear but
-    each missing color copies one fixed neighbor."""
+    """Nearest-neighbor debayer (bayer_NearestNeighbor,
+    demosaicing.c:177-283), exact array re-derivation of the C's paired
+    scan, verified against the compiled reference
+    (tests/test_c_goldens.py):
+
+    - last row and last column are black (the "black border");
+    - each row alternates ``blue`` sign and ``start_with_green``;
+    - a start-with-green row emits one leading pixel from its right/down
+      neighbors, then the paired loop;
+    - pairs: first-of-pair (and the odd tail) take (cur, right, diag),
+      second-of-pair takes (right, diag, down) -- with the first/third
+      channel swapped on blue<0 rows.
+    """
     h, w = cfa.shape
-    a = cfa.astype(np.int64)
+    a = cfa.astype(np.uint16)
     out = np.zeros((3, h, w), dtype=np.uint16)
-    off = _phase_offsets(pattern)
-    yy, xx = np.mgrid[0:h, 0:w]
-    phase = ((yy & 1) * 2 + (xx & 1))
+    if h < 2 or w < 2:
+        return out
+    blue0 = -1 if pattern.upper() in ("BGGR", "GBRG") else 1
+    swg0 = 1 if pattern.upper() in ("GBRG", "GRBG") else 0
 
-    def phase_of(dydx):
-        return dydx[0] * 2 + dydx[1]
-
-    right = np.zeros((h, w), dtype=np.int64)
-    down = np.zeros((h, w), dtype=np.int64)
-    diag = np.zeros((h, w), dtype=np.int64)
-    right[1:-1, 1:-1] = a[1:-1, 2:]
-    down[1:-1, 1:-1] = a[2:, 1:-1]
-    diag[1:-1, 1:-1] = a[2:, 2:]
-
-    at_r = phase == phase_of(off["R"])
-    at_b = phase == phase_of(off["B"])
-    at_g = ~(at_r | at_b)
-    r_row = off["R"][0]
-    in_r_row = (yy & 1) == r_row
-
-    R = np.zeros((h, w), dtype=np.int64)
-    G = np.zeros((h, w), dtype=np.int64)
-    B = np.zeros((h, w), dtype=np.int64)
-    R[at_r] = a[at_r]
-    G[at_r] = right[at_r]
-    B[at_r] = diag[at_r]
-    B[at_b] = a[at_b]
-    G[at_b] = right[at_b]
-    R[at_b] = diag[at_b]
-    G[at_g] = a[at_g]
-    g_in_r_row = at_g & in_r_row
-    g_in_b_row = at_g & ~in_r_row
-    R[g_in_r_row] = right[g_in_r_row]
-    B[g_in_r_row] = down[g_in_r_row]
-    R[g_in_b_row] = down[g_in_b_row]
-    B[g_in_b_row] = right[g_in_b_row]
-
-    interior = np.zeros((h, w), dtype=bool)
-    interior[1:-1, 1:-1] = True
-    out[0][interior] = np.clip(R[interior], 0, 65535)
-    out[1][interior] = np.clip(G[interior], 0, 65535)
-    out[2][interior] = np.clip(B[interior], 0, 65535)
+    cur = a[:-1, :-1]
+    right = a[:-1, 1:]
+    down = a[1:, :-1]
+    diag = a[1:, 1:]
+    rr, cc = np.mgrid[0: h - 1, 0: w - 1]
+    blue_pos = ((rr & 1) == 0) if blue0 == 1 else ((rr & 1) == 1)
+    s = swg0 ^ (rr & 1)  # per-row start_with_green
+    lead = (cc == 0) & (s == 1)
+    first = ~lead & (((cc - s) & 1) == 0)
+    # X1 = the rgb[-blue] channel source, X2 = the rgb[blue] source
+    x1 = np.where(lead, right, np.where(first, cur, right))
+    g = np.where(lead, diag, np.where(first, right, diag))
+    x2 = np.where(lead, down, np.where(first, diag, down))
+    out[0, :-1, :-1] = np.where(blue_pos, x1, x2)
+    out[1, :-1, :-1] = g
+    out[2, :-1, :-1] = np.where(blue_pos, x2, x1)
     return out
 
 

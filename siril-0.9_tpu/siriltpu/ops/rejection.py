@@ -11,9 +11,12 @@ Reference: src/stacking/stacking.c:1128-1186 (clip predicates) and
   (``while (n > 0 && N > 3)``);
 - flagging stops early within a pass once ``N - r <= 4`` where ``r``
   accumulates across passes (stacking.c:1684-1688, 1737, 1748). In the
-  reference, elements after the break keep *stale* flags from the
-  previous pixel's buffer (uninitialized memory); we deterministically
-  treat them as not-rejected.
+  reference, positions after the break keep *stale* flags in the reused
+  ``rejected[]`` buffer, and the removal loop consumes them WITHOUT
+  counting them in the rejection stats; we model the buffer exactly
+  (positional, by rank) with a zero initial state -- the cross-pixel
+  carryover of the C is workload-dependent and pinned to zeros by the
+  parity goldens (see _stale_pass and parity_harness/harness.c).
 - SIGMEDIAN replaces rejected values by round_to_WORD(median) instead of
   removing (:1696-1708);
 - WINSORIZED iterates (clamp to median±1.5σ, re-measure median and
@@ -49,7 +52,12 @@ from siriltpu.utils.rounding import round_to_word, round_to_word_f
 Array = jnp.ndarray
 
 _INVALID = jnp.float32(1e9)
-MAX_ITERS = 50  # safety bound; reference loops are data-terminating
+# Safety bound only: the reference loops are data-terminating (every pass
+# removes >= 1 element, so <= F passes for the removal-based algorithms;
+# converged pixels are frozen, so a high bound costs nothing once all
+# pixels are done). 50 was too low: a 128-frame golden vector legitimately
+# takes 61 passes (caught by tests/test_c_goldens.py).
+MAX_ITERS = 512
 
 
 # ------------------------------------------------------------- mask helpers
@@ -61,16 +69,17 @@ def _sort_with_mask(vals: Array, valid: Array) -> Tuple[Array, Array]:
     return s, s < _INVALID / 2
 
 
-def _kth_valid(vals: Array, cum: Array, k: Array) -> Array:
+def _kth_valid(vals: Array, cum: Array, k: Array, valid: Array) -> Array:
     """Value of the k-th (0-based) valid element per pixel.
 
     ``cum`` is the inclusive cumsum of the validity mask along axis 0.
-    For sorted-invalid-last layouts cum == index+1 for valid elements, so
-    this is just a gather, but the cumsum form also works for interspersed
-    masks (needed after removals without re-sorting).
+    The hit must be restricted to VALID slots: invalid slots replicate the
+    cum value of the preceding valid slot, so ``cum == k+1`` alone matches
+    extra positions whenever the mask is interspersed (e.g. after a
+    stale-flag removal in the middle of the sorted window) -- summing
+    those duplicates silently corrupted the order statistic.
     """
-    hit = cum == (k[None, :] + 1)
-    # cum increments only at valid positions => exactly one hit per pixel
+    hit = (cum == (k[None, :] + 1)) & valid
     return jnp.sum(jnp.where(hit, vals, 0.0), axis=0)
 
 
@@ -80,46 +89,90 @@ def _gsl_median(vals: Array, valid: Array, n: Array) -> Array:
     cum = jnp.cumsum(valid.astype(jnp.int32), axis=0)
     k1 = (n - 1) // 2
     k2 = n // 2
-    v1 = _kth_valid(vals, cum, k1)
-    v2 = _kth_valid(vals, cum, k2)
+    v1 = _kth_valid(vals, cum, k1, valid)
+    v2 = _kth_valid(vals, cum, k2, valid)
     return jnp.where(n > 0, 0.5 * (v1 + v2), 0.0)
 
 
 def _gsl_sd(vals: Array, valid: Array, n: Array) -> Array:
-    """gsl_stats_ushort_sd: sample standard deviation (N-1)."""
+    """gsl_stats_ushort_sd over the valid subset.
+
+    Precondition: ``vals`` are INTEGER-valued f32 (rejection always runs
+    on round_to_WORD'd values, stacking.c:1620-1651; anchor shifts keep
+    integrality). All sums are computed EXACTLY in int32 -- deviations
+    are centered on the middle order statistic, and the squares use a
+    hi/lo 8-bit split so every accumulator stays below 2^31 -- leaving
+    only one final f32 combine (~2^-24 relative sigma error vs the C's
+    double recurrence). The old f32 running sums lost ~5e-4 relative
+    sigma on near-saturated data, flipping clip decisions vs the
+    compiled reference (caught by tests/test_c_goldens.py)."""
     nf = n.astype(jnp.float32)
-    vm = jnp.where(valid, vals, 0.0)
-    mean = jnp.sum(vm, axis=0) / jnp.maximum(nf, 1.0)
-    d = jnp.where(valid, vals - mean[None, :], 0.0)
-    var = jnp.sum(d * d, axis=0) / jnp.maximum(nf - 1.0, 1.0)
-    return jnp.where(n > 1, jnp.sqrt(var), 0.0)
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=0)
+    anchor = jnp.floor(_kth_valid(vals, cum, n // 2, valid)).astype(jnp.int32)
+    vi = jnp.where(valid, vals, 0.0).astype(jnp.int32)
+    d = jnp.where(valid, vi - anchor[None, :], 0)
+    s1 = jnp.sum(d, axis=0)                        # exact: |s1| <= F*65535
+    ad = jnp.abs(d)
+    hi8 = ad >> 8
+    lo8 = ad & 255
+    s2 = (jnp.sum(hi8 * hi8, axis=0).astype(jnp.float32) * 65536.0
+          + jnp.sum(hi8 * lo8, axis=0).astype(jnp.float32) * 512.0
+          + jnp.sum(lo8 * lo8, axis=0).astype(jnp.float32))
+    s1f = s1.astype(jnp.float32)
+    var = (s2 - s1f * s1f / jnp.maximum(nf, 1.0)) / jnp.maximum(nf - 1.0, 1.0)
+    return jnp.where(n > 1, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
 
 
 def _mean_of_survivors(vals: Array, valid: Array) -> Array:
-    n = jnp.sum(valid, axis=0).astype(jnp.float32)
-    s = jnp.sum(jnp.where(valid, vals, 0.0), axis=0)
-    return round_to_word(s / jnp.maximum(n, 1.0))
+    """round_to_WORD(sum / N) with integer-valued survivors: computed in
+    exact int32 arithmetic (floor(s/n + 0.5) == (2s + n) // (2n)), immune
+    to the f32 division rounding that can flip the .5 boundary."""
+    n = jnp.sum(valid, axis=0).astype(jnp.int32)
+    s = jnp.sum(jnp.where(valid, vals, 0.0).astype(jnp.int32), axis=0)
+    m = jnp.where(n > 0, (2 * s + n) // jnp.maximum(2 * n, 1), 0)
+    return jnp.clip(m, 0, 65535).astype(jnp.uint16)
 
 
-def _apply_early_break(flags: Array, valid: Array, n: Array, r_prev: Array):
-    """Emulate the in-pass break: flags are honored in sorted order until
-    ``N - (r_prev + cumulative flags) <= 4``; later elements are unflagged.
-    Returns (effective flags, updated r)."""
-    c = jnp.cumsum(flags.astype(jnp.int32), axis=0)
-    # element i survives the break check of every element j < i:
-    # for all j <= i: after counting j, N - (r_prev + c_j) > 4 must have
-    # held to continue; element i is applied if no break strictly before i.
-    # break at j iff N - (r_prev + c_j) <= 4 ; element i kept iff no j < i broke.
-    # Only VALID positions can host a break: the C scan walks the
-    # compacted survivor stack, so already-removed slots are not steps.
+def _stale_pass(valid: Array, buf: Array, r_prev: Array, low: Array,
+                high: Array, n: Array):
+    """One flag+removal pass with the C's full quirk set
+    (stacking.c:1674-1694): the flag scan walks the compacted survivor
+    stack (= the valid slots in sorted order) writing into a POSITIONAL
+    buffer ``rejected[rank]``, counting ``r`` cumulatively, and breaking
+    once ``N - r <= 4``; the removal loop then reads ``rejected[rank]``
+    for ALL ranks -- positions past the break point retain STALE flags
+    from the previous pass, which remove elements without being counted
+    in the rejection stats.
+
+    ``buf`` is the (F, P) int8 positional buffer (index = rank among the
+    currently valid elements). Returns (new_valid, new_buf, r_new,
+    removed, cnt_low, cnt_high).
+    """
+    f, p = valid.shape
+    fresh = low | high
+    c = jnp.cumsum(fresh.astype(jnp.int32), axis=0)
+    # break at rank j iff after counting j's flag, N - r <= 4; only valid
+    # slots are scan steps. Element hosting the break IS visited.
     broke = ((n[None, :] - (r_prev[None, :] + c)) <= 4) & valid
-    # prefix: did any earlier element break?
     broke_before = jnp.concatenate(
-        [jnp.zeros_like(broke[:1]), jnp.cumsum(broke.astype(jnp.int32), axis=0)[:-1] > 0],
-        axis=0)
-    eff = flags & ~broke_before & valid
-    r_new = r_prev + jnp.sum(eff.astype(jnp.int32), axis=0)
-    return eff, r_new
+        [jnp.zeros_like(broke[:1]),
+         jnp.cumsum(broke.astype(jnp.int32), axis=0)[:-1] > 0], axis=0)
+    visited = valid & ~broke_before
+    cnt_l = jnp.sum(low & visited, axis=0).astype(jnp.int32)
+    cnt_h = jnp.sum(high & visited, axis=0).astype(jnp.int32)
+    r_new = r_prev + jnp.sum(fresh & visited, axis=0).astype(jnp.int32)
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=0)
+    rank = cum - 1
+    buf_at = jnp.take_along_axis(buf, jnp.clip(rank, 0, f - 1), axis=0)
+    sign = jnp.where(low, -1, jnp.where(high, 1, 0)).astype(jnp.int8)
+    entry = jnp.where(visited, sign, buf_at)
+    remove = valid & (entry != 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (f, p), 1)
+    idx = jnp.where(valid, rank, f)  # invalid slots write out of bounds
+    buf_new = buf.at[idx, cols].set(jnp.where(valid, entry, 0), mode="drop")
+    new_valid = valid & ~remove
+    removed = jnp.sum(remove, axis=0).astype(jnp.int32)
+    return new_valid, buf_new, r_new, removed, cnt_l, cnt_h
 
 
 def _sigma_flags(vals: Array, valid: Array, median: Array, sigma: Array,
@@ -132,43 +185,50 @@ def _sigma_flags(vals: Array, valid: Array, median: Array, sigma: Array,
 
 # ------------------------------------------------------------- algorithms
 
-@functools.partial(jax.jit, static_argnames=("siglow", "sighigh"))
-def reject_sigma(vals: Array, siglow: float, sighigh: float):
+@functools.partial(jax.jit,
+                   static_argnames=("siglow", "sighigh", "presorted"))
+def reject_sigma(vals: Array, siglow: float, sighigh: float,
+                 active: Array = None, presorted: bool = False):
     """SIGMA rejection (stacking.c:1674-1694). Returns (valid mask over the
-    SORTED values, sorted values, rejl, rejh counts per pixel)."""
+    SORTED values, sorted values, rejl, rejh counts per pixel).
+
+    ``active`` (P,) bool: pixels to process; inactive pixels start done
+    (their valid mask stays all-true and counters stay 0), making this
+    cheap to use as an exact fallback for the window kernel's rare
+    degenerate pixels. ``presorted`` skips the sort when the caller
+    already sorted along axis 0."""
     f, p = vals.shape
-    sv = sort_axis0(vals)
+    sv = vals if presorted else sort_axis0(vals)
     valid0 = jnp.ones((f, p), dtype=bool)
+    done0 = jnp.zeros(p, bool) if active is None else ~active
 
     def cond(state):
-        _, _, done, _, _, it = state
+        _, _, _, done, _, _, it = state
         return (~jnp.all(done)) & (it < MAX_ITERS)
 
     def body(state):
-        valid, r, done, rejl, rejh, it = state
+        valid, r, buf, done, rejl, rejh, it = state
         n = jnp.sum(valid, axis=0).astype(jnp.int32)
         sigma = _gsl_sd(sv, valid, n)
         median = _gsl_median(sv, valid, n)
         low, high = _sigma_flags(sv, valid, median, sigma, siglow, sighigh)
-        flags = low | high
-        eff, r_new = _apply_early_break(flags, valid, n, r)
-        effl = eff & low
-        effh = eff & high
-        removed = jnp.sum(eff, axis=0).astype(jnp.int32)
-        new_valid = valid & ~eff
+        new_valid, new_buf, r_new, removed, cnt_l, cnt_h = _stale_pass(
+            valid, buf, r, low, high, n)
         n_new = n - removed
         # freeze pixels that are done
         upd = ~done
         valid = jnp.where(upd[None, :], new_valid, valid)
-        rejl = rejl + jnp.where(upd, jnp.sum(effl, axis=0), 0)
-        rejh = rejh + jnp.where(upd, jnp.sum(effh, axis=0), 0)
+        buf = jnp.where(upd[None, :], new_buf, buf)
+        rejl = rejl + jnp.where(upd, cnt_l, 0)
+        rejh = rejh + jnp.where(upd, cnt_h, 0)
         r = jnp.where(upd, r_new, r)
         done = done | (removed == 0) | (n_new <= 3)
-        return valid, r, done, rejl, rejh, it + 1
+        return valid, r, buf, done, rejl, rejh, it + 1
 
-    state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros(p, bool),
-             jnp.zeros(p, jnp.int32), jnp.zeros(p, jnp.int32), jnp.int32(0))
-    valid, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
+    state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros((f, p), jnp.int8),
+             done0, jnp.zeros(p, jnp.int32),
+             jnp.zeros(p, jnp.int32), jnp.int32(0))
+    valid, r, buf, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
     return valid, sv, rejl, rejh
 
 
@@ -273,30 +333,30 @@ def reject_winsorized(vals: Array, siglow: float, sighigh: float):
         return med, sig
 
     def cond(state):
-        _, _, done, _, _, it = state
+        _, _, _, done, _, _, it = state
         return (~jnp.all(done)) & (it < MAX_ITERS)
 
     def body(state):
-        valid, r, done, rejl, rejh, it = state
+        valid, r, buf, done, rejl, rejh, it = state
         n = jnp.sum(valid, axis=0).astype(jnp.int32)
         median, sigma = winsor_converge(valid, n)
         low, high = _sigma_flags(sv, valid, median, sigma, siglow, sighigh)
-        flags = low | high
-        eff, r_new = _apply_early_break(flags, valid, n, r)
-        removed = jnp.sum(eff, axis=0).astype(jnp.int32)
-        new_valid = valid & ~eff
+        new_valid, new_buf, r_new, removed, cnt_l, cnt_h = _stale_pass(
+            valid, buf, r, low, high, n)
         n_new = n - removed
         upd = ~done
         valid = jnp.where(upd[None, :], new_valid, valid)
-        rejl = rejl + jnp.where(upd, jnp.sum(eff & low, axis=0), 0)
-        rejh = rejh + jnp.where(upd, jnp.sum(eff & high, axis=0), 0)
+        buf = jnp.where(upd[None, :], new_buf, buf)
+        rejl = rejl + jnp.where(upd, cnt_l, 0)
+        rejh = rejh + jnp.where(upd, cnt_h, 0)
         r = jnp.where(upd, r_new, r)
         done = done | (removed == 0) | (n_new <= 3)
-        return valid, r, done, rejl, rejh, it + 1
+        return valid, r, buf, done, rejl, rejh, it + 1
 
-    state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros(p, bool),
-             jnp.zeros(p, jnp.int32), jnp.zeros(p, jnp.int32), jnp.int32(0))
-    valid, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
+    state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros((f, p), jnp.int8),
+             jnp.zeros(p, bool), jnp.zeros(p, jnp.int32),
+             jnp.zeros(p, jnp.int32), jnp.int32(0))
+    valid, r, buf, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
     return valid, sv_orig, rejl, rejh
 
 
@@ -314,11 +374,11 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def cond(state):
-        _, _, done, _, _, it = state
+        _, _, _, done, _, _, it = state
         return (~jnp.all(done)) & (it < MAX_ITERS)
 
     def body(state):
-        valid, r, done, rejl, rejh, it = state
+        valid, r, buf, done, rejl, rejh, it = state
         n = jnp.sum(valid, axis=0).astype(jnp.int32)
         nf = n.astype(jnp.float32)
         cum = jnp.cumsum(valid.astype(jnp.int32), axis=0)
@@ -339,22 +399,25 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
         safe_sig = jnp.maximum(sigma, 1e-30)
         low = ((fitv - sv) / safe_sig[None, :] > siglow) & valid
         high = ((sv - fitv) / safe_sig[None, :] > sighigh) & valid
-        flags = (low | high) & (sigma > 0)[None, :]
-        eff, r_new = _apply_early_break(flags, valid, n, r)
-        removed = jnp.sum(eff, axis=0).astype(jnp.int32)
-        new_valid = valid & ~eff
+        sig_pos = (sigma > 0)[None, :]
+        low = low & sig_pos
+        high = high & sig_pos
+        new_valid, new_buf, r_new, removed, cnt_l, cnt_h = _stale_pass(
+            valid, buf, r, low, high, n)
         n_new = n - removed
         upd = ~done
         valid = jnp.where(upd[None, :], new_valid, valid)
-        rejl = rejl + jnp.where(upd, jnp.sum(eff & low, axis=0), 0)
-        rejh = rejh + jnp.where(upd, jnp.sum(eff & high, axis=0), 0)
+        buf = jnp.where(upd[None, :], new_buf, buf)
+        rejl = rejl + jnp.where(upd, cnt_l, 0)
+        rejh = rejh + jnp.where(upd, cnt_h, 0)
         r = jnp.where(upd, r_new, r)
         done = done | (removed == 0) | (n_new <= 3)
-        return valid, r, done, rejl, rejh, it + 1
+        return valid, r, buf, done, rejl, rejh, it + 1
 
-    state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros(p, bool),
-             jnp.zeros(p, jnp.int32), jnp.zeros(p, jnp.int32), jnp.int32(0))
-    valid, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
+    state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros((f, p), jnp.int8),
+             jnp.zeros(p, bool), jnp.zeros(p, jnp.int32),
+             jnp.zeros(p, jnp.int32), jnp.int32(0))
+    valid, r, buf, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
     return valid, sv_orig, rejl, rejh
 
 
@@ -391,8 +454,10 @@ def reject_none(vals: Array):
 
 # ------------------------------------------------- fast window formulation
 
-@functools.partial(jax.jit, static_argnames=("siglow", "sighigh"))
-def reject_sigma_window(vals: Array, siglow: float, sighigh: float):
+@functools.partial(jax.jit,
+                   static_argnames=("siglow", "sighigh", "presorted"))
+def reject_sigma_window(vals: Array, siglow: float, sighigh: float,
+                        presorted: bool = False):
     """SIGMA rejection, window formulation — the benchmark hot path.
 
     On the sorted pixel vector, sigma clipping always removes a PREFIX
@@ -401,72 +466,86 @@ def reject_sigma_window(vals: Array, siglow: float, sighigh: float):
     per-iteration cumsum chains of the masked formulation with two
     take_along_axis gathers and ~3 fused elementwise passes.
 
-    The reference's mid-scan break (N - r <= 4, stacking.c:1684-1688) is
-    mapped to a flag budget ``N - 4 - r_prev`` applied lows-first. In the
-    (stale-memory) quirk case the reference can drop the LEAST extreme
-    highs and keep more extreme ones; this version always drops from the
-    window edges — a deviation only on that degenerate path.
+    Statistics use the same exact-integer-sum construction as _gsl_sd and
+    the mean is exact integer round-half-up, so on the NON-degenerate
+    path this kernel agrees with the compiled reference bit-for-bit
+    (tests/test_c_goldens.py).
 
-    Returns (mean uint16 (P,), rejl, rejh).
+    The one semantic gap: the reference's mid-scan break (N - r <= 4,
+    stacking.c:1684-1688) plus its stale-buffer removals cannot be
+    expressed as a contiguous window. Instead of approximating, any pixel
+    whose scan WOULD hit the break (n - r - flags <= 4 at some pass) is
+    flagged DEGENERATE and frozen; reject_and_mean re-runs exactly those
+    pixels through the exact masked kernel.
+
+    Returns (mean uint16 (P,), rejl, rejh, degenerate bool (P,)).
     """
     f, p = vals.shape
-    sv = sort_axis0(vals)
+    sv = vals if presorted else sort_axis0(vals)
     iota = jax.lax.broadcasted_iota(jnp.int32, (f, p), 0)
+    svi = sv.astype(jnp.int32)
 
     def win_stats(lo, hi):
         n = hi - lo
         nf = n.astype(jnp.float32)
         mask = (iota >= lo[None, :]) & (iota < hi[None, :])
-        svf = sv.astype(jnp.float32)
-        s1 = jnp.sum(jnp.where(mask, svf, 0.0), axis=0)
-        mean = s1 / jnp.maximum(nf, 1.0)
-        d = jnp.where(mask, svf - mean[None, :], 0.0)
-        var = jnp.sum(d * d, axis=0) / jnp.maximum(nf - 1.0, 1.0)
-        sigma = jnp.where(n > 1, jnp.sqrt(var), 0.0)
         k1 = lo + (n - 1) // 2
         k2 = lo + n // 2
-        v1 = jnp.take_along_axis(sv, k1[None, :], axis=0)[0].astype(jnp.float32)
-        v2 = jnp.take_along_axis(sv, k2[None, :], axis=0)[0].astype(jnp.float32)
-        median = 0.5 * (v1 + v2)
+        v1 = jnp.take_along_axis(svi, k1[None, :], axis=0)[0]
+        v2 = jnp.take_along_axis(svi, k2[None, :], axis=0)[0]
+        median = 0.5 * (v1 + v2).astype(jnp.float32)
+        # exact-integer sigma (see _gsl_sd): center on the low median
+        d = jnp.where(mask, svi - v1[None, :], 0)
+        s1 = jnp.sum(d, axis=0)
+        ad = jnp.abs(d)
+        hi8 = ad >> 8
+        lo8 = ad & 255
+        s2 = (jnp.sum(hi8 * hi8, axis=0).astype(jnp.float32) * 65536.0
+              + jnp.sum(hi8 * lo8, axis=0).astype(jnp.float32) * 512.0
+              + jnp.sum(lo8 * lo8, axis=0).astype(jnp.float32))
+        s1f = s1.astype(jnp.float32)
+        var = (s2 - s1f * s1f / jnp.maximum(nf, 1.0)) / jnp.maximum(nf - 1.0, 1.0)
+        sigma = jnp.where(n > 1, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
         return n, mask, median, sigma
 
     def cond(state):
-        _, _, _, done, _, _, it = state
+        _, _, _, done, _, _, _, it = state
         return (~jnp.all(done)) & (it < MAX_ITERS)
 
     def body(state):
-        lo, hi, r, done, rejl, rejh, it = state
+        lo, hi, r, done, rejl, rejh, degen, it = state
         n, mask, median, sigma = win_stats(lo, hi)
         svf = sv.astype(jnp.float32)
         low = mask & (median[None, :] - svf > siglow * sigma[None, :])
         high = mask & (svf - median[None, :] > sighigh * sigma[None, :])
         nlow = jnp.sum(low, axis=0).astype(jnp.int32)
         nhigh = jnp.sum(high, axis=0).astype(jnp.int32)
-        # flag budget from the mid-scan break quirk
-        over = (n - r) <= 4
-        budget = jnp.where(over, jnp.where(nlow > 0, 1, 0), n - 4 - r)
-        a_low = jnp.minimum(nlow, jnp.maximum(budget, 0))
-        a_high = jnp.minimum(nhigh, jnp.maximum(budget - a_low, 0))
-        removed = a_low + a_high
-        upd = ~done
-        lo = jnp.where(upd, lo + a_low, lo)
-        hi = jnp.where(upd, hi - a_high, hi)
-        rejl = rejl + jnp.where(upd, a_low, 0)
-        rejh = rejh + jnp.where(upd, a_high, 0)
+        # the C scan breaks iff n - (r + c) <= 4 for some prefix count c
+        # (max c = nlow + nhigh), incl. c == 0 when n - r <= 4 already
+        hits_break = (n - r - (nlow + nhigh)) <= 4
+        removed = nlow + nhigh
+        upd = ~done & ~hits_break
+        lo = jnp.where(upd, lo + nlow, lo)
+        hi = jnp.where(upd, hi - nhigh, hi)
+        rejl = rejl + jnp.where(upd, nlow, 0)
+        rejh = rejh + jnp.where(upd, nhigh, 0)
         r = jnp.where(upd, r + removed, r)
-        done = done | (removed == 0) | ((hi - lo) <= 3)
-        return lo, hi, r, done, rejl, rejh, it + 1
+        degen = degen | (~done & hits_break)
+        done = done | hits_break | (removed == 0) | ((hi - lo) <= 3)
+        return lo, hi, r, done, rejl, rejh, degen, it + 1
 
     z = jnp.zeros(p, jnp.int32)
     state = (z, jnp.full((p,), f, jnp.int32), z, jnp.zeros(p, bool), z, z,
-             jnp.int32(0))
-    lo, hi, r, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
-    # mean of the surviving window
+             jnp.zeros(p, bool), jnp.int32(0))
+    lo, hi, r, done, rejl, rejh, degen, _ = jax.lax.while_loop(
+        cond, body, state)
+    # exact integer mean of the surviving window
     mask = (iota >= lo[None, :]) & (iota < hi[None, :])
-    nf = (hi - lo).astype(jnp.float32)
-    s = jnp.sum(jnp.where(mask, sv.astype(jnp.float32), 0.0), axis=0)
-    mean = round_to_word(s / jnp.maximum(nf, 1.0))
-    return mean, rejl, rejh
+    n = hi - lo
+    s = jnp.sum(jnp.where(mask, svi, 0), axis=0)
+    mean = jnp.clip(jnp.where(n > 0, (2 * s + n) // jnp.maximum(2 * n, 1), 0),
+                    0, 65535).astype(jnp.uint16)
+    return mean, rejl, rejh, degen
 
 
 _ALGOS = {
@@ -479,15 +558,36 @@ _ALGOS = {
 
 
 def reject_and_mean(vals: Array, rejection: str, sig=(3.0, 3.0)):
-    """Full rejection + mean for a (F, P) block of normalized pixel values.
+    """Full rejection + mean for a (F, P) block of normalized pixel values
+    (always WORD-valued: the reference rounds to WORD before rejection,
+    stacking.c:1635-1651).
 
     Returns (uint16 mean (P,), rejlow (P,), rejhigh (P,)).
-    ``sigma`` uses the fast window formulation; ``sigma_masked`` forces
-    the reference-exact masked loop (quirk-path included).
+
+    ``sigma`` is a HYBRID: the fast window kernel handles every pixel on
+    the normal path (bit-exact vs the compiled C), and the rare pixels
+    that hit the reference's degenerate mid-scan-break path (N - r <= 4,
+    whose stale-buffer removals aren't window-shaped) are re-run through
+    the reference-exact masked kernel. ``sigma_masked`` forces the masked
+    loop for everything.
     """
     if rejection == "sigma":
-        # window kernel sorts in the input dtype (uint16 halves bandwidth)
-        return reject_sigma_window(vals, float(sig[0]), float(sig[1]))
+        # sort ONCE in the input dtype (uint16 halves sort bandwidth),
+        # run the fast window kernel, then the exact masked kernel with
+        # active=degen: when no pixel is degenerate its while_loop exits
+        # before the first pass, so the fallback costs ~nothing. Fully
+        # jit-compatible (no host branch).
+        sv = sort_axis0(vals)
+        mean, rejl, rejh, degen = reject_sigma_window(
+            sv, float(sig[0]), float(sig[1]), presorted=True)
+        valid, v, srl, srh = reject_sigma(
+            sv.astype(jnp.float32), float(sig[0]), float(sig[1]),
+            active=degen, presorted=True)
+        smean = _mean_of_survivors(v, valid)
+        mean = jnp.where(degen, smean, mean)
+        rejl = jnp.where(degen, srl, rejl)
+        rejh = jnp.where(degen, srh, rejh)
+        return mean, rejl, rejh
     if not jnp.issubdtype(vals.dtype, jnp.floating):
         vals = vals.astype(jnp.float32)
     if rejection in ("none", None):

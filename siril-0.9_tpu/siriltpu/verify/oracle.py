@@ -73,153 +73,273 @@ def gsl_median_sorted(a: np.ndarray) -> float:
     return (float(a[n // 2 - 1]) + float(a[n // 2])) / 2.0
 
 
-def gsl_sd(a: np.ndarray) -> float:
-    """gsl_stats_ushort_sd: SAMPLE standard deviation (N-1)."""
-    n = a.size
-    if n < 2:
-        return 0.0
-    m = a.astype(np.float64).mean()
-    return float(np.sqrt(((a.astype(np.float64) - m) ** 2).sum() / (n - 1)))
+def gsl_sd(a) -> float:
+    """gsl_stats_ushort_sd, bit-faithful to GSL 2.x: the mean is the
+    long-double recurrence m += (x-m)/(i+1) (mean_source.c) returned as
+    double; the variance recurrence runs on double deltas accumulated in
+    long double (variance_source.c); sd = sqrt(var * n/(n-1)). The result
+    is ORDER-DEPENDENT — callers must pass values in the same arrangement
+    the C sees (pre-quicksort!)."""
+    a = list(a)
+    n = len(a)
+    ld = np.longdouble
+    m = ld(0.0)
+    for i, v in enumerate(a):
+        m += (ld(v) - m) / ld(i + 1)
+    mean = np.float64(m)
+    var = ld(0.0)
+    for i, v in enumerate(a):
+        delta = ld(np.float64(v) - mean)  # C computes the delta in double
+        var += (delta * delta - var) / ld(i + 1)
+    variance = np.float64(var)
+    return float(np.sqrt(variance * (np.float64(n) / np.float64(n - 1))))
+
+
+def gsl_fit_linear(y) -> tuple:
+    """gsl_fit_linear over x = 0..n-1, bit-faithful to GSL fit/linear.c
+    (double recurrence means, centered moments). Returns (b, a) =
+    (intercept c0, slope c1) like the reference's call
+    (stacking.c:1764)."""
+    n = len(y)
+    m_x = np.float64(0.0)
+    m_y = np.float64(0.0)
+    m_dx2 = np.float64(0.0)
+    m_dxdy = np.float64(0.0)
+    for i in range(n):
+        m_x += (np.float64(i) - m_x) / np.float64(i + 1.0)
+        m_y += (np.float64(y[i]) - m_y) / np.float64(i + 1.0)
+    for i in range(n):
+        dx = np.float64(i) - m_x
+        dy = np.float64(y[i]) - m_y
+        m_dx2 += (dx * dx - m_dx2) / np.float64(i + 1.0)
+        m_dxdy += (dx * dy - m_dxdy) / np.float64(i + 1.0)
+    b1 = m_dxdy / m_dx2
+    b0 = m_y - m_x * b1
+    return float(b0), float(b1)
 
 
 # --------------------------------------------------- rejection (per pixel)
 
-def _percentile_flag(pixel: float, sig, median: float) -> int:
-    if median == 0:
-        median = 1e-300  # C divides by 0.0 -> inf comparisons; avoid warnings
-    if (median - pixel) / median > sig[0]:
+def _round_word(x) -> int:
+    """round_to_WORD (utils.c:68-74): <=0 -> 0, >65535 -> 65535, else
+    C cast of x+0.5 (truncation)."""
+    x = float(x)
+    if x <= 0.0:
+        return 0
+    if x > 65535.0:
+        return 65535
+    return int(np.float64(x) + np.float64(0.5))
+
+
+def _percentile_clipping(pixel, sig, median, crej) -> int:
+    """percentile_clipping (stacking.c:1130-1143). median == 0 divides by
+    zero in C; IEEE inf/nan comparison semantics preserved via float64."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if np.float64(median - np.float64(pixel)) / np.float64(median) > sig[0]:
+            crej[0] += 1
+            return -1
+        if np.float64(np.float64(pixel) - median) / np.float64(median) > sig[1]:
+            crej[1] += 1
+            return 1
+    return 0
+
+
+def _sigma_clipping(pixel, sig, sigma, median, crej) -> int:
+    """sigma_clipping (stacking.c:1148-1161)."""
+    if median - np.float64(pixel) > sig[0] * sigma:
+        crej[0] += 1
         return -1
-    if (pixel - median) / median > sig[1]:
+    if np.float64(pixel) - median > sig[1] * sigma:
+        crej[1] += 1
         return 1
     return 0
 
 
-def _sigma_flag(pixel: float, sig, sigma: float, median: float) -> int:
-    if median - pixel > sig[0] * sigma:
-        return -1
-    if pixel - median > sig[1] * sigma:
-        return 1
+def _line_clipping(pixel, sig, sigma, i, a, b, crej) -> int:
+    """line_clipping (stacking.c:1169-1182); left-to-right FP order kept."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if (a * np.float64(i) + b - np.float64(pixel)) / np.float64(sigma) > sig[0]:
+            crej[0] += 1
+            return -1
+        if (np.float64(pixel) - a * np.float64(i) - b) / np.float64(sigma) > sig[1]:
+            crej[1] += 1
+            return 1
     return 0
 
 
-def reject_pixel(stack: np.ndarray, rejection: str, sig) -> np.ndarray:
-    """Run the reference's per-pixel rejection loop
-    (stacking.c:1656-1788) on one cross-frame pixel vector; returns the
-    surviving values (uint16). ``rejection`` in {none, percentile, sigma,
-    sigmedian, winsorized, linearfit}."""
-    stack = np.array(stack, dtype=np.uint16)
-    N = stack.size
-    if rejection == "none":
-        return stack
+def c_reject_block(vec, rejection: str, sig):
+    """Literal mirror of the per-pixel rejection switch
+    (stacking.c:1656-1793) with every quirk intact:
+
+    - ``r`` accumulates ACROSS do-while passes; the flag loop breaks as
+      soon as ``N - r <= 4`` (checked after every element, flagged or not);
+    - after a break, the removal loop keeps reading ``rejected[j]`` beyond
+      the break point -- STALE flags from the previous pass (the buffer is
+      reused, stacking.c:1679-1694). Initial buffer state is pinned to
+      zeros, matching the parity goldens;
+    - PERCENTILE's removal loop refuses to go below N == 1 (:1667-1673);
+    - GSL statistics are evaluated with GSL's own recurrence algorithms
+      (gsl_sd / gsl_fit_linear above) on the PRE-SORT arrangement, as the
+      C does (sd is computed before quicksort_s each pass);
+    - LINEARFIT's sigma is the sequential double accumulation of absolute
+      residuals (:1766-1769).
+
+    Returns (survivors uint16 ndarray, [rejlow, rejhigh]). Verified
+    bit-exact against the compiled reference in tests/test_c_goldens.py.
+    """
+    stack = [int(v) for v in np.asarray(vec).reshape(-1)]
+    nb = len(stack)
+    N = nb
+    rejected = [0] * nb
+    crej = [0, 0]
+    r = 0
+    sig = (float(sig[0]), float(sig[1]))
+
+    if rejection in ("none", None):
+        return np.array(stack, np.uint16), crej
 
     if rejection == "percentile":
-        s = np.sort(stack)
-        median = gsl_median_sorted(s)
-        flags = np.array([_percentile_flag(float(p), sig, median) for p in s])
-        if N > 1:
-            s = s[flags == 0]
-        return s
+        stack.sort()
+        median = gsl_median_sorted(np.array(stack))
+        for f in range(N):
+            rejected[f] = _percentile_clipping(stack[f], sig, median, crej)
+        frame = 0
+        j = 0
+        while frame < N:
+            if rejected[j] != 0 and N > 1:
+                del stack[frame]
+                N -= 1
+                frame -= 1
+            frame += 1
+            j += 1
+        return np.array(stack[:N], np.uint16), crej
 
     if rejection == "sigma":
-        s = np.sort(stack)
-        r = 0
         while True:
-            sigma = gsl_sd(s)
-            s = np.sort(s)
-            median = gsl_median_sorted(s)
-            flags = np.zeros(s.size, dtype=int)
-            for i in range(s.size):
-                flags[i] = _sigma_flag(float(s[i]), sig, sigma, median)
-                if flags[i]:
+            sigma = gsl_sd(stack)          # pre-sort arrangement
+            stack.sort()
+            median = gsl_median_sorted(np.array(stack))
+            n = 0
+            for frame in range(N):
+                rejected[frame] = _sigma_clipping(stack[frame], sig, sigma,
+                                                  median, crej)
+                if rejected[frame]:
                     r += 1
-                if s.size - r <= 4:
+                if N - r <= 4:
                     break
-            keep = flags == 0
-            n_removed = int((~keep).sum())
-            s = s[keep]
-            if not (n_removed > 0 and s.size > 3):
-                return s
+            frame = 0
+            j = 0
+            while frame < N - n:
+                if rejected[j] != 0:
+                    del stack[frame]
+                    n += 1
+                    frame -= 1
+                frame += 1
+                j += 1
+            N = N - n
+            if not (n > 0 and N > 3):
+                break
+        return np.array(stack[:N], np.uint16), crej
 
     if rejection == "sigmedian":
-        s = np.sort(stack)
         while True:
-            sigma = gsl_sd(s)
-            s = np.sort(s)
-            median = gsl_median_sorted(s)
+            sigma = gsl_sd(stack)
+            stack.sort()
+            median = gsl_median_sorted(np.array(stack))
             n = 0
-            for i in range(s.size):
-                if _sigma_flag(float(s[i]), sig, sigma, median):
-                    s[i] = np_round_to_word(median)
+            for frame in range(N):
+                if _sigma_clipping(stack[frame], sig, sigma, median, crej):
+                    stack[frame] = _round_word(median)
                     n += 1
-            if not (n > 0 and s.size > 3):
-                return s
+            if not (n > 0 and N > 3):
+                break
+        return np.array(stack, np.uint16), crej
 
     if rejection == "winsorized":
-        s = np.sort(stack)
-        r = 0
         while True:
-            sigma = gsl_sd(s)
-            s = np.sort(s)
-            median = gsl_median_sorted(s)
-            w = s.copy()
+            sigma = gsl_sd(stack)
+            stack.sort()
+            median = gsl_median_sorted(np.array(stack))
+            w = list(stack)
             while True:
                 m0 = median - 1.5 * sigma
                 m1 = median + 1.5 * sigma
-                w = np.where(w < m0, np_round_to_word(m0),
-                             np.where(w > m1, np_round_to_word(m1), w)).astype(np.uint16)
-                w = np.sort(w)
-                median = gsl_median_sorted(w)
+                for jj in range(N):
+                    if np.float64(w[jj]) < m0:
+                        w[jj] = _round_word(m0)
+                    elif np.float64(w[jj]) > m1:
+                        w[jj] = _round_word(m1)
+                w.sort()
+                median = gsl_median_sorted(np.array(w))
                 sigma0 = sigma
                 sigma = 1.134 * gsl_sd(w)
-                if sigma0 == 0 or abs(sigma - sigma0) / sigma0 <= 0.0005:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cont = (np.float64(abs(np.float64(sigma) - sigma0))
+                            / np.float64(sigma0)) > 0.0005
+                if not cont:   # NaN (sigma0 == 0) exits like C
                     break
-            flags = np.zeros(s.size, dtype=int)
-            for i in range(s.size):
-                flags[i] = _sigma_flag(float(s[i]), sig, sigma, median)
-                if flags[i]:
+            n = 0
+            for frame in range(N):
+                rejected[frame] = _sigma_clipping(stack[frame], sig, sigma,
+                                                  median, crej)
+                if rejected[frame] != 0:
                     r += 1
-                if s.size - r <= 4:
+                if N - r <= 4:
                     break
-            keep = flags == 0
-            n_removed = int((~keep).sum())
-            s = s[keep]
-            if not (n_removed > 0 and s.size > 3):
-                return s
+            frame = 0
+            j = 0
+            while frame < N - n:
+                if rejected[j] != 0:
+                    del stack[frame]
+                    frame -= 1
+                    n += 1
+                frame += 1
+                j += 1
+            N = N - n
+            if not (n > 0 and N > 3):
+                break
+        return np.array(stack[:N], np.uint16), crej
 
     if rejection == "linearfit":
-        s = np.sort(stack)
-        r = 0
         while True:
-            s = np.sort(s)
-            x = np.arange(s.size, dtype=np.float64)
-            y = s.astype(np.float64)
-            # gsl_fit_linear
-            xm, ym = x.mean(), y.mean()
-            ssxx = ((x - xm) ** 2).sum()
-            a = (((x - xm) * (y - ym)).sum() / ssxx) if ssxx > 0 else 0.0
-            b = ym - a * xm
-            sigma = np.abs(y - (a * x + b)).mean()
-            flags = np.zeros(s.size, dtype=int)
-            for i in range(s.size):
-                fit = a * i + b
-                if sigma > 0:
-                    if (fit - float(s[i])) / sigma > sig[0]:
-                        flags[i] = -1
-                    elif (float(s[i]) - fit) / sigma > sig[1]:
-                        flags[i] = 1
-                else:
-                    flags[i] = 0
-                if flags[i]:
+            stack.sort()
+            b, a = gsl_fit_linear(stack)
+            sigma = np.float64(0.0)
+            for frame in range(N):
+                sigma += np.float64(
+                    abs(np.float64(stack[frame])
+                        - (a * np.float64(frame) + b)))
+            sigma = float(sigma / np.float64(N))
+            n = 0
+            for frame in range(N):
+                rejected[frame] = _line_clipping(stack[frame], sig, sigma,
+                                                 frame, a, b, crej)
+                if rejected[frame] != 0:
                     r += 1
-                if s.size - r <= 4:
+                if N - r <= 4:
                     break
-            keep = flags == 0
-            n_removed = int((~keep).sum())
-            s = s[keep]
-            if not (n_removed > 0 and s.size > 3):
-                return s
+            frame = 0
+            j = 0
+            while frame < N - n:
+                if rejected[j] != 0:
+                    del stack[frame]
+                    frame -= 1
+                    n += 1
+                frame += 1
+                j += 1
+            N = N - n
+            if not (n > 0 and N > 3):
+                break
+        return np.array(stack[:N], np.uint16), crej
 
     raise ValueError(f"unknown rejection {rejection}")
+
+
+def reject_pixel(stack: np.ndarray, rejection: str, sig) -> np.ndarray:
+    """Surviving values of the reference's per-pixel rejection loop; see
+    c_reject_block for the full semantics."""
+    surv, _ = c_reject_block(stack, rejection, sig)
+    return surv
 
 
 def normalize_pixel_vector(pix: np.ndarray, mode: str, scale, offset, mul) -> np.ndarray:

@@ -221,3 +221,85 @@ def test_rejection_hard_values(rejection):
                                                  (3.0, 3.0))) > 1
                    for j in range(P))
         assert nbad == 0
+
+
+def test_linearfit_only_ties_deviate():
+    """Precision-boundary contract (PARITY.md round-2 section): on real
+    starfield data, every device-vs-oracle linearfit disagreement must be
+    an EXACT TIE — a pixel whose residual/sigma ratio sits within 1e-9 of
+    the clip threshold in the f64 oracle (where the C's own answer is
+    double-rounding noise). Any disagreement with a real margin is a bug.
+    """
+    import numpy as np
+    from siriltpu.testing.synth import make_sequence_frames
+    from siriltpu.verify import oracle
+
+    import jax.numpy as jnp
+
+    frames, _, _ = make_sequence_frames(8, 32, 32, seed=7,
+                                        shifts=np.zeros((8, 2), int))
+    flat = frames[:, 0].reshape(8, -1)
+    sig = (2.0, 1.5)
+    gm, _, _ = reject_and_mean(jnp.asarray(flat, jnp.float32),
+                               "linearfit", sig)
+    gm = np.asarray(gm)
+    real_bugs = []
+    nties = 0
+    for pidx in range(flat.shape[1]):
+        surv, _ = oracle.c_reject_block(flat[:, pidx], "linearfit", sig)
+        with np.errstate(all="ignore"):
+            want = (oracle._round_word(
+                surv.astype(np.float64).sum() / surv.size)
+                if surv.size else 0)
+        if int(gm[pidx]) == want:
+            continue
+        # disagreement: measure the minimum threshold margin across the
+        # oracle's passes
+        stack = [int(v) for v in flat[:, pidx]]
+        N = len(stack)
+        rejected = [0] * N
+        crej = [0, 0]
+        r = 0
+        mmin = np.inf
+        while True:
+            stack.sort()
+            b, a = oracle.gsl_fit_linear(stack)
+            s = np.float64(0.0)
+            for f_ in range(N):
+                s += np.float64(abs(np.float64(stack[f_])
+                                    - (a * np.float64(f_) + b)))
+            s = float(s / np.float64(N))
+            if s > 0:
+                for i, v in enumerate(stack):
+                    lo = (a * np.float64(i) + b - np.float64(v)) \
+                        / np.float64(s) - sig[0]
+                    hi = (np.float64(v) - a * np.float64(i) - b) \
+                        / np.float64(s) - sig[1]
+                    mmin = min(mmin, abs(lo), abs(hi))
+            n = 0
+            NN = N
+            for frame in range(NN):
+                rejected[frame] = oracle._line_clipping(
+                    stack[frame], sig, s, frame, a, b, crej)
+                if rejected[frame]:
+                    r += 1
+                if NN - r <= 4:
+                    break
+            frame = 0
+            j = 0
+            while frame < NN - n:
+                if rejected[j] != 0:
+                    del stack[frame]
+                    frame -= 1
+                    n += 1
+                frame += 1
+                j += 1
+            N -= n
+            if not (n > 0 and N > 3):
+                break
+        if mmin < 1e-9:
+            nties += 1
+        else:
+            real_bugs.append((pidx, flat[:, pidx].tolist(), mmin))
+    assert not real_bugs, \
+        f"non-tie linearfit mismatches (real bugs): {real_bugs[:3]}"
