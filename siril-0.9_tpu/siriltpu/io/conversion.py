@@ -6,9 +6,8 @@ CONVMULTIPLE (src/core/siril.h:155-163), worker ``convert_thread_worker``
 raw-extension table with per-vendor Bayer patterns (:51-74).
 
 Inputs: FITS, SER (split into frames), PNM, BMP/PNG/JPG/TIFF via
-imageio. DSLR raw (CR2/NEF/ARW/...) requires a raw decoder (libraw/rawpy)
-that is not present in this environment; such files are skipped with a
-notice.
+imageio, and DSLR raw (CR2/NEF/ARW/... via rawpy when available;
+uncompressed DNG always, through the built-in decoder in io/raw.py).
 """
 
 from __future__ import annotations
@@ -24,12 +23,15 @@ from siriltpu.io.formats import load_any
 from siriltpu.io.ser import SerFile
 
 RAW_EXTENSIONS = {
-    # conversion.c:51-74 (vendor, default bayer pattern)
-    "cr2": "RGGB", "crw": "RGGB", "nef": "RGGB", "nrw": "RGGB",
-    "arw": "RGGB", "srf": "RGGB", "sr2": "RGGB", "orf": "RGGB",
-    "raf": "RGGB", "pef": "RGGB", "ptx": "RGGB", "rw2": "RGGB",
-    "raw": "RGGB", "dng": "RGGB", "kdc": "RGGB", "dcr": "RGGB",
-    "mrw": "RGGB", "mef": "RGGB", "3fr": "RGGB", "x3f": "RGGB",
+    # supported_raw[] with per-vendor default Bayer pattern
+    # (conversion.c:51-74); None = BAYER_FILTER_NONE (untested/unsupported
+    # pattern in the reference)
+    "dng": "RGGB", "mos": "RGGB", "cr2": "RGGB", "crw": "RGGB",
+    "bay": None, "erf": "RGGB", "raf": "GBRG", "3fr": "GRBG",
+    "kdc": "GRBG", "dcr": "GRBG", "mef": "RGGB", "mrw": "RGGB",
+    "nef": "RGGB", "nrw": "RGGB", "orf": "GRBG", "raw": "RGGB",
+    "rw2": "BGGR", "pef": "BGGR", "ptx": None, "x3f": None,
+    "srw": "BGGR", "arw": "RGGB",
 }
 
 IMAGE_EXTENSIONS = ("png", "jpg", "jpeg", "tif", "tiff", "bmp", "ppm",
@@ -62,12 +64,21 @@ def convert_dir(directory: str, basename: str, *, to_ser: bool = False,
             for i in range(ser.frame_count):
                 frames.append(ser.read_frame(i, debayer=debayer))
         elif ext in RAW_EXTENSIONS:
+            # readraw_in_cfa / readraw via rawpy or the built-in DNG
+            # decoder (io/raw.py). The decoder's own pattern (from
+            # CFAPattern / the libraw filter descriptor) wins over the
+            # per-vendor default, like use_bayer_header
+            # (conversion.c:753-767).
+            from siriltpu.io.raw import read_raw
             try:
-                import rawpy  # noqa: F401
-            except ImportError:
-                print(f"Skipping {os.path.basename(path)}: DSLR raw "
-                      f"decoding requires libraw/rawpy (not available)")
+                frame = read_raw(path, cfa=not debayer)
+            except (ValueError, OSError) as exc:
+                print(f"Skipping {os.path.basename(path)}: {exc}")
                 continue
+            if frame.meta.get("bayer_pattern") is None and \
+                    RAW_EXTENSIONS[ext]:
+                frame.meta["bayer_pattern"] = RAW_EXTENSIONS[ext]
+            frames.append(frame)
         else:
             frame = load_any(path)
             if frame is None:

@@ -1,0 +1,263 @@
+"""DSLR RAW decoding.
+
+Reference behavior being replaced (src/io/image_formats_libraries.c):
+
+- ``readraw_in_cfa`` (:830-973): unpack the raw sensor plane, crop the
+  masked margins, derive the Bayer pattern string from the filter
+  descriptor, store as a MONO uint16 fits with ``bayer_pattern`` set,
+  then ``open_raw_files`` (:975-996) vertically flips into Siril's
+  bottom-up convention (``mirrorx``).
+- ``readraw`` (:664-828): libraw's full postprocessing (demosaic, WB) —
+  the siriltpu equivalent is decode-CFA + the 5 native demosaic methods
+  (``debayer_if_needed`` semantics, src/io/conversion.c:736-781).
+
+This environment has neither libraw nor rawpy, so the decode path is:
+
+1. ``rawpy`` when importable (covers every libraw format), mirroring
+   ``readraw_in_cfa``'s margins/pattern handling;
+2. a built-in pure-NumPy TIFF/DNG reader for UNCOMPRESSED CFA DNGs
+   (8/12/14/16-bit packed, strips or tiles) — DNG is just TIFF tags
+   around a CFA plane, so no external decoder is needed.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+from siriltpu.core.frame import Frame
+
+# DNG/TIFF tags
+T_NEWSUBFILETYPE = 254
+T_WIDTH = 256
+T_HEIGHT = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
+T_ROWS_PER_STRIP = 278
+T_STRIP_COUNTS = 279
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_COUNTS = 325
+T_SUBIFDS = 330
+T_CFA_DIM = 33421
+T_CFA_PATTERN = 33422
+T_DNG_VERSION = 50706
+
+PHOTOMETRIC_CFA = 32803
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8}
+
+
+class _Tiff:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        if buf[:2] == b"II":
+            self.e = "<"
+        elif buf[:2] == b"MM":
+            self.e = ">"
+        else:
+            raise ValueError("not a TIFF/DNG file")
+        magic = struct.unpack_from(self.e + "H", buf, 2)[0]
+        if magic != 42:
+            raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+        self.first_ifd = struct.unpack_from(self.e + "I", buf, 4)[0]
+
+    def read_ifd(self, off: int) -> Tuple[dict, int]:
+        n = struct.unpack_from(self.e + "H", self.buf, off)[0]
+        tags = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tag, typ, count = struct.unpack_from(self.e + "HHI", self.buf,
+                                                 base)
+            size = _TYPE_SIZE.get(typ, 1) * count
+            if size <= 4:
+                raw = self.buf[base + 8: base + 8 + size]
+            else:
+                ptr = struct.unpack_from(self.e + "I", self.buf, base + 8)[0]
+                raw = self.buf[ptr: ptr + size]
+            tags[tag] = self._decode(typ, count, raw)
+        nxt = struct.unpack_from(self.e + "I", self.buf, off + 2 + 12 * n)[0]
+        return tags, nxt
+
+    def _decode(self, typ: int, count: int, raw: bytes):
+        if typ in (1, 6, 7):
+            return np.frombuffer(raw, np.uint8, count)
+        if typ == 2:
+            return raw.split(b"\0")[0].decode("ascii", "replace")
+        fmt = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}.get(typ)
+        if fmt:
+            return np.frombuffer(raw, np.dtype(self.e + fmt), count)
+        if typ in (5, 10):  # rationals
+            ints = np.frombuffer(
+                raw, np.dtype(self.e + ("i" if typ == 10 else "I")),
+                count * 2).astype(np.float64)
+            return ints[0::2] / np.where(ints[1::2] == 0, 1, ints[1::2])
+        return np.frombuffer(raw, np.uint8, len(raw))
+
+    def all_ifds(self):
+        """Walk the IFD chain plus SubIFDs, yielding tag dicts."""
+        seen = set()
+        stack = [self.first_ifd]
+        while stack:
+            off = stack.pop()
+            if not off or off in seen or off >= len(self.buf):
+                continue
+            seen.add(off)
+            tags, nxt = self.read_ifd(off)
+            yield tags
+            if nxt:
+                stack.append(nxt)
+            if T_SUBIFDS in tags:
+                stack.extend(int(x) for x in np.atleast_1d(tags[T_SUBIFDS]))
+
+
+def _unpack_bits(data: np.ndarray, bits: int, npix: int,
+                 little: bool) -> np.ndarray:
+    """Unpack a big-endian (TIFF FillOrder=1) bit-packed sample stream."""
+    if bits == 8:
+        return data[:npix].astype(np.uint16)
+    if bits == 16:
+        dt = "<u2" if little else ">u2"
+        return np.frombuffer(data.tobytes(), dt, npix).astype(np.uint16)
+    # 12/14/10-bit packed, MSB-first across byte boundaries
+    bitarr = np.unpackbits(data)
+    usable = (bitarr.size // bits) * bits
+    groups = bitarr[:usable].reshape(-1, bits)[:npix]
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+    return (groups.astype(np.uint32) * weights).sum(axis=1).astype(np.uint16)
+
+
+_CFA_LETTERS = "RGB"  # CFAPattern values 0=R 1=G 2=B
+
+
+def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode an uncompressed CFA DNG with no external dependencies.
+
+    Returns (cfa uint16 (H, W) top-down, bayer pattern string e.g. "RGGB").
+    Raises ValueError for compressed or non-CFA files.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    cfa_ifd = None
+    for tags in t.all_ifds():
+        if tags.get(T_PHOTOMETRIC) is not None and \
+                int(np.atleast_1d(tags[T_PHOTOMETRIC])[0]) == PHOTOMETRIC_CFA:
+            cfa_ifd = tags
+            break
+    if cfa_ifd is None:
+        raise ValueError(f"{path}: no CFA image found (not a raw DNG?)")
+    tags = cfa_ifd
+    comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [1]))[0])
+    if comp != 1:
+        raise ValueError(
+            f"{path}: compressed DNG (compression={comp}) needs rawpy; "
+            f"only uncompressed DNG is supported without it")
+    w = int(np.atleast_1d(tags[T_WIDTH])[0])
+    h = int(np.atleast_1d(tags[T_HEIGHT])[0])
+    bits = int(np.atleast_1d(tags[T_BITS])[0])
+    little = t.e == "<"
+
+    out = np.zeros(h * w, dtype=np.uint16)
+    if T_TILE_OFFSETS in tags:
+        tw = int(np.atleast_1d(tags[T_TILE_WIDTH])[0])
+        th = int(np.atleast_1d(tags[T_TILE_LENGTH])[0])
+        offs = np.atleast_1d(tags[T_TILE_OFFSETS]).astype(np.int64)
+        cnts = np.atleast_1d(tags[T_TILE_COUNTS]).astype(np.int64)
+        out2 = out.reshape(h, w)
+        ti = 0
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                data = np.frombuffer(buf, np.uint8, int(cnts[ti]),
+                                     int(offs[ti]))
+                tile = _unpack_bits(data, bits, tw * th,
+                                    little).reshape(th, tw)
+                out2[ty: ty + th, tx: tx + tw] = \
+                    tile[: min(th, h - ty), : min(tw, w - tx)]
+                ti += 1
+    else:
+        offs = np.atleast_1d(tags[T_STRIP_OFFSETS]).astype(np.int64)
+        cnts = np.atleast_1d(tags[T_STRIP_COUNTS]).astype(np.int64)
+        rps = int(np.atleast_1d(tags.get(T_ROWS_PER_STRIP, [h]))[0])
+        pos = 0
+        for si in range(len(offs)):
+            rows = min(rps, h - si * rps)
+            data = np.frombuffer(buf, np.uint8, int(cnts[si]), int(offs[si]))
+            out[pos: pos + rows * w] = _unpack_bits(data, bits, rows * w,
+                                                    little)
+            pos += rows * w
+    cfa = out.reshape(h, w)
+
+    dim = np.atleast_1d(tags.get(T_CFA_DIM, np.array([2, 2])))
+    pat = np.atleast_1d(tags.get(T_CFA_PATTERN, np.array([0, 1, 1, 2])))
+    if int(dim[0]) != 2 or int(dim[1]) != 2:
+        raise ValueError(f"{path}: non-2x2 CFA pattern unsupported "
+                         f"(X-Trans etc.), like the reference "
+                         f"(image_formats_libraries.c:894-900)")
+    pattern = "".join(_CFA_LETTERS[int(v)] for v in pat[:4])
+    return cfa, pattern
+
+
+def _rawpy_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """readraw_in_cfa semantics through rawpy/libraw: visible-area crop,
+    pattern from the filter descriptor."""
+    import rawpy
+    with rawpy.imread(path) as raw:
+        desc = raw.color_desc.decode("ascii")
+        pat_idx = raw.raw_pattern  # (2,2) indices into desc
+        if pat_idx.shape != (2, 2):
+            raise ValueError("non-Bayer sensor (X-Trans?) not supported, "
+                             "like the reference")
+        pattern = "".join(desc[pat_idx[r, c]]
+                          for r in range(2) for c in range(2))
+        sizes = raw.sizes
+        top, left = sizes.top_margin, sizes.left_margin
+        h, w = sizes.iheight, sizes.iwidth
+        cfa = np.ascontiguousarray(
+            raw.raw_image[top: top + h, left: left + w]).astype(np.uint16)
+    return cfa, pattern
+
+
+def read_raw_cfa(path: str) -> Frame:
+    """Load a camera raw as a mono CFA Frame (readraw_in_cfa +
+    open_raw_files's vertical flip, image_formats_libraries.c:830,989).
+    The Bayer pattern is stored in ``meta['bayer_pattern']``."""
+    try:
+        import rawpy  # noqa: F401
+        cfa, pattern = _rawpy_cfa(path)
+    except ImportError:
+        if not path.lower().endswith(".dng"):
+            raise ValueError(
+                f"{os.path.basename(path)}: decoding this raw format "
+                f"requires rawpy/libraw (absent); only uncompressed DNG "
+                f"has a built-in decoder")
+        cfa, pattern = read_dng_cfa(path)
+    frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
+    frame.meta["bayer_pattern"] = pattern
+    return frame
+
+
+def read_raw(path: str, *, cfa: bool = False, method: str = "vng") -> Frame:
+    """Load a camera raw; ``cfa=False`` also demosaics (the ``readraw``
+    counterpart: decode + debayer with the configured method,
+    conversion.c:736-781 semantics: flip to top-down, debayer, flip back).
+    """
+    frame = read_raw_cfa(path)
+    if cfa:
+        return frame
+    from siriltpu.ops.demosaic import debayer_buffer
+    topdown = frame.data[0][::-1]
+    rgb = debayer_buffer(topdown, frame.meta["bayer_pattern"], method)
+    out = Frame(np.ascontiguousarray(rgb[:, ::-1]))
+    out.meta.update(frame.meta)
+    return out
+
+
+__all__ = ["read_raw", "read_raw_cfa", "read_dng_cfa"]
