@@ -143,10 +143,22 @@ def _make_bench_frames(key, shifts: Array, nframes: int, size: int) -> Array:
     amps = jax.random.uniform(ka, (npts,), minval=5000.0, maxval=40000.0)
     base = base.at[ys, xs].add(amps)
 
+    yy = jnp.arange(size, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(size, dtype=jnp.int32)[None, :]
+
     def one(i):
         noise = 10.0 * jax.random.normal(
             jax.random.fold_in(kn, i), (size, size), jnp.float32)
-        shifted = jnp.roll(base, (shifts[i, 1], shifts[i, 0]), axis=(0, 1))
+        sy, sx = shifts[i, 1], shifts[i, 0]
+        # ZERO-FILL shift (not circular): out[y,x] = base[y-sy, x-sx] or 0,
+        # like a real capture drifting off-frame. The central registration
+        # selection never sees the border (|shift| <= 20 << margin), so
+        # the recovered-shift assertion stays exact, while the stack edges
+        # exercise the reference's zero-fill path on real zero edges.
+        rolled = jnp.roll(base, (sy, sx), axis=(0, 1))
+        inb = ((yy - sy >= 0) & (yy - sy < size)
+               & (xx - sx >= 0) & (xx - sx < size))
+        shifted = jnp.where(inb, rolled, 0.0)
         return jnp.clip(shifted + noise, 0, 65535).astype(jnp.uint16)
 
     return jax.lax.map(one, jnp.arange(nframes))

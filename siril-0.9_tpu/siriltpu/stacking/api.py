@@ -393,19 +393,33 @@ def _stack_sequence_streaming(seq, indices, shifts, *, method: str,
     median_kernel = _make_median_kernel(normalize) if method == "median" else None
     mean_kernel = (_make_block_kernel(normalize, rejection, tuple(sig))
                    if method == "mean" else None)
-    for ch in range(c):
-        for r0 in range(0, h, block_rows):
-            r1 = min(r0 + block_rows, h)
+
+    # Double-buffered streaming (SURVEY §7.2 M7, mirroring the reference's
+    # blockwise reads stacking.c:1535-1591): a host thread reads block i+1
+    # from disk and starts its async device upload while the device
+    # computes block i. The np.asarray() readback of block i is what
+    # blocks the main thread, so disk + PCIe time hides under compute.
+    blocks = [(ch, r0, min(r0 + block_rows, h))
+              for ch in range(c) for r0 in range(0, h, block_rows)]
+    sy_med = np.zeros(f, np.int32)
+
+    def load(task):
+        ch, r0, r1 = task
+        sy = sy_med if method == "median" else shifts[:, 1]
+        host = _gather_block_rows_from_seq(seq, ch, r0, r1, indices, sy)
+        return jax.device_put(host)  # async H2D; returns immediately
+
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(load, blocks[0])
+        for bi, (ch, r0, r1) in enumerate(blocks):
+            dev = fut.result()
+            if bi + 1 < len(blocks):
+                fut = pool.submit(load, blocks[bi + 1])
             if method == "median":
-                # the reference median stack reads without shifts
-                block = _gather_block_rows_from_seq(
-                    seq, ch, r0, r1, indices, np.zeros(f, np.int32))
-                out[ch, r0:r1] = np.asarray(
-                    median_kernel(jnp.asarray(block), coeff_arr))
+                out[ch, r0:r1] = np.asarray(median_kernel(dev, coeff_arr))
             else:
-                block = _gather_block_rows_from_seq(
-                    seq, ch, r0, r1, indices, shifts[:, 1])
-                o, rl, rh = mean_kernel(jnp.asarray(block), coeff_arr, sx)
+                o, rl, rh = mean_kernel(dev, coeff_arr, sx)
                 out[ch, r0:r1] = np.asarray(o)
                 rejl[ch] += int(rl)
                 rejh[ch] += int(rh)
