@@ -20,7 +20,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from siriltpu.core.frame import Rect, select_area
-from siriltpu.ops.ecc import ecc_find_translation
 from siriltpu.ops.fftreg import register_shift_frames
 from siriltpu.ops.quality import (QUALTYPE_NORMAL, normalize_quality,
                                   quality_estimate)
@@ -97,20 +96,32 @@ def register_ecc(seq, layer: int, *, process_all_frames: bool = True
     qualities = np.full(seq.number, np.nan)
     qualities[ref_image] = quality_estimate(ref_layer, QUALTYPE_NORMAL)
     failed = 0
-    for i in indices:
-        if i == ref_image:
-            reg[i].shiftx = 0
-            reg[i].shifty = 0
-            continue
-        im = seq.read_frame(i)
-        dx, dy, rho = ecc_find_translation(ref_layer, im.layer(layer))
-        if rho <= 0:
-            seq.set_included(i, False)
-            failed += 1
-            continue
-        qualities[i] = quality_estimate(im.layer(layer), QUALTYPE_NORMAL)
-        reg[i].shiftx = int(-np_round_to_int(dx))
-        reg[i].shifty = int(-np_round_to_int(dy))
+    others = [i for i in indices if i != ref_image]
+    reg[ref_image].shiftx = 0
+    reg[ref_image].shifty = 0
+    # batched device ECC: all frames align in ONE vmapped program (the
+    # reference parallelizes this loop with OpenMP, registration.c:849);
+    # chunked so a long sequence doesn't need all frames resident
+    import jax.numpy as jnp
+    from siriltpu.ops.ecc import ecc_translation_batch
+    ref8 = jnp.asarray(np.minimum(ref_layer, 255).astype(np.float32))
+    chunk = 64
+    for c0 in range(0, len(others), chunk):
+        batch = others[c0: c0 + chunk]
+        layers = [seq.read_frame(i).layer(layer) for i in batch]
+        imgs8 = jnp.asarray(np.minimum(np.stack(layers), 255)
+                            .astype(np.float32))
+        txs, tys, rhos = ecc_translation_batch(ref8, imgs8)
+        txs, tys, rhos = (np.asarray(txs), np.asarray(tys),
+                          np.asarray(rhos))
+        for k, i in enumerate(batch):
+            if rhos[k] <= 0:
+                seq.set_included(i, False)
+                failed += 1
+                continue
+            qualities[i] = quality_estimate(layers[k], QUALTYPE_NORMAL)
+            reg[i].shiftx = int(-np_round_to_int(float(txs[k])))
+            reg[i].shifty = int(-np_round_to_int(float(tys[k])))
 
     ok = [i for i in indices if not np.isnan(qualities[i])]
     nq = normalize_quality(qualities[ok])
