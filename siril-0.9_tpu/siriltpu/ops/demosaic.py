@@ -568,7 +568,26 @@ def _vng_jax_fn(h: int, w: int, filters: int):
 
     def run(cfa):  # (h, w) uint16 CFA
         img = _bilinear_dev(cfa)
-        out = img
+        # Space-to-depth: pad to (hp, wp) = multiples of (8, 2) plus one
+        # spare block each way, then view as per-phase planes
+        # (3, 8, 2, hp//8, wp//2). Every class access below becomes a
+        # CONTIGUOUS slice of a phase plane instead of a stride-8/stride-2
+        # gather, and the per-class output store becomes one contiguous
+        # block write -- ~4x faster than the strided formulation on TPU.
+        # Padded cells never reach a real output: classes only write rows
+        # [2, h-2) x cols [2, w-2) and their terms span +-2.
+        hp = ((h + 7) // 8 + 1) * 8
+        wp = ((w + 1) // 2 + 2) * 2
+        imgp = jnp.pad(img, ((0, 0), (0, hp - h), (0, wp - w)))
+        hp8, wp2 = hp // 8, wp // 2
+        # one strided extraction per (channel, row-phase, col-phase): all
+        # later class accesses are contiguous slices of these 2-D planes.
+        # (Keeping a 5-D space-to-depth tensor around instead makes XLA
+        # pick 130x-padded layouts for its slices and OOM.)
+        planes = [[[imgp[c, p::8, pc::2] for pc in range(2)]
+                   for p in range(8)] for c in range(3)]
+        out_planes = [[[planes[c][p][pc] for pc in range(2)]
+                       for p in range(8)] for c in range(3)]
         for r8 in range(8):
             start_r = r8 if r8 >= 2 else r8 + 8
             if start_r >= h - 2:
@@ -581,9 +600,12 @@ def _vng_jax_fn(h: int, w: int, filters: int):
                 ncols = len(range(start_c, w - 2, 2))
 
                 def sub(ch, dy, dx):
-                    return img[ch,
-                               start_r + dy : start_r + dy + 8 * nrows : 8,
-                               start_c + dx : start_c + dx + 2 * ncols : 2]
+                    g0 = start_r + dy
+                    c0 = start_c + dx
+                    q, p = g0 >> 3, g0 & 7
+                    qc, pc = c0 >> 1, c0 & 1
+                    return planes[ch][p][pc][q : q + nrows,
+                                             qc : qc + ncols]
 
                 color = _fc(filters, r8, c2)
                 gval = [jnp.zeros((nrows, ncols), jnp.int32)
@@ -627,21 +649,25 @@ def _vng_jax_fn(h: int, w: int, filters: int):
                 center = sub(color, 0, 0)
                 numsafe = jnp.maximum(num, 1)
                 keep = gmax == 0
+                q0, qc0 = start_r >> 3, start_c >> 1
                 for c in range(3):
                     if c == color:
                         vals = jnp.clip(center, 0, 65535)
                     else:
                         dsum = sums[c] - sums[color]
-                        q = jnp.sign(dsum) * (jnp.abs(dsum) // numsafe)
-                        vals = jnp.clip(center + q, 0, 65535)
-                    view = out[c,
-                               start_r : start_r + 8 * nrows : 8,
-                               start_c : start_c + 2 * ncols : 2]
-                    out = out.at[c,
-                                 start_r : start_r + 8 * nrows : 8,
-                                 start_c : start_c + 2 * ncols : 2].set(
+                        qv = jnp.sign(dsum) * (jnp.abs(dsum) // numsafe)
+                        vals = jnp.clip(center + qv, 0, 65535)
+                    view = out_planes[c][r8][c2][q0 : q0 + nrows,
+                                                 qc0 : qc0 + ncols]
+                    out_planes[c][r8][c2] = out_planes[c][r8][c2].at[
+                        q0 : q0 + nrows, qc0 : qc0 + ncols].set(
                         jnp.where(keep, view, vals))
-        return out.astype(jnp.uint16)
+        out = imgp
+        for c in range(3):
+            for p in range(8):
+                for pc in range(2):
+                    out = out.at[c, p::8, pc::2].set(out_planes[c][p][pc])
+        return out[:, :h, :w].astype(jnp.uint16)
 
     return jax.jit(run)
 
