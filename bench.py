@@ -21,6 +21,9 @@ TARGET_FPS = 50.0
 
 
 def main():
+    from siriltpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -30,6 +30,9 @@ def report(metric, seconds, unit="s"):
 
 
 def main():
+    from siriltpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -860,13 +860,17 @@ def process_register(state, args):
 @command("stack", 1, "stack method (sum|mean|median|max|min) "
                      "[rejection] [siglow] [sighigh] [norm]")
 def process_stack(state, args):
-    from siriltpu.stacking.api import stack_sequence
+    from siriltpu.stacking.api import (filter_indices, stack_sequence,
+                                       stack_summary)
     seq = state.require_seq()
     method = args[0].lower()
     rejection = args[1] if len(args) > 1 else "none"
     sig = (float(args[2]) if len(args) > 2 else 3.0,
            float(args[3]) if len(args) > 3 else 3.0)
     norm = args[4] if len(args) > 4 else "none"
+    nb = len(filter_indices(seq, filter_type="included"))
+    for line in stack_summary(nb, method, rejection, sig, norm):
+        state.log(line)
     res = stack_sequence(seq, method=method, rejection=rejection, sig=sig,
                          normalize=norm, filter_type="included")
     lo, hi = res.rejection_percent(0)

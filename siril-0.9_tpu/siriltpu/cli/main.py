@@ -19,6 +19,7 @@ import sys
 from siriltpu.cli.commands import process_command
 from siriltpu.cli.state import SirilState
 from siriltpu.core.config import Settings
+from siriltpu.utils.compcache import enable_compilation_cache
 
 
 def make_state(cwd: str = ".", initfile: str = "") -> SirilState:
@@ -66,6 +67,7 @@ def main(argv=None) -> int:
     parser.add_argument("image", nargs="?", help="image to load at startup")
     args = parser.parse_args(argv)
 
+    enable_compilation_cache()
     state = make_state(args.directory, args.initfile)
     if args.image:
         process_command(state, f"load {args.image}")

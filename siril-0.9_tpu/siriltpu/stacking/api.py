@@ -258,6 +258,46 @@ class StackResult:
                 100.0 * self.rejection_high[channel] / npix)
 
 
+_COMBINATION_NAMES = {"mean": "average", "sum": "normalized sum",
+                      "median": "median", "min": "minimum", "max": "maximum"}
+_NORM_NAMES = {"none": "none", "additive": "additive",
+               "multiplicative": "multiplicative",
+               "additive_scaling": "additive + scaling",
+               "multiplicative_scaling": "multiplicative + scaling"}
+_REJECTION_NAMES = {"none": "none", "percentile": "percentile clipping",
+                    "sigma": "sigma clipping",
+                    "sigma_masked": "sigma clipping",
+                    "sigmedian": "median sigma clipping",
+                    "winsorized": "Winsorized sigma clipping",
+                    "linearfit": "linear fit clipping"}
+
+
+def stack_summary(nb_images: int, method: str, rejection: str,
+                  sig=(3.0, 3.0), normalize: str = "none") -> list:
+    """The consolidated pre-stack report, line for line the reference's
+    _show_summary (stacking.c:1929-2011): combination method,
+    normalization, rejection algorithm and parameters. Normalization and
+    rejection only apply to mean-with-rejection stacks; every other
+    method reports them as 'none' like the reference does."""
+    lines = [f"Integration of {nb_images} images:"]
+    comb = _COMBINATION_NAMES.get(method, "none")
+    lines.append(f"Pixel combination ......... {comb}")
+    is_mean = method == "mean"
+    norm = _NORM_NAMES.get(normalize, "none") if is_mean else "none"
+    lines.append(f"Normalization ............. {norm}")
+    if is_mean:
+        rej = _REJECTION_NAMES.get(rejection, "none")
+        lines.append(f"Pixel rejection ........... {rej}")
+        # the reference prints the sig parameters for every mean stack,
+        # even with rejection 'none' (stacking.c:2005-2010)
+        lines.append("Rejection parameters ...... "
+                     f"low={sig[0]:.3f} high={sig[1]:.3f}")
+    else:
+        lines.append("Pixel rejection ........... none")
+        lines.append("Rejection parameters ...... none")
+    return lines
+
+
 def stack_frames(frames: np.ndarray, *, method: str = "mean",
                  shifts: Optional[np.ndarray] = None,
                  rejection: str = "sigma", sig: Tuple[float, float] = (3.0, 3.0),

@@ -82,3 +82,27 @@ def test_sum_chunking_invariance(seq_small):
     a, _ = stack_sum(frames, shifts, chunk=2)
     b, _ = stack_sum(frames, shifts, chunk=100)
     np.testing.assert_array_equal(a, b)
+
+
+def test_stack_summary_report():
+    # the consolidated report matching _show_summary (stacking.c:1929-2011)
+    from siriltpu.stacking.api import stack_summary
+    lines = stack_summary(42, "mean", "winsorized", (2.5, 3.0),
+                          "additive_scaling")
+    assert lines == [
+        "Integration of 42 images:",
+        "Pixel combination ......... average",
+        "Normalization ............. additive + scaling",
+        "Pixel rejection ........... Winsorized sigma clipping",
+        "Rejection parameters ...... low=2.500 high=3.000",
+    ]
+    # non-mean methods report normalization/rejection as none
+    lines = stack_summary(3, "median", "sigma", (3.0, 3.0), "additive")
+    assert lines[1].endswith("median")
+    assert lines[2].endswith("none")
+    assert lines[3].endswith("none")
+    assert lines[4].endswith("none")
+    # mean with no rejection still prints the sig parameters
+    lines = stack_summary(3, "mean", "none", (3.0, 3.0), "none")
+    assert lines[3].endswith("none")
+    assert lines[4] == "Rejection parameters ...... low=3.000 high=3.000"
