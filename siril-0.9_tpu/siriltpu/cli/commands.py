@@ -755,9 +755,15 @@ def process_unselect(state, args):
 @command("seqload", 1, "seqload seqname (load a sequence)")
 def process_seqload(state, args):
     name = args[0]
+    from siriltpu.io.films import FILM_EXTENSIONS, film_sequence
     if name.endswith(".ser") or os.path.exists(state.path(name + ".ser")):
         p = state.path(name if name.endswith(".ser") else name + ".ser")
         state.seq = ser_sequence(p)
+    elif (name.lower().endswith(tuple("." + e for e in FILM_EXTENSIONS))
+          and os.path.exists(state.path(name))):
+        # film as a sequence — the reference's SEQ_AVI type
+        # (sequence.c seq_check_basic_data / films.c film_open_file)
+        state.seq = film_sequence(state.path(name))
     else:
         seqpath = state.path(name[:-4] if name.endswith(".seq") else name)
         if not os.path.exists(seqpath + ".seq"):

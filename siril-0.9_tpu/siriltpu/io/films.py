@@ -5,12 +5,17 @@ Reference: src/io/films.c (FFMS2-based ``film_open_file`` :66,
 
 - uncompressed DIB AVI files (what the reference's AVI exporter and our
   native writer produce) are demuxed natively with a small RIFF parser;
+- MJPEG AVI files — the dominant planetary-capture container — are
+  demuxed by the same RIFF parser and each frame's JPEG chunk is decoded
+  with PIL, inserting the standard Huffman tables when the stream omits
+  them (most MJPEG encoders rely on the decoder carrying T.81 Annex K);
 - other containers go through imageio if a plugin can handle them,
   otherwise a clear error explains the missing backend.
 """
 
 from __future__ import annotations
 
+import io as _io
 import os
 import struct
 from dataclasses import dataclass, field
@@ -23,6 +28,115 @@ from siriltpu.core.frame import Frame
 FILM_EXTENSIONS = ("avi", "mpg", "mpeg", "mp4", "webm", "mov", "mkv")
 
 
+# ---------------------------------------------------------------- MJPEG DHT
+# MJPEG streams usually omit the DHT segment; decoders must supply the
+# "typical" Huffman tables from ITU T.81 Annex K (tables K.3-K.6). Build
+# the standard 4-table DHT segment once.
+
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _standard_dht() -> bytes:
+    """One DHT marker segment carrying all four T.81 Annex K tables."""
+    body = b""
+    for cls_id, bits, vals in ((0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+                               (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+                               (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+                               (0x11, _AC_CHR_BITS, _AC_CHR_VALS)):
+        body += bytes([cls_id]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+_STANDARD_DHT = _standard_dht()
+
+
+def ensure_jpeg_dht(data: bytes) -> bytes:
+    """Insert the standard Huffman tables into a JPEG that has no DHT
+    segment (the MJPEG convention). Returns the input unchanged if a DHT
+    is already present or the stream isn't a baseline JPEG."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return data
+    pos = 2
+    insert_at = -1
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return data  # corrupt marker stream; let the decoder complain
+        marker = data[pos + 1]
+        if marker == 0xC4:
+            return data  # DHT present — nothing to do
+        if marker == 0xDA:  # SOS: scan starts, no DHT was seen
+            insert_at = pos
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seglen
+    if insert_at < 0:
+        return data
+    return data[:insert_at] + _STANDARD_DHT + data[insert_at:]
+
+
+def _decode_jpeg_chunk(data: bytes) -> np.ndarray:
+    """JPEG chunk → top-down (H, W[, 3]) uint8 array via PIL."""
+    from PIL import Image
+
+    img = Image.open(_io.BytesIO(ensure_jpeg_dht(data)))
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB" if "A" in img.mode or len(img.getbands()) > 1
+                          else "L")
+    return np.asarray(img)
+
+
+def _topdown_to_frame(arr: np.ndarray) -> Frame:
+    """Top-down HW/HW3 uint8/16 → bottom-up (C, H, W) uint16 Frame,
+    collapsing grey-encoded-as-RGB to one layer like the DIB path."""
+    arr = arr[::-1]  # to bottom-up
+    if arr.ndim == 2:
+        return Frame(np.ascontiguousarray(arr.astype(np.uint16))[None])
+    chw = arr.transpose(2, 0, 1).astype(np.uint16)
+    if (chw[0] == chw[1]).all() and (chw[1] == chw[2]).all():
+        return Frame(np.ascontiguousarray(chw[:1]))
+    return Frame(np.ascontiguousarray(chw))
+
+
 @dataclass
 class FilmFile:
     path: str
@@ -30,15 +144,15 @@ class FilmFile:
     height: int = 0
     nb_frames: int = 0
     fps: float = 25.0
-    _dib_offsets: List[int] = field(default_factory=list)
+    _chunks: List[Tuple[int, int]] = field(default_factory=list)
     _dib_bpp: int = 24
-    _backend: str = "dib"
+    _backend: str = "dib"  # dib | mjpeg | imageio
 
     @classmethod
     def open(cls, path: str) -> "FilmFile":
         if path.lower().endswith(".avi"):
             try:
-                return cls._open_dib_avi(path)
+                return cls._open_avi(path)
             except ValueError:
                 pass
         # fallback: imageio plugin (requires an ffmpeg backend for most)
@@ -59,8 +173,8 @@ class FilmFile:
                 f"backend available ({e})") from e
 
     @classmethod
-    def _open_dib_avi(cls, path: str) -> "FilmFile":
-        """Minimal RIFF demuxer for uncompressed DIB AVIs."""
+    def _open_avi(cls, path: str) -> "FilmFile":
+        """RIFF demuxer for uncompressed-DIB and MJPEG AVIs."""
         size = os.path.getsize(path)
         with open(path, "rb") as f:
             if f.read(4) != b"RIFF":
@@ -70,11 +184,13 @@ class FilmFile:
                 raise ValueError("not an AVI")
             width = height = 0
             fps = 25.0
-            offsets: List[int] = []
+            chunks: List[Tuple[int, int]] = []
             bpp = 24
+            compression = 0  # BI_RGB
+
             # walk chunks
             def walk(end):
-                nonlocal width, height, fps, bpp
+                nonlocal width, height, fps, bpp, compression
                 while f.tell() + 8 <= end:
                     tag = f.read(4)
                     (sz,) = struct.unpack("<I", f.read(4))
@@ -90,22 +206,33 @@ class FilmFile:
                         width, height = struct.unpack_from("<II", data, 32)
                     elif tag == b"strf":
                         data = f.read(sz)
-                        if sz >= 40:
+                        if sz >= 40:  # BITMAPINFOHEADER
                             bpp = struct.unpack_from("<H", data, 14)[0]
+                            compression = struct.unpack_from("<I", data, 16)[0]
                     elif tag in (b"00db", b"00dc"):
-                        offsets.append(start)
+                        chunks.append((start, sz))
                         f.seek(sz, 1)
                     else:
                         f.seek(sz, 1)
                     if (f.tell() - start) % 2:
                         f.seek(1, 1)  # chunk padding
             walk(size)
-            if not offsets or not width:
-                raise ValueError("no DIB frames found")
+            if not chunks or not width:
+                raise ValueError("no video frames found")
+        comp_tag = struct.pack("<I", compression)
+        if compression == 0:
+            backend = "dib"
+        elif comp_tag in (b"MJPG", b"mjpg", b"dmb1", b"jpeg", b"JPEG"):
+            backend = "mjpeg"
+        else:
+            raise ValueError(
+                f"unsupported AVI codec {comp_tag!r} — only uncompressed "
+                f"DIB and MJPEG are demuxed natively")
         film = cls(path=path, width=width, height=height,
-                   nb_frames=len(offsets), fps=fps)
-        film._dib_offsets = offsets
+                   nb_frames=len(chunks), fps=fps)
+        film._chunks = chunks
         film._dib_bpp = bpp
+        film._backend = backend
         return film
 
     def read_frame(self, index: int) -> Frame:
@@ -117,10 +244,16 @@ class FilmFile:
             return _from_topdown_array(arr)
         if index < 0 or index >= self.nb_frames:
             raise IndexError(index)
+        offset, sz = self._chunks[index]
+        if self._backend == "mjpeg":
+            with open(self.path, "rb") as f:
+                f.seek(offset)
+                data = f.read(sz)
+            return _topdown_to_frame(_decode_jpeg_chunk(data))
         w, h = self.width, self.height
         row_bytes = (w * 3 + 3) & ~3
         with open(self.path, "rb") as f:
-            f.seek(self._dib_offsets[index])
+            f.seek(offset)
             raw = np.frombuffer(f.read(row_bytes * h), dtype=np.uint8)
         rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
         # DIB rows are bottom-up BGR; our convention is bottom-up RGB
@@ -157,4 +290,4 @@ def film_sequence(path: str):
     return seq
 
 
-__all__ = ["FilmFile", "film_sequence", "FILM_EXTENSIONS"]
+__all__ = ["FilmFile", "film_sequence", "ensure_jpeg_dht", "FILM_EXTENSIONS"]

@@ -356,3 +356,121 @@ def test_demosaic_device_matches_host():
         a, b = ahd(cfa, pat), ahd_device(cfa, pat)
         ndiff = int((a != b).sum())
         assert ndiff <= 12, f"{pat}: {ndiff} device/host AHD pixel diffs"
+
+
+# ------------------------------------------------------------ MJPEG films
+
+def _write_mjpeg_avi(path, jpeg_chunks, w, h, fps=30.0):
+    """Minimal MJPEG AVI muxer for tests: RIFF(AVI )/hdrl/movi layout."""
+    import struct
+
+    def chunk(tag, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", int(1e6 / fps), 0, 0, 0x10,
+                       len(jpeg_chunks), 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0,
+                       1, int(fps), 0, len(jpeg_chunks), 0, 0xFFFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpeg_chunks))
+    body = b"AVI " + hdrl + movi
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def _strip_dht(jpeg):
+    """Remove every DHT segment from a baseline JPEG (MJPEG convention)."""
+    import struct
+    out, pos = bytearray(jpeg[:2]), 2
+    while pos + 4 <= len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            break
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            out += jpeg[pos:pos + 2]
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker != 0xC4:
+            out += jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
+def _pil_jpeg(arr, quality=90):
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_mjpeg_dht_insertion_matches_pil_standard_tables():
+    # PIL (libjpeg, optimize=False) writes the T.81 Annex K tables; after
+    # stripping DHT, reinserting OUR standard tables must decode to the
+    # exact same pixels — this externally validates the table constants.
+    import io
+    from PIL import Image
+    from siriltpu.io.films import ensure_jpeg_dht
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    jpeg = _pil_jpeg(arr)
+    ref = np.asarray(Image.open(io.BytesIO(jpeg)))
+    stripped = _strip_dht(jpeg)
+    assert b"\xff\xc4" not in stripped[:stripped.find(b"\xff\xda")]
+    fixed = ensure_jpeg_dht(stripped)
+    assert b"\xff\xc4" in fixed[:fixed.find(b"\xff\xda")]
+    got = np.asarray(Image.open(io.BytesIO(fixed)))
+    np.testing.assert_array_equal(got, ref)
+    # a JPEG that already has DHT passes through untouched
+    assert ensure_jpeg_dht(jpeg) is jpeg
+
+
+def test_mjpeg_avi_demux(tmp_path):
+    import io
+    from PIL import Image
+    from siriltpu.io.films import FilmFile, film_sequence
+    rng = np.random.default_rng(3)
+    w, h, n = 48, 32, 5
+    raws = [rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)]
+    # half the frames carry DHT, half follow the MJPEG omit-DHT convention
+    jpegs = [_pil_jpeg(a) for a in raws]
+    jpegs = [j if i % 2 else _strip_dht(j) for i, j in enumerate(jpegs)]
+    path = str(tmp_path / "mj.avi")
+    _write_mjpeg_avi(path, jpegs, w, h, fps=17.0)
+
+    film = FilmFile.open(path)
+    assert film._backend == "mjpeg"
+    assert (film.nb_frames, film.width, film.height) == (n, w, h)
+    assert film.fps == pytest.approx(17.0, rel=0.01)
+    for i, j in enumerate(jpegs):
+        from siriltpu.io.films import ensure_jpeg_dht
+        want = np.asarray(Image.open(io.BytesIO(ensure_jpeg_dht(j))))
+        got = film.read_frame(i)
+        assert got.nlayers == 3
+        # frame is bottom-up CHW; compare against the top-down decode
+        np.testing.assert_array_equal(
+            got.data, want[::-1].transpose(2, 0, 1).astype(np.uint16))
+    seq = film_sequence(path)
+    assert seq.number == n and seq.rx == w and seq.ry == h
+
+
+def test_unknown_avi_codec_clear_error(tmp_path):
+    from siriltpu.io.films import FilmFile
+    path = str(tmp_path / "x264.avi")
+    _write_mjpeg_avi(path, [b"\x00" * 10], 8, 8)
+    data = bytearray(open(path, "rb").read())
+    data = data.replace(b"MJPG", b"H264")
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(RuntimeError, match="no ffmpeg backend"):
+        FilmFile.open(path)
