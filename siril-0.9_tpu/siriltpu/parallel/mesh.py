@@ -11,10 +11,11 @@ three parallel patterns map onto TPU meshes as:
   one ``psum``/``pmax``/``pmin`` tree reduction across chips (the one
   true collective of this workload, riding ICI).
 
-Multi-host: ``jax.distributed.initialize`` then the same mesh spans all
-processes; each host ``device_put``s its local shard of frames (the
-host-side input pipeline mirrors the reference's per-thread locked-fd
-block reads, SURVEY P5).
+Multi-host lives in ``parallel/multihost.py``: ``init_distributed``
+(jax.distributed), per-host frame feeding via ``local_frame_indices`` +
+``make_array_from_process_local_data``, and the fused register+stack
+over the global mesh — proven by a real 2-process CPU cluster in
+tests/test_multihost.py.
 """
 
 from __future__ import annotations

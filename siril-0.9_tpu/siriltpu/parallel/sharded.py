@@ -79,11 +79,12 @@ def make_sharded_sum_stack(mesh: Mesh):
 
 # ------------------------------------------------- register + reject stack
 
-def make_sharded_register_stack(mesh: Mesh, sel: Tuple[int, int, int],
-                                rejection: str = "sigma",
-                                sig=(3.0, 3.0)):
-    """jit the fused register+stack with frames sharded on input; XLA
-    GSPMD inserts the all-to-all for the cross-frame rejection."""
+def register_stack_step(sel: Tuple[int, int, int], rejection: str = "sigma",
+                        sig=(3.0, 3.0)):
+    """The fused register+reject-stack step on (F, H, W) uint16 frames:
+    FFT phase correlation on the selection window, zero-fill integer
+    shift, cross-frame rejection mean. Shared by the single-host sharded
+    driver and the multi-host driver (parallel/multihost.py)."""
     x0, y0, s = sel
 
     def step(frames):
@@ -104,6 +105,15 @@ def make_sharded_register_stack(mesh: Mesh, sel: Tuple[int, int, int],
         out, _, _ = reject_and_mean(aligned.reshape(f, h * w), rejection, sig)
         return out.reshape(h, w), sx, sy
 
+    return step
+
+
+def make_sharded_register_stack(mesh: Mesh, sel: Tuple[int, int, int],
+                                rejection: str = "sigma",
+                                sig=(3.0, 3.0)):
+    """jit the fused register+stack with frames sharded on input; XLA
+    GSPMD inserts the all-to-all for the cross-frame rejection."""
+    step = register_stack_step(sel, rejection, sig)
     jitted = jax.jit(step, in_shardings=frames_sharding(mesh),
                      out_shardings=(replicated(mesh), replicated(mesh),
                                     replicated(mesh)))
@@ -161,4 +171,4 @@ def make_rows_sigma_stack(mesh: Mesh, rejection: str = "sigma",
 
 
 __all__ = ["make_sharded_sum_stack", "make_sharded_register_stack",
-           "make_rows_sigma_stack"]
+           "make_rows_sigma_stack", "register_stack_step"]
