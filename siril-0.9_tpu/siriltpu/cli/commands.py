@@ -999,7 +999,7 @@ def process_redo(state, args):
 
 
 
-@command("seqexport", 2, "seqexport basename format (ser|avi|mp4|fits) "
+@command("seqexport", 2, "seqexport basename format (ser|avi|mjpeg|mp4|fits) "
                          "[fps] [-norm]")
 def process_seqexport(state, args):
     from siriltpu.io.export import ExportArgs, export_sequence

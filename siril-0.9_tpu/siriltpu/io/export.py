@@ -52,13 +52,17 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
                                                  "additive_scaling")
         coeffs = (off, mul, scale)
 
+    if not seq.rx:
+        seq.read_frame(indices[0])  # discovered sequences are lazy about
+        # geometry until a frame is read (check_seq parity)
     out_w = args.crop.w if args.crop else seq.rx
     out_h = args.crop.h if args.crop else seq.ry
     if args.resize:
         out_w, out_h = args.resize
 
     fmt = args.fmt.lower()
-    path = os.path.join(directory, f"{args.basename}.{fmt}")
+    ext = "avi" if fmt == "mjpeg" else fmt
+    path = os.path.join(directory, f"{args.basename}.{ext}")
     writer = None
     mp4 = None
     if fmt == "ser":
@@ -66,6 +70,12 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
                                 color_id=100 if seq.nb_layers == 3 else 0)
     elif fmt == "avi":
         writer = AviWriter(path, out_w, out_h, args.fps)
+    elif fmt == "mjpeg":
+        # compressed movie export without ffmpeg: MJPEG-in-AVI, quality
+        # 1..5 like the MP4 dialog (sequence.c exportseq quality knob)
+        writer = AviWriter(path, out_w, out_h, args.fps, codec="mjpeg",
+                           jpeg_quality=min(55 + 9 * args.quality, 100))
+        fmt = "avi"
     elif fmt in ("mp4", "webm"):
         try:
             import imageio.v2 as iio

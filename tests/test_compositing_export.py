@@ -148,3 +148,30 @@ def test_export_mp4(tmp_path):
         assert os.path.getsize(p) > 0
     except RuntimeError as e:
         pytest.skip(f"ffmpeg backend unavailable: {e}")
+
+
+def test_export_mjpeg_roundtrip(tmp_path):
+    # compressed export without ffmpeg: MJPEG-in-AVI, reopened by our own
+    # demuxer; display-scaled pixels survive within JPEG tolerance
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.films import FilmFile
+    from siriltpu.io.sequence import check_seq
+
+    d = str(tmp_path)
+    frames, _, _ = make_sequence_frames(3, 32, 48, seed=5)
+    for i, f in enumerate(frames):
+        fits_io.write_fits(f"{d}/m{i+1:02d}.fit", Frame(f))
+    seq = check_seq(d)[0]
+    p = export_sequence(seq, ExportArgs(basename="mov", fmt="mjpeg",
+                                        fps=30.0, quality=5))
+    assert p.endswith(".avi")
+    film = FilmFile.open(p)
+    assert film._backend == "mjpeg"
+    assert film.nb_frames == 3
+    assert film.fps == pytest.approx(30.0, rel=0.01)
+    got = film.read_frame(0).data  # (1, H, W) after grey collapse
+    want = np.clip(frames[0].astype(np.float64) * 255.0 / 65535.0 + 0.5,
+                   0, 255).astype(np.uint16)
+    assert got.shape[1:] == want.shape[1:]
+    err = np.abs(got[0].astype(int) - want[0].astype(int))
+    assert err.mean() < 3 and err.max() <= 32  # JPEG quality 100 path
