@@ -9,46 +9,33 @@ emits the identical container when no compiler is available.
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
-import subprocess
-from typing import Optional
 
 import numpy as np
 
 from siriltpu.core.frame import Frame
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libsirilnative.so")
 _lib = None
-_build_failed = False
 
 
 def _load_native():
-    global _lib, _build_failed
-    if _lib is not None or _build_failed:
+    global _lib
+    if _lib is not None:
         return _lib
-    src = os.path.join(_NATIVE_DIR, "avi_writer.cpp")
-    try:
-        if (not os.path.exists(_LIB_PATH) or
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
-            subprocess.run(["g++", "-O2", "-shared", "-fPIC", src,
-                            "-o", _LIB_PATH], check=True,
-                           capture_output=True)
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.avi_create.restype = ctypes.c_void_p
-        lib.avi_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                   ctypes.c_int, ctypes.c_double,
-                                   ctypes.c_int]
-        lib.avi_write_frame.restype = ctypes.c_int
-        lib.avi_write_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                        ctypes.c_long]
-        lib.avi_close.restype = ctypes.c_int
-        lib.avi_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-    except (subprocess.CalledProcessError, OSError):
-        _build_failed = True
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.avi_create.restype = ctypes.c_void_p
+    lib.avi_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_double,
+                               ctypes.c_int]
+    lib.avi_write_frame.restype = ctypes.c_int
+    lib.avi_write_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_long]
+    lib.avi_close.restype = ctypes.c_int
+    lib.avi_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
     return _lib
 
 

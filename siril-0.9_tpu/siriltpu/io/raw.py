@@ -15,9 +15,10 @@ This environment has neither libraw nor rawpy, so the decode path is:
 
 1. ``rawpy`` when importable (covers every libraw format), mirroring
    ``readraw_in_cfa``'s margins/pattern handling;
-2. a built-in pure-NumPy TIFF/DNG reader for UNCOMPRESSED CFA DNGs
-   (8/12/14/16-bit packed, strips or tiles) — DNG is just TIFF tags
-   around a CFA plane, so no external decoder is needed.
+2. a built-in TIFF/DNG reader: uncompressed CFA (8/12/14/16-bit packed,
+   strips or tiles, pure NumPy) AND lossless-JPEG compressed CFA
+   (compression=7, the common real-world DNG flavor) through the native
+   C++ SOF3 decoder in native/lj92.cpp.
 """
 
 from __future__ import annotations
@@ -134,6 +135,59 @@ def _unpack_bits(data: np.ndarray, bits: int, npix: int,
     return (groups.astype(np.uint32) * weights).sum(axis=1).astype(np.uint16)
 
 
+_lj92 = None
+
+
+def _load_lj92():
+    """ctypes handle to the native lossless-JPEG decoder (lj92.cpp)."""
+    global _lj92
+    if _lj92 is not None:
+        return _lj92
+    import ctypes
+
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.lj92_decode.restype = ctypes.c_int
+    lib.lj92_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    _lj92 = lib
+    return _lj92
+
+
+def decode_lossless_jpeg(data: bytes,
+                         expect_samples: int) -> Tuple[np.ndarray, int]:
+    """Decode one lossless-JPEG (SOF3) stream via the native decoder.
+
+    Returns (rows, ncomp) where rows is (H, W*ncomp) uint16 — components
+    interleaved along the row, which is exactly DNG's sample layout for
+    lossless tiles. ``expect_samples`` caps the output buffer."""
+    import ctypes
+
+    lib = _load_lj92()
+    if lib is None:
+        raise ValueError("lossless-JPEG DNG needs the native decoder "
+                         "(g++ unavailable to build lj92.cpp)")
+    out = np.zeros(expect_samples, dtype=np.uint16)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    nc = ctypes.c_int()
+    bits = ctypes.c_int()
+    rc = lib.lj92_decode(
+        data, len(data), out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16)), out.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+        ctypes.byref(bits))
+    if rc != 0:
+        raise ValueError(f"lossless JPEG decode failed (code {rc})")
+    total = h.value * w.value * nc.value
+    return out[:total].reshape(h.value, w.value * nc.value), nc.value
+
+
 _CFA_LETTERS = "RGB"  # CFAPattern values 0=R 1=G 2=B
 
 
@@ -156,14 +210,26 @@ def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
         raise ValueError(f"{path}: no CFA image found (not a raw DNG?)")
     tags = cfa_ifd
     comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [1]))[0])
-    if comp != 1:
+    if comp not in (1, 7):
         raise ValueError(
-            f"{path}: compressed DNG (compression={comp}) needs rawpy; "
-            f"only uncompressed DNG is supported without it")
+            f"{path}: DNG compression={comp} unsupported (built-in "
+            f"decoders: 1=uncompressed, 7=lossless JPEG)")
     w = int(np.atleast_1d(tags[T_WIDTH])[0])
     h = int(np.atleast_1d(tags[T_HEIGHT])[0])
     bits = int(np.atleast_1d(tags[T_BITS])[0])
     little = t.e == "<"
+
+    def _decode_block(data: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        """One strip/tile → (rows, cols) uint16."""
+        if comp == 7:
+            dec, _ = decode_lossless_jpeg(data.tobytes(), rows * cols)
+            if dec.shape != (rows, cols):
+                raise ValueError(
+                    f"{path}: lossless tile is {dec.shape}, "
+                    f"expected {(rows, cols)}")
+            return dec
+        return _unpack_bits(data, bits, rows * cols, little).reshape(
+            rows, cols)
 
     out = np.zeros(h * w, dtype=np.uint16)
     if T_TILE_OFFSETS in tags:
@@ -177,8 +243,7 @@ def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
             for tx in range(0, w, tw):
                 data = np.frombuffer(buf, np.uint8, int(cnts[ti]),
                                      int(offs[ti]))
-                tile = _unpack_bits(data, bits, tw * th,
-                                    little).reshape(th, tw)
+                tile = _decode_block(data, th, tw)
                 out2[ty: ty + th, tx: tx + tw] = \
                     tile[: min(th, h - ty), : min(tw, w - tx)]
                 ti += 1
@@ -190,8 +255,7 @@ def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
         for si in range(len(offs)):
             rows = min(rps, h - si * rps)
             data = np.frombuffer(buf, np.uint8, int(cnts[si]), int(offs[si]))
-            out[pos: pos + rows * w] = _unpack_bits(data, bits, rows * w,
-                                                    little)
+            out[pos: pos + rows * w] = _decode_block(data, rows, w).ravel()
             pos += rows * w
     cfa = out.reshape(h, w)
 
@@ -236,8 +300,8 @@ def read_raw_cfa(path: str) -> Frame:
         if not path.lower().endswith(".dng"):
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
-                f"requires rawpy/libraw (absent); only uncompressed DNG "
-                f"has a built-in decoder")
+                f"requires rawpy/libraw (absent); only DNG (uncompressed "
+                f"or lossless-JPEG) has a built-in decoder")
         cfa, pattern = read_dng_cfa(path)
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern

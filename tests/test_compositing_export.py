@@ -97,9 +97,9 @@ def test_avi_python_fallback_identical(tmp_path):
     for f in frames:
         wtr.write_frame(f)
     wtr.close()
-    # force fallback
-    old = avi_mod._lib, avi_mod._build_failed
-    avi_mod._lib, avi_mod._build_failed = None, True
+    # force fallback (pretend no compiler: the shared loader returns None)
+    old = avi_mod._load_native
+    avi_mod._load_native = lambda: None
     try:
         p2 = str(tmp_path / "py.avi")
         wtr2 = AviWriter(p2, 16, 12, fps=5)
@@ -108,7 +108,7 @@ def test_avi_python_fallback_identical(tmp_path):
             wtr2.write_frame(f)
         wtr2.close()
     finally:
-        avi_mod._lib, avi_mod._build_failed = old
+        avi_mod._load_native = old
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 

@@ -16,15 +16,92 @@ import pytest
 from siriltpu.io.raw import read_dng_cfa, read_raw, read_raw_cfa
 
 
+def encode_lossless_jpeg(img, bits, predictor=1, ncomp=1, pt=0):
+    """Test-side lossless JPEG (SOF3) ENCODER: validates the native
+    decoder by exact roundtrip. img is (H, W_total) uint16 with ncomp
+    components interleaved along the row (DNG's layout). Uses one
+    canonical Huffman table with all 17 categories at code length 5."""
+    h, wtot = img.shape
+    assert wtot % ncomp == 0
+    wj = wtot // ncomp
+
+    dht = (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 17) + b"\x00" +
+           bytes([0, 0, 0, 0, 17] + [0] * 11) + bytes(range(17)))
+    sof = (b"\xff\xc3" + struct.pack(">H", 2 + 6 + 3 * ncomp) +
+           bytes([bits]) + struct.pack(">HH", h, wj) + bytes([ncomp]))
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    sos = (b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 * ncomp + 3) +
+           bytes([ncomp]))
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+
+    outbits = []
+
+    def put(val, n):
+        for i in range(n - 1, -1, -1):
+            outbits.append((val >> i) & 1)
+
+    default = 1 << (bits - pt - 1)
+    arr = (img.astype(np.int64) >> pt).astype(np.int64)
+    for y in range(h):
+        for x in range(wj):
+            for c in range(ncomp):
+                cur = int(arr[y, x * ncomp + c])
+                if y == 0 and x == 0:
+                    px = default
+                elif x == 0:
+                    px = int(arr[y - 1, c])
+                elif y == 0:
+                    px = int(arr[0, (x - 1) * ncomp + c])
+                else:
+                    ra = int(arr[y, (x - 1) * ncomp + c])
+                    rb = int(arr[y - 1, x * ncomp + c])
+                    rc = int(arr[y - 1, (x - 1) * ncomp + c])
+                    px = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                          5: ra + ((rb - rc) >> 1),
+                          6: rb + ((ra - rc) >> 1),
+                          7: (ra + rb) >> 1}[predictor]
+                d = (cur - px) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:  # SSSS=16: no magnitude bits (T.81 H.2)
+                    put(16, 5)
+                    continue
+                ssss = int(abs(d)).bit_length()
+                put(ssss, 5)
+                if ssss:
+                    v = d if d >= 0 else d + (1 << ssss) - 1
+                    put(v, ssss)
+    while len(outbits) % 8:
+        outbits.append(1)  # pad with 1s per T.81 F.1.2.3
+    by = bytearray()
+    for i in range(0, len(outbits), 8):
+        b = 0
+        for bit in outbits[i: i + 8]:
+            b = (b << 1) | bit
+        by.append(b)
+        if b == 0xFF:
+            by.append(0x00)  # byte stuffing
+    return b"\xff\xd8" + dht + sof + sos + bytes(by) + b"\xff\xd9"
+
+
 def write_dng(path, cfa, pattern="RGGB", bits=16, endian="<",
-              rows_per_strip=None, tiled=False):
-    """Minimal uncompressed CFA DNG writer (test fixture generator)."""
+              rows_per_strip=None, tiled=False, compression=1,
+              predictor=1, jcomp=1):
+    """Minimal CFA DNG writer (test fixture generator): uncompressed
+    (compression=1) or lossless-JPEG (compression=7) strips/tiles."""
     h, w = cfa.shape
     pat_map = {"R": 0, "G": 1, "B": 2}
     pat_bytes = bytes(pat_map[c] for c in pattern)
 
-    def pack(vals):
-        vals = np.asarray(vals, np.uint32)
+    def pack(block):
+        """(rows, cols) uint block -> strip/tile bytes."""
+        if compression == 7:
+            return encode_lossless_jpeg(block.astype(np.uint16), bits,
+                                        predictor=predictor, ncomp=jcomp)
+        vals = np.asarray(block.reshape(-1), np.uint32)
         if bits == 16:
             return vals.astype(endian + "u2").tobytes()
         if bits == 8:
@@ -43,13 +120,13 @@ def write_dng(path, cfa, pattern="RGGB", bits=16, endian="<",
                 tile = np.zeros((th, tw), np.uint32)
                 sub = cfa[ty: ty + th, tx: tx + tw]
                 tile[: sub.shape[0], : sub.shape[1]] = sub
-                tiles.append(pack(tile.reshape(-1)))
+                tiles.append(pack(tile))
         datas = tiles
     elif rows_per_strip:
-        datas = [pack(cfa[y: y + rows_per_strip].reshape(-1))
+        datas = [pack(cfa[y: y + rows_per_strip])
                  for y in range(0, h, rows_per_strip)]
     else:
-        datas = [pack(cfa.reshape(-1))]
+        datas = [pack(cfa)]
 
     e = endian
     entries = []  # (tag, type, count, value_bytes_or_int)
@@ -61,7 +138,7 @@ def write_dng(path, cfa, pattern="RGGB", bits=16, endian="<",
     add(256, 4, [w])
     add(257, 4, [h])
     add(258, 3, [bits])
-    add(259, 3, [1])            # uncompressed
+    add(259, 3, [compression])
     add(262, 3, [32803])        # CFA
     add(277, 3, [1])            # samples per pixel
     if tiled:
@@ -201,19 +278,87 @@ def test_convert_dir_with_dng(tmp_path):
     assert fr.nlayers == 3
 
 
-def test_compressed_dng_rejected(tmp_path):
+def test_unknown_compression_rejected(tmp_path):
     cfa = np.zeros((8, 8), np.uint16)
     p = str(tmp_path / "c.dng")
     write_dng(p, cfa)
-    # flip the compression tag to 7 (lossless JPEG)
+    # flip the compression tag to 8 (deflate — unsupported)
     buf = bytearray(open(p, "rb").read())
-    # find tag 259 in the IFD
     n = struct.unpack_from("<H", buf, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
         tag = struct.unpack_from("<H", buf, base)[0]
         if tag == 259:
-            struct.pack_into("<H", buf, base + 8, 7)
+            struct.pack_into("<H", buf, base + 8, 8)
     open(p, "wb").write(bytes(buf))
-    with pytest.raises(ValueError, match="compressed"):
+    with pytest.raises(ValueError, match="unsupported"):
         read_dng_cfa(p)
+
+
+# ------------------------------------------------ lossless JPEG (SOF3)
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lj92_roundtrip_predictors(predictor):
+    from siriltpu.io.raw import decode_lossless_jpeg
+    rng = np.random.default_rng(predictor)
+    img = rng.integers(0, 1 << 16, size=(13, 22)).astype(np.uint16)
+    data = encode_lossless_jpeg(img, 16, predictor=predictor)
+    got, nc = decode_lossless_jpeg(data, img.size)
+    assert nc == 1
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("bits", [12, 14, 16])
+@pytest.mark.parametrize("ncomp", [1, 2])
+def test_lj92_roundtrip_components_bits(bits, ncomp):
+    from siriltpu.io.raw import decode_lossless_jpeg
+    rng = np.random.default_rng(bits * 10 + ncomp)
+    img = rng.integers(0, 1 << bits, size=(9, 4 * ncomp * 3)).astype(
+        np.uint16)
+    data = encode_lossless_jpeg(img, bits, predictor=1, ncomp=ncomp)
+    got, nc = decode_lossless_jpeg(data, img.size)
+    assert nc == ncomp
+    np.testing.assert_array_equal(got, img)
+
+
+def test_lj92_point_transform():
+    from siriltpu.io.raw import decode_lossless_jpeg
+    rng = np.random.default_rng(0)
+    img = (rng.integers(0, 1 << 14, size=(6, 8)).astype(np.uint16)
+           & ~np.uint16(3))  # divisible by 4 so Pt=2 is lossless
+    data = encode_lossless_jpeg(img, 14, predictor=1, pt=2)
+    got, _ = decode_lossless_jpeg(data, img.size)
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("tiled,rps,jcomp,predictor", [
+    (True, None, 2, 1),    # the typical real-world DNG: lossless tiles,
+    (True, None, 1, 1),    # 2 interleaved components, predictor 1
+    (False, 4, 2, 1),
+    (False, None, 1, 4),
+])
+def test_compressed_dng_roundtrip(tmp_path, tiled, rps, jcomp, predictor):
+    rng = np.random.default_rng(77)
+    h, w = 16, 32
+    cfa = rng.integers(0, 1 << 14, size=(h, w)).astype(np.uint16)
+    p = str(tmp_path / "lossless.dng")
+    write_dng(p, cfa, pattern="RGGB", bits=14, compression=7,
+              rows_per_strip=rps, tiled=tiled, jcomp=jcomp,
+              predictor=predictor)
+    got, pattern = read_dng_cfa(p)
+    assert pattern == "RGGB"
+    np.testing.assert_array_equal(got, cfa)
+
+
+def test_compressed_dng_through_conversion(tmp_path):
+    from siriltpu.io.conversion import convert_dir
+    from siriltpu.io.fits import read_fits
+    rng = np.random.default_rng(9)
+    for i in range(2):
+        cfa = rng.integers(0, 1 << 14, size=(16, 32)).astype(np.uint16)
+        write_dng(str(tmp_path / f"raw_{i}.dng"), cfa, pattern="GBRG",
+                  bits=14, compression=7, tiled=True, jcomp=2)
+    n = convert_dir(str(tmp_path), "lj", debayer=False)
+    assert n == 2
+    fr = read_fits(str(tmp_path / "lj00001.fit"))
+    assert fr.nlayers == 1 and fr.data.shape == (1, 16, 32)
