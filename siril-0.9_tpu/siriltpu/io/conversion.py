@@ -19,6 +19,7 @@ import numpy as np
 
 from siriltpu.core.frame import Frame
 from siriltpu.io import fits as fits_io
+from siriltpu.io.films import FILM_EXTENSIONS
 from siriltpu.io.formats import load_any
 from siriltpu.io.ser import SerFile
 
@@ -43,7 +44,8 @@ def convertible_files(directory: str) -> List[str]:
     for name in sorted(os.listdir(directory)):
         low = name.lower()
         ext = low.rsplit(".", 1)[-1] if "." in low else ""
-        if ext in IMAGE_EXTENSIONS or ext in RAW_EXTENSIONS or ext == "ser":
+        if (ext in IMAGE_EXTENSIONS or ext in RAW_EXTENSIONS or
+                ext == "ser" or ext in FILM_EXTENSIONS):
             out.append(os.path.join(directory, name))
     return out
 
@@ -63,6 +65,17 @@ def convert_dir(directory: str, basename: str, *, to_ser: bool = False,
             ser = SerFile.open(path)
             for i in range(ser.frame_count):
                 frames.append(ser.read_frame(i, debayer=debayer))
+        elif ext in FILM_EXTENSIONS:
+            # film → frames, like the reference's film branch of
+            # convert_thread_worker (conversion.c:551-600)
+            from siriltpu.io.films import FilmFile
+            try:
+                film = FilmFile.open(path)
+            except RuntimeError as exc:
+                print(f"Skipping {os.path.basename(path)}: {exc}")
+                continue
+            for i in range(film.nb_frames):
+                frames.append(film.read_frame(i))
         elif ext in RAW_EXTENSIONS:
             # readraw_in_cfa / readraw via rawpy or the built-in DNG
             # decoder (io/raw.py). The decoder's own pattern (from

@@ -474,3 +474,19 @@ def test_unknown_avi_codec_clear_error(tmp_path):
     open(path, "wb").write(bytes(data))
     with pytest.raises(RuntimeError, match="no ffmpeg backend"):
         FilmFile.open(path)
+
+
+def test_convert_dir_with_mjpeg_film(tmp_path):
+    # film → FITS sequence conversion (conversion.c film branch)
+    from PIL import Image
+    from siriltpu.io.conversion import convert_dir
+    from siriltpu.io.fits import read_fits
+    rng = np.random.default_rng(11)
+    raws = [rng.integers(0, 255, size=(16, 24, 3), dtype=np.uint8)
+            for _ in range(4)]
+    _write_mjpeg_avi(str(tmp_path / "cap.avi"),
+                     [_pil_jpeg(a, quality=95) for a in raws], 24, 16)
+    n = convert_dir(str(tmp_path), "film")
+    assert n == 4
+    fr = read_fits(str(tmp_path / "film00001.fit"))
+    assert fr.data.shape[1:] == (16, 24)
