@@ -23,3 +23,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG = os.path.join(_REPO, "siril-0.9_tpu")
 if _PKG not in sys.path:
     sys.path.insert(0, _PKG)
+
+# persistent compilation cache: repeat test runs skip XLA recompiles
+from siriltpu.utils.compcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
