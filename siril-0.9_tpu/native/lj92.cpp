@@ -21,14 +21,14 @@ namespace {
 struct BitReader {
     const uint8_t* p;
     const uint8_t* end;
-    uint32_t bitbuf = 0;
-    int bitcnt = 0;
+    uint64_t acc = 0;   // right-aligned bit accumulator
+    int nbits = 0;
     bool hit_marker = false;  // stop at any non-stuffing marker
 
     BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
 
     // fetch next byte of entropy data, handling 0xFF00 stuffing
-    int next_byte() {
+    inline int next_byte() {
         if (p >= end) return -1;
         uint8_t b = *p++;
         if (b == 0xFF) {
@@ -43,64 +43,83 @@ struct BitReader {
         return b;
     }
 
-    // read one bit; pads with zeros after a marker (T.81 F.2.2.5 allows
-    // the final bits of a scan to be padding)
-    int bit() {
-        if (bitcnt == 0) {
+    // top up the accumulator; exhausted stream pads with zero bits
+    // (T.81 F.2.2.5: trailing scan bits are padding)
+    inline void fill(int need) {
+        while (nbits < need) {
             int b = next_byte();
-            if (b < 0) return hit_marker ? 0 : -1;
-            bitbuf = (uint32_t)b;
-            bitcnt = 8;
+            if (b < 0) b = 0;
+            acc = (acc << 8) | (uint64_t)b;
+            nbits += 8;
         }
-        --bitcnt;
-        return (bitbuf >> bitcnt) & 1;
     }
 
-    int bits(int n) {
-        int v = 0;
-        for (int i = 0; i < n; ++i) {
-            int b = bit();
-            if (b < 0) return -1;
-            v = (v << 1) | b;
-        }
+    inline int peek(int k) {
+        fill(k);
+        return (int)((acc >> (nbits - k)) & ((1u << k) - 1));
+    }
+
+    inline void consume(int k) { nbits -= k; }
+
+    inline int bits(int n) {
+        if (!n) return 0;
+        int v = peek(n);
+        nbits -= n;
         return v;
     }
 
-    void byte_align() { bitcnt = 0; }
+    // drop every buffered bit (restart intervals are byte-aligned and
+    // anything buffered past the align point is padding before the RST)
+    void restart_flush() { nbits = 0; acc = 0; }
 };
 
-// canonical Huffman per T.81 F.16: mincode/maxcode/valptr by length
+// canonical Huffman per T.81 F.16 with a fast 8-bit prefix table
 struct Huff {
     int32_t mincode[17];
     int32_t maxcode[17];
     int32_t valptr[17];
     uint8_t vals[256];
+    uint8_t fast_sym[256];
+    uint8_t fast_len[256];  // 0 = code longer than 8 bits
     bool present = false;
 
     void build(const uint8_t counts[16], const uint8_t* values, int nvals) {
         int code = 0, k = 0;
+        std::memset(fast_len, 0, sizeof(fast_len));
+        if (nvals > 256) nvals = 256;
+        std::memcpy(vals, values, nvals);
         for (int l = 1; l <= 16; ++l) {
             valptr[l] = k;
             mincode[l] = code;
-            code += counts[l - 1];
-            k += counts[l - 1];
+            for (int i = 0; i < counts[l - 1]; ++i, ++code, ++k) {
+                if (l <= 8 && k < nvals) {
+                    int lo = code << (8 - l), n = 1 << (8 - l);
+                    for (int j = 0; j < n; ++j) {
+                        fast_sym[lo + j] = vals[k];
+                        fast_len[lo + j] = (uint8_t)l;
+                    }
+                }
+            }
             maxcode[l] = counts[l - 1] ? code - 1 : -1;
             code <<= 1;
         }
-        if (nvals > 256) nvals = 256;
-        std::memcpy(vals, values, nvals);
         present = true;
     }
 
-    int decode(BitReader& br) const {
-        int code = br.bit();
-        if (code < 0) return -1;
-        for (int l = 1; l <= 16; ++l) {
-            if (maxcode[l] >= 0 && code <= maxcode[l])
-                return vals[valptr[l] + code - mincode[l]];
-            int b = br.bit();
-            if (b < 0) return -1;
-            code = (code << 1) | b;
+    inline int decode(BitReader& br) const {
+        int pk = br.peek(8);
+        int fl = fast_len[pk];
+        if (fl) {
+            br.consume(fl);
+            return fast_sym[pk];
+        }
+        int c16 = br.peek(16);
+        for (int l = 9; l <= 16; ++l) {
+            int c = c16 >> (16 - l);
+            if (maxcode[l] >= 0 && c <= maxcode[l]) {
+                br.consume(l);
+                return vals[valptr[l] + c - mincode[l]];
+            }
         }
         return -1;  // invalid code
     }
@@ -206,7 +225,7 @@ extern "C" int lj92_decode(const uint8_t* data, long len, uint16_t* out,
         for (int x = 0; x < W; ++x) {
             if (restart_interval && mcu_in_interval == restart_interval) {
                 // byte-align, consume RSTn, reset DC prediction state
-                br.byte_align();
+                br.restart_flush();
                 br.hit_marker = false;
                 if (br.p + 2 <= br.end && br.p[0] == 0xFF &&
                     br.p[1] >= 0xD0 && br.p[1] <= 0xD7)

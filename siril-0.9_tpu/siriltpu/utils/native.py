@@ -35,7 +35,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
             for s in sources))
         if stale:
-            subprocess.run(["g++", "-O2", "-shared", "-fPIC", *sources,
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", *sources,
                             "-o", _LIB_PATH], check=True,
                            capture_output=True)
         _lib = ctypes.CDLL(_LIB_PATH)
