@@ -187,6 +187,26 @@ def main():
     report(f"FILE-BACKED SER register+stack {Ff}x{Wf}x{Hf} incl. I/O "
            f"(frames/s)", Ff / dt, unit="frames/s")
 
+    # config 4 END-TO-END: global star alignment (peaker -> triangle
+    # match -> RANSAC homography -> warp) over an in-memory sequence of
+    # deep-sky frames, the richest registration path
+    # (registration.c:525-784)
+    from siriltpu.io.sequence import internal_sequence
+    from siriltpu.registration.global_star import register_global_star
+    from siriltpu.testing.synth import make_sequence_frames
+    Fg, Hg, Wg = int(20 * max(SCALE, 0.1)), dim(2048), dim(3072)
+    gframes, gshifts, _ = make_sequence_frames(Fg, Hg, Wg, seed=1,
+                                               nstars=120)
+    gseq = internal_sequence([Frame(f) for f in gframes])
+    out_frames = []
+    t0 = time.perf_counter()
+    rep = register_global_star(gseq, 0, write_output=False,
+                               output_frames=out_frames)
+    dt = time.perf_counter() - t0
+    assert rep.registered >= Fg - 1, rep
+    report(f"global star alignment {Fg}x{Wg}x{Hg} (frames/s)", Fg / dt,
+           unit="frames/s")
+
 
 if __name__ == "__main__":
     main()

@@ -44,6 +44,17 @@ def __getattr__(name):
         "register_and_stack": ("siriltpu.pipelines.register_stack",
                                "register_and_stack"),
         "autostretch": ("siriltpu.ops.histogram_ops", "autostretch"),
+        "read_raw": ("siriltpu.io.raw", "read_raw"),
+        "read_raw_cfa": ("siriltpu.io.raw", "read_raw_cfa"),
+        "convert_dir": ("siriltpu.io.conversion", "convert_dir"),
+        "export_sequence": ("siriltpu.io.export", "export_sequence"),
+        "film_sequence": ("siriltpu.io.films", "film_sequence"),
+        "init_distributed": ("siriltpu.parallel.multihost",
+                             "init_distributed"),
+        "make_multihost_register_stack": ("siriltpu.parallel.multihost",
+                                          "make_multihost_register_stack"),
+        "enable_compilation_cache": ("siriltpu.utils.compcache",
+                                     "enable_compilation_cache"),
     }
     if name in api:
         mod, attr = api[name]
