@@ -21,6 +21,15 @@ sed -n '60,91p'    "$REF/core/utils.c"        > gen/utils_round.inc
 sed -n '488,533p'  "$REF/core/utils.c"        > gen/utils_qsort.inc
 sed -n '1130,1187p' "$REF/stacking/stacking.c" > gen/stack_clippers.inc
 sed -n '1656,1793p' "$REF/stacking/stacking.c" > gen/stack_reject.inc
+# gui/histogram.c GUI-free math: shadowsClipping/targetBackground constants,
+# apply_mtf_to_fits, MTF, findMidtonesBalance
+sed -n '33,34p'    "$REF/gui/histogram.c"      > gen/histo_mtf.inc
+sed -n '537,564p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
+sed -n '595,608p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
+sed -n '684,740p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
+# photometry.c minus its includes and trailing GTK callback: hampel family,
+# robustmean, phot_alloc, magnitude/error model, getPhotometryData
+sed -n '31,323p'   "$REF/algos/photometry.c"   > gen/photometry.inc
 
 # sanity: the extractions start/end where we think they do
 grep -q '^int round_to_int' gen/utils_round.inc
@@ -29,11 +38,19 @@ grep -q 'percentile_clipping' gen/stack_clippers.inc
 grep -q 'remove_pixel' gen/stack_clippers.inc
 head -1 gen/stack_reject.inc | grep -q 'int N = nb_frames'
 tail -3 gen/stack_reject.inc | grep -q 'sum += data->stack\[frame\]'
+head -1 gen/histo_mtf.inc | grep -q 'shadowsClipping'
+grep -q '^double MTF' gen/histo_mtf.inc
+grep -q '^double findMidtonesBalance' gen/histo_mtf.inc
+tail -1 gen/histo_mtf.inc | grep -q '^}'
+head -1 gen/photometry.inc | grep -q 'hampel_a'
+grep -q 'robustmean' gen/photometry.inc
+tail -1 gen/photometry.inc | grep -q '^}'
 
 CFLAGS="-O2 -fno-fast-math -ffp-contract=off -I shim -I $REF -I ."
 gcc $CFLAGS -c "$REF/algos/statistics.c"  -o build/statistics.o
 gcc $CFLAGS -c "$REF/algos/quantize.c"    -o build/quantize.o
 gcc $CFLAGS -c "$REF/algos/demosaicing.c" -o build/demosaicing.o
+gcc $CFLAGS -c "$REF/algos/quality.c"     -o build/quality.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o
 gcc $CFLAGS -c harness.c  -o build/harness.o

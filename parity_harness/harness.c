@@ -47,6 +47,16 @@ struct rejdata {
 imstats *statistics(fits *fit, int layer, rectangle *selection, int option,
 		int nullcheck);
 
+/* from quality.c (compiled as its own TU, algos/quality.h) */
+double QualityEstimate(fits *fit, int layer, int qtype);
+
+/* MTF is defined AFTER apply_mtf_to_fits inside the extracted block */
+double MTF(double x, double m);
+#include "gen/histo_mtf.inc"      /* src/gui/histogram.c:33-34,537-564,595-608,684-740 */
+
+#include "algos/photometry.h"     /* reference header: photometry struct */
+#include "gen/photometry.inc"     /* src/algos/photometry.c:30-323 */
+
 static WORD reject_block(struct rejdata *data, struct rejargs *args,
 		int nb_frames, uint64_t crej[2]) {
 	double sigma = -1.0;
@@ -409,6 +419,213 @@ static void suite_demosaic(const char *dir) {
 	fclose(f);
 }
 
+/* ---------------------------- suite: quality ----------------------------- */
+
+static void fill_quality_image(WORD *img, int nx, int ny, int kind) {
+	long x, y, k = 0;
+	double cx = nx / 2.0, cy = ny / 2.0;
+	switch (kind) {
+	case 0: /* full-range uniform */
+		for (k = 0; k < (long) nx * ny; k++) img[k] = rnd_range(0, 65535);
+		break;
+	case 1: /* narrow sky band */
+		for (k = 0; k < (long) nx * ny; k++) img[k] = rnd_range(940, 1060);
+		break;
+	case 2: /* planetary disk: bright disk + noise (the intended workload) */
+		for (y = 0; y < ny; y++)
+			for (x = 0; x < nx; x++, k++) {
+				double r = (x - cx) * (x - cx) / (0.09 * nx * nx)
+						+ (y - cy) * (y - cy) / (0.09 * ny * ny);
+				img[k] = (r < 1.0) ? rnd_range(30000, 42000)
+						: rnd_range(200, 600);
+			}
+		break;
+	default: /* gradient + specks near saturation (hits the <65530 guard) */
+		for (y = 0; y < ny; y++)
+			for (x = 0; x < nx; x++, k++) {
+				img[k] = (WORD) (1000 + (40000L * x) / nx + rnd_range(0, 900));
+				if (rnd_unit() < 0.002) img[k] = rnd_range(65000, 65535);
+			}
+		break;
+	}
+}
+
+static void suite_quality(const char *dir) {
+	static const int sizes[][2] = { {64, 48}, {97, 63}, {128, 128}, {30, 29} };
+	FILE *f = open_out(dir, "c_quality.bin");
+	int sz, kind, qtype;
+	for (sz = 0; sz < 4; sz++) {
+		for (kind = 0; kind < 4; kind++) {
+			for (qtype = 0; qtype <= 1; qtype++) {
+				int nx = sizes[sz][0], ny = sizes[sz][1];
+				long npix = (long) nx * ny;
+				WORD *img = malloc(npix * sizeof(WORD));
+				fits fit;
+				double q;
+				fill_quality_image(img, nx, ny, kind);
+				memset(&fit, 0, sizeof(fit));
+				fit.rx = nx;
+				fit.ry = ny;
+				fit.naxis = 2;
+				fit.naxes[0] = nx;
+				fit.naxes[1] = ny;
+				fit.naxes[2] = 1;
+				fit.data = img;
+				fit.pdata[0] = img;
+				fit.pdata[1] = img;
+				fit.pdata[2] = img;
+				w_u16(f, (uint16_t) nx);
+				w_u16(f, (uint16_t) ny);
+				w_u8(f, (uint8_t) qtype);
+				w_u8(f, (uint8_t) kind);
+				w_u16s(f, img, npix);
+				q = QualityEstimate(&fit, 0, qtype);
+				w_f64(f, q);
+				free(img);
+			}
+		}
+	}
+	fclose(f);
+}
+
+/* --------------------- suite: MTF / autostretch ------------------------- */
+
+static void suite_mtf(const char *dir) {
+	/* kinds: 0 sky+stars (normal path), 1 inverted/bright image
+	 * (invertedChannels path), 2 byte-range (normValue 255 path) */
+	FILE *f = open_out(dir, "c_mtf.bin");
+	int nchan, kind;
+	for (nchan = 1; nchan <= 3; nchan += 2) {
+		for (kind = 0; kind < 3; kind++) {
+			int nx = 64, ny = 48, c;
+			long npix = (long) nx * ny, i;
+			WORD *img = malloc(nchan * npix * sizeof(WORD));
+			fits fit;
+			double m, lo = 0.0, hi = 0.0;
+			for (c = 0; c < nchan; c++)
+				for (i = 0; i < npix; i++) {
+					WORD v;
+					if (kind == 0)
+						v = (rnd_unit() < 0.02) ? rnd_range(20000, 65535)
+								: rnd_range(900 + 200 * c, 1100 + 200 * c);
+					else if (kind == 1)
+						v = rnd_range(50000, 65535);
+					else
+						v = rnd_range(0, 255);
+					img[c * npix + i] = v;
+				}
+			memset(&fit, 0, sizeof(fit));
+			fit.rx = nx;
+			fit.ry = ny;
+			fit.naxis = (nchan == 3) ? 3 : 2;
+			fit.naxes[0] = nx;
+			fit.naxes[1] = ny;
+			fit.naxes[2] = nchan;
+			fit.data = img;
+			fit.pdata[0] = img;
+			fit.pdata[1] = (nchan == 3) ? img + npix : img;
+			fit.pdata[2] = (nchan == 3) ? img + 2 * npix : img;
+			w_u16(f, (uint16_t) nx);
+			w_u16(f, (uint16_t) ny);
+			w_u8(f, (uint8_t) nchan);
+			w_u8(f, (uint8_t) kind);
+			w_u16s(f, img, nchan * npix);
+			m = findMidtonesBalance(&fit, &lo, &hi);
+			w_f64(f, m);
+			w_f64(f, lo);
+			w_f64(f, hi);
+			/* autostretch application (gui/callbacks.c:800-801 semantics) */
+			apply_mtf_to_fits(&fit, m, lo, hi);
+			w_u16s(f, img, nchan * npix);
+			free(img);
+		}
+	}
+	fclose(f);
+}
+
+/* --------------------------- suite: photometry --------------------------- */
+
+static void suite_photometry(const char *dir) {
+	FILE *f = open_out(dir, "c_photometry.bin");
+	static const int Ns[] = { 5, 8, 30, 200 };
+	int ni, kind, rep, i;
+
+	initializeParam();  /* com.phot_set = inner 20 / outer 30 / gain 2.3 */
+
+	/* part A: robustmean (Hampel-psi iterated M-estimator) */
+	for (ni = 0; ni < 4; ni++) {
+		for (kind = 0; kind < 3; kind++) {
+			for (rep = 0; rep < 3; rep++) {
+				int n = Ns[ni];
+				double xs[200], mean = 0.0, stdev = 0.0;
+				int ret;
+				for (i = 0; i < n; i++) {
+					if (kind == 0) /* quasi-normal sky: sum of uniforms */
+						xs[i] = 1000.0 + 20.0 * (rnd_unit() + rnd_unit()
+								+ rnd_unit() + rnd_unit() - 2.0);
+					else if (kind == 1) /* sky + outliers */
+						xs[i] = (rnd_unit() < 0.15) ?
+								rnd_range(20000, 60000) :
+								950.0 + 100.0 * rnd_unit();
+					else /* constant (zero scale path) */
+						xs[i] = 1234.5;
+				}
+				w_i32(f, n);
+				w_u8(f, (uint8_t) kind);
+				for (i = 0; i < n; i++) w_f64(f, xs[i]);
+				ret = robustmean(n, xs, &mean, &stdev);
+				w_i32(f, ret);
+				w_f64(f, mean);
+				w_f64(f, stdev);
+			}
+		}
+	}
+
+	/* part B: getPhotometryData on a synthetic star + sky annulus */
+	for (rep = 0; rep < 6; rep++) {
+		int W = 72, H = 64;
+		gsl_matrix *z = gsl_matrix_alloc(H, W);
+		fitted_PSF psf;
+		photometry *phot;
+		double xc = 30.0 + 10.0 * rnd_unit();   /* 0-based centre */
+		double yc = 28.0 + 8.0 * rnd_unit();
+		double amp = 8000.0 + 30000.0 * rnd_unit();
+		double s2 = 4.0 + 6.0 * rnd_unit();     /* gaussian variance */
+		int x, y;
+		for (y = 0; y < H; y++)
+			for (x = 0; x < W; x++) {
+				double r2 = (x - xc) * (x - xc) + (y - yc) * (y - yc);
+				double v = 1000.0 + 40.0 * rnd_unit()
+						+ amp * exp(-r2 / (2.0 * s2));
+				if (rep == 5 && rnd_unit() < 0.01)
+					v = 65535.0;  /* saturated pixels: hi_data exclusion */
+				gsl_matrix_set(z, y, x, v);
+			}
+		psf.x0 = xc + 1.0;  /* reference uses 1-based PSF coordinates */
+		psf.y0 = yc + 1.0;
+		psf.sx = 2.0 * s2;  /* fwhm = sqrt(sx/2)*2*sqrt(2 ln 2) */
+		w_i32(f, W);
+		w_i32(f, H);
+		w_f64(f, psf.x0);
+		w_f64(f, psf.y0);
+		w_f64(f, psf.sx);
+		for (y = 0; y < H; y++)
+			for (x = 0; x < W; x++)
+				w_f64(f, gsl_matrix_get(z, y, x));
+		phot = getPhotometryData(z, &psf);
+		if (!phot) {
+			w_u8(f, 0);
+		} else {
+			w_u8(f, 1);
+			w_f64(f, phot->mag);
+			w_f64(f, phot->s_mag);
+			free(phot);
+		}
+		gsl_matrix_free(z);
+	}
+	fclose(f);
+}
+
 int main(int argc, char **argv) {
 	const char *dir = (argc > 1) ? argv[1] : ".";
 	rng_state = 0x9E3779B97F4A7C15ULL;
@@ -421,6 +638,12 @@ int main(int argc, char **argv) {
 	suite_quantize(dir);
 	rng_state = 0xA5A5A5A55A5A5A5AULL;
 	suite_demosaic(dir);
+	rng_state = 0xBADC0FFEE0DDF00DULL;
+	suite_quality(dir);
+	rng_state = 0xFEEDFACE8BADF00DULL;
+	suite_mtf(dir);
+	rng_state = 0x0123456789ABCDEFULL;
+	suite_photometry(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

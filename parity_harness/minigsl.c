@@ -204,3 +204,29 @@ void gsl_histogram_free(gsl_histogram *h) {
 	free(h->bin);
 	free(h);
 }
+
+/* ---- gsl_matrix (matrix/init.c, matrix/getset.h semantics: row-major,
+ * tda == size2 on a fresh alloc) ---- */
+#include "gsl/gsl_matrix.h"
+
+gsl_matrix *gsl_matrix_alloc(size_t n1, size_t n2) {
+	gsl_matrix *m = malloc(sizeof(gsl_matrix));
+	m->size1 = n1;
+	m->size2 = n2;
+	m->tda = n2;
+	m->data = malloc(n1 * n2 * sizeof(double));
+	return m;
+}
+
+void gsl_matrix_free(gsl_matrix *m) {
+	free(m->data);
+	free(m);
+}
+
+double gsl_matrix_get(const gsl_matrix *m, size_t i, size_t j) {
+	return m->data[i * m->tda + j];
+}
+
+void gsl_matrix_set(gsl_matrix *m, size_t i, size_t j, double x) {
+	m->data[i * m->tda + j] = x;
+}

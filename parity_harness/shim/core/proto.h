@@ -20,4 +20,13 @@ int fits_img_stats_ushort(WORD *array, long nx, long ny, int nullcheck,
 		double *mean, double *sigma, double *noise1, double *noise2,
 		double *noise3, double *noise5, int *status);
 
+/* gettext passthrough + logging/undo stubs for the extracted histogram.c /
+ * photometry.c blocks (implemented in support.c; the real ones print to the
+ * GTK console / write swap files, which the harness has no use for). */
+#ifndef _
+#define _(String) (String)
+#endif
+char *siril_log_message(const char *format, ...);
+int undo_save_state(const char *message, ...);
+
 #endif

@@ -75,13 +75,33 @@ typedef struct {
 #define GLAYER 1
 #define BLAYER 2
 
+/* MAD -> sigma normalization constant (siril.h:64), used by the extracted
+ * findMidtonesBalance */
+#define MAD_NORM 1.4826
+
+/* photometry config (siril.h:456-460) */
+struct phot_config {
+	double gain;
+	double inner;
+	double outer;
+};
+
+/* reduced fitted_PSF: the extracted getPhotometryData reads x0/y0/sx only
+ * (reference: typedef of struct fwhm_struct, siril.h; fields used at
+ * photometry.c:246-256) */
+typedef struct {
+	double x0, y0;
+	double sx;
+} fitted_PSF;
+
 /* reduced cominfo: demosaicing.c's fits-level debayer() reads
  * com.debayer.bayer_pattern (the harness never calls it, but the TU must
- * compile). */
+ * compile); the extracted photometry block reads com.phot_set. */
 typedef struct {
 	struct {
 		sensor_pattern bayer_pattern;
 	} debayer;
+	struct phot_config phot_set;
 } cominfo;
 extern cominfo com;
 

@@ -58,3 +58,18 @@ gsl_histogram *computeHisto_Selection(fits *fit, int layer,
 	}
 	return histo;
 }
+
+/* Logging/undo stubs for the extracted histogram.c / photometry.c blocks.
+ * The reference versions write to the GTK console / swap undo files; the
+ * harness only needs the calls to compile and be side-effect free. */
+#include <stdarg.h>
+
+char *siril_log_message(const char *format, ...) {
+	(void) format;
+	return NULL;
+}
+
+int undo_save_state(const char *message, ...) {
+	(void) message;
+	return 0;
+}
