@@ -30,6 +30,16 @@ sed -n '684,740p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
 # photometry.c minus its includes and trailing GTK callback: hampel family,
 # robustmean, phot_alloc, magnitude/error model, getPhotometryData
 sed -n '31,323p'   "$REF/algos/photometry.c"   > gen/photometry.inc
+# colors.c GUI-free math: the 8 colorspace conversions, the
+# enhance_saturation and scnr per-pixel workers (GTK idle/log calls are
+# no-op'd by shim macros), background_neutralize
+sed -n '45,284p'   "$REF/algos/colors.c"       > gen/colors.inc
+sed -n '399,470p'  "$REF/algos/colors.c"      >> gen/colors.inc
+sed -n '488,548p'  "$REF/algos/colors.c"      >> gen/colors.inc
+sed -n '623,656p'  "$REF/algos/colors.c"      >> gen/colors.inc
+# cosmetic_correction.c core: median5x5/average3x3 fixers,
+# count/find_deviant_pixels, cosmeticCorrOnePoint/OneLine, cosmeticCorrection
+sed -n '34,294p'   "$REF/algos/cosmetic_correction.c" > gen/cosmetic.inc
 
 # sanity: the extractions start/end where we think they do
 grep -q '^int round_to_int' gen/utils_round.inc
@@ -45,6 +55,14 @@ tail -1 gen/histo_mtf.inc | grep -q '^}'
 head -1 gen/photometry.inc | grep -q 'hampel_a'
 grep -q 'robustmean' gen/photometry.inc
 tail -1 gen/photometry.inc | grep -q '^}'
+head -1 gen/colors.inc | grep -q '^void hsl_to_rgb'
+grep -q '^gpointer enhance_saturation' gen/colors.inc
+grep -q '^gpointer scnr' gen/colors.inc
+grep -q '^static void background_neutralize' gen/colors.inc
+tail -1 gen/colors.inc | grep -q '^}'
+head -1 gen/cosmetic.inc | grep -q '^static WORD getMedian5x5'
+grep -q '^int cosmeticCorrection' gen/cosmetic.inc
+tail -1 gen/cosmetic.inc | grep -q '^}'
 
 CFLAGS="-O2 -fno-fast-math -ffp-contract=off -I shim -I $REF -I ."
 gcc $CFLAGS -c "$REF/algos/statistics.c"  -o build/statistics.o

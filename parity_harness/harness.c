@@ -19,6 +19,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <sys/time.h>   /* struct timeval in the extracted colors.c workers */
 
 #include "core/siril.h"
 #include "core/proto.h"
@@ -55,7 +56,13 @@ double MTF(double x, double m);
 #include "gen/histo_mtf.inc"      /* src/gui/histogram.c:33-34,537-564,595-608,684-740 */
 
 #include "algos/photometry.h"     /* reference header: photometry struct */
-#include "gen/photometry.inc"     /* src/algos/photometry.c:30-323 */
+#include "gen/photometry.inc"     /* src/algos/photometry.c:31-323 */
+
+#include "algos/colors.h"         /* reference header: scnr/saturation args */
+#include "gen/colors.inc"         /* src/algos/colors.c:45-284,399-470,488-548,623-656 */
+
+#include "algos/cosmetic_correction.h"
+#include "gen/cosmetic.inc"       /* src/algos/cosmetic_correction.c:34-294 */
 
 static WORD reject_block(struct rejdata *data, struct rejargs *args,
 		int nb_frames, uint64_t crej[2]) {
@@ -626,6 +633,214 @@ static void suite_photometry(const char *dir) {
 	fclose(f);
 }
 
+/* ----------------------------- suite: colors ----------------------------- */
+
+static void make_rgb_fits(fits *fit, WORD *img, int nx, int ny) {
+	long npix = (long) nx * ny;
+	memset(fit, 0, sizeof(*fit));
+	fit->rx = nx;
+	fit->ry = ny;
+	fit->naxis = 3;
+	fit->naxes[0] = nx;
+	fit->naxes[1] = ny;
+	fit->naxes[2] = 3;
+	fit->data = img;
+	fit->pdata[0] = img;
+	fit->pdata[1] = img + npix;
+	fit->pdata[2] = img + 2 * npix;
+}
+
+static void suite_colors(const char *dir) {
+	FILE *f = open_out(dir, "c_colors.bin");
+	int i, type, preserve, c;
+	long k;
+
+	/* part A: the 8 colorspace conversions on random + edge-case triples */
+	for (i = 0; i < 300; i++) {
+		double r, g, b, h, s, l, v, x, y, z, L, A, B, o1, o2, o3;
+		if (i == 0)      { r = g = b = 0.0; }
+		else if (i == 1) { r = g = b = 1.0; }
+		else if (i == 2) { r = g = b = 0.37; }       /* grey: hue -1 paths */
+		else if (i == 3) { r = 0.9; g = b = 0.1; }
+		else             { r = rnd_unit(); g = rnd_unit(); b = rnd_unit(); }
+		w_f64(f, r); w_f64(f, g); w_f64(f, b);
+		rgb_to_hsl(r, g, b, &h, &s, &l);
+		w_f64(f, h); w_f64(f, s); w_f64(f, l);
+		hsl_to_rgb(h, s, l, &o1, &o2, &o3);
+		w_f64(f, o1); w_f64(f, o2); w_f64(f, o3);
+		rgb_to_hsv(r, g, b, &h, &s, &v);
+		w_f64(f, h); w_f64(f, s); w_f64(f, v);
+		hsv_to_rgb(h, s, v, &o1, &o2, &o3);
+		w_f64(f, o1); w_f64(f, o2); w_f64(f, o3);
+		rgb_to_xyz(r, g, b, &x, &y, &z);
+		w_f64(f, x); w_f64(f, y); w_f64(f, z);
+		xyz_to_LAB(x, y, z, &L, &A, &B);
+		w_f64(f, L); w_f64(f, A); w_f64(f, B);
+		LAB_to_xyz(L, A, B, &x, &y, &z);
+		w_f64(f, x); w_f64(f, y); w_f64(f, z);
+		xyz_to_rgb(x, y, z, &o1, &o2, &o3);
+		w_f64(f, o1); w_f64(f, o2); w_f64(f, o3);
+	}
+
+	/* part B: SCNR, 4 types x preserve on/off */
+	for (type = 0; type <= 3; type++) {
+		for (preserve = 0; preserve <= 1; preserve++) {
+			int nx = 24, ny = 16;
+			long npix = (long) nx * ny;
+			WORD *img = malloc(3 * npix * sizeof(WORD));
+			fits fit;
+			struct scnr_data args;
+			for (k = 0; k < 3 * npix; k++)
+				img[k] = rnd_range(0, 65535);
+			/* green-dominant pixels so SCNR has something to remove */
+			for (k = 0; k < npix; k += 3)
+				img[npix + k] = rnd_range(40000, 65535);
+			make_rgb_fits(&fit, img, nx, ny);
+			w_u16(f, (uint16_t) nx);
+			w_u16(f, (uint16_t) ny);
+			w_u8(f, (uint8_t) type);
+			w_u8(f, (uint8_t) preserve);
+			w_f64(f, 0.8);
+			w_u16s(f, img, 3 * npix);
+			args.fit = &fit;
+			args.type = type;
+			args.amount = 0.8;
+			args.preserve = preserve;
+			scnr(&args);
+			w_u16s(f, img, 3 * npix);
+			free(img);
+		}
+	}
+
+	/* part C: saturation enhancement (incl. the hue-wrap red band) */
+	for (i = 0; i < 4; i++) {
+		int nx = 24, ny = 16;
+		long npix = (long) nx * ny;
+		WORD *img = malloc(3 * npix * sizeof(WORD));
+		fits fit;
+		struct enhance_saturation_data args;
+		static const double bands[4][2] = {
+			{0.0, 360.0}, {330.0, 30.0} /* red wrap */, {80.0, 160.0},
+			{200.0, 280.0}
+		};
+		for (k = 0; k < 3 * npix; k++)
+			img[k] = rnd_range(0, 65535);
+		make_rgb_fits(&fit, img, nx, ny);
+		w_u16(f, (uint16_t) nx);
+		w_u16(f, (uint16_t) ny);
+		w_f64(f, bands[i][0]);
+		w_f64(f, bands[i][1]);
+		w_u8(f, (uint8_t) (i & 1));  /* preserve background on odd cases */
+		w_u16s(f, img, 3 * npix);
+		args.fit = &fit;
+		args.coeff = 0.4;
+		args.h_min = bands[i][0];
+		args.h_max = bands[i][1];
+		args.preserve = (i & 1);
+		enhance_saturation(&args);
+		w_u16s(f, img, 3 * npix);
+		free(img);
+	}
+
+	/* part D: background neutralization */
+	for (i = 0; i < 3; i++) {
+		int nx = 48, ny = 32;
+		long npix = (long) nx * ny;
+		WORD *img = malloc(3 * npix * sizeof(WORD));
+		fits fit;
+		rectangle sel = { 4, 4, 12, 9 };
+		for (c = 0; c < 3; c++)
+			for (k = 0; k < npix; k++)
+				img[c * npix + k] = rnd_range(800 + 400 * c, 1400 + 400 * c);
+		make_rgb_fits(&fit, img, nx, ny);
+		w_u16(f, (uint16_t) nx);
+		w_u16(f, (uint16_t) ny);
+		w_i16(f, (int16_t) sel.x);
+		w_i16(f, (int16_t) sel.y);
+		w_i16(f, (int16_t) sel.w);
+		w_i16(f, (int16_t) sel.h);
+		w_u16s(f, img, 3 * npix);
+		background_neutralize(&fit, sel);
+		w_u16s(f, img, 3 * npix);
+		free(img);
+	}
+	fclose(f);
+}
+
+/* ---------------------------- suite: cosmetic ---------------------------- */
+
+static void suite_cosmetic(const char *dir) {
+	FILE *f = open_out(dir, "c_cosmetic.bin");
+	static const double sigs[][2] = {
+		{3.0, 3.0}, {-1.0, 3.0}, {3.0, -1.0}, {5.0, 5.0}
+	};
+	int si, rep, cfa;
+	for (si = 0; si < 4; si++) {
+		for (rep = 0; rep < 2; rep++) {
+			int nx = 64, ny = 48, nd;
+			long npix = (long) nx * ny, k;
+			WORD *img = malloc(npix * sizeof(WORD));
+			WORD *work = malloc(npix * sizeof(WORD));
+			fits fit;
+			double sig[2] = { sigs[si][0], sigs[si][1] };
+			long icold = 0, ihot = 0;
+			deviant_pixel *devs;
+			/* synthetic master dark: sky + hot + cold pixels */
+			for (k = 0; k < npix; k++)
+				img[k] = rnd_range(950, 1050);
+			for (k = 0; k < 40; k++)
+				img[rnd_u32() % npix] = rnd_range(30000, 65535);
+			for (k = 0; k < 25; k++)
+				img[rnd_u32() % npix] = rnd_range(0, 20);
+			memset(&fit, 0, sizeof(fit));
+			fit.rx = nx;
+			fit.ry = ny;
+			fit.naxis = 2;
+			fit.naxes[0] = nx;
+			fit.naxes[1] = ny;
+			fit.naxes[2] = 1;
+			fit.data = img;
+			fit.pdata[0] = img;
+			fit.pdata[1] = img;
+			fit.pdata[2] = img;
+			w_u16(f, (uint16_t) nx);
+			w_u16(f, (uint16_t) ny);
+			w_f64(f, sig[0]);
+			w_f64(f, sig[1]);
+			w_u16s(f, img, npix);
+			devs = find_deviant_pixels(&fit, sig, &icold, &ihot);
+			nd = (int) (icold + ihot);
+			w_i64(f, icold);
+			w_i64(f, ihot);
+			if (!devs)
+				nd = 0;
+			w_i32(f, nd);
+			for (k = 0; k < nd; k++) {
+				w_f64(f, devs[k].p.x);
+				w_f64(f, devs[k].p.y);
+				w_u8(f, (uint8_t) devs[k].type);
+			}
+			/* apply the correction, both CFA modes, each from the
+			 * ORIGINAL image */
+			for (cfa = 0; cfa <= 1; cfa++) {
+				memcpy(work, img, npix * sizeof(WORD));
+				fit.data = work;
+				fit.pdata[0] = work;
+				fit.pdata[1] = work;
+				fit.pdata[2] = work;
+				if (devs)
+					cosmeticCorrection(&fit, devs, nd, cfa);
+				w_u16s(f, work, npix);
+			}
+			if (devs)
+				free(devs);
+			free(img);
+			free(work);
+		}
+	}
+	fclose(f);
+}
+
 int main(int argc, char **argv) {
 	const char *dir = (argc > 1) ? argv[1] : ".";
 	rng_state = 0x9E3779B97F4A7C15ULL;
@@ -644,6 +859,10 @@ int main(int argc, char **argv) {
 	suite_mtf(dir);
 	rng_state = 0x0123456789ABCDEFULL;
 	suite_photometry(dir);
+	rng_state = 0x5EED5EED5EED5EEDULL;
+	suite_colors(dir);
+	rng_state = 0x7E57C0DE7E57C0DEULL;
+	suite_cosmetic(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

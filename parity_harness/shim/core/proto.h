@@ -29,4 +29,12 @@ int fits_img_stats_ushort(WORD *array, long nx, long ny, int nullcheck,
 char *siril_log_message(const char *format, ...);
 int undo_save_state(const char *message, ...);
 
+/* the extracted colors.c workers call these GTK-side helpers; none of them
+ * affects pixel output, so they are no-op'd at the preprocessor (this also
+ * drops the references to the un-extracted end_* idle callbacks). */
+#define siril_log_color_message(...) ((void) 0)
+#define show_time(a, b) ((void) 0)
+#define gdk_threads_add_idle(fn, p) ((void) (p))
+gboolean isrgb(fits *fit);
+
 #endif

@@ -17,12 +17,33 @@
 typedef unsigned char BYTE;
 typedef unsigned short WORD;
 typedef int gboolean;
+typedef char gchar;
+typedef void *gpointer;
 #ifndef TRUE
 #define TRUE 1
 #define FALSE 0
 #endif
+#define GINT_TO_POINTER(i) ((gpointer)(long)(i))
 
 #define SQR(x) ((x)*(x))
+
+/* GNU statement-expression min/max, same as siril.h:23-33 (the extracted
+ * scnr/enhance_saturation workers use them) */
+#undef max
+#define max(a,b) \
+   ({ __typeof__ (a) _a = (a); \
+       __typeof__ (b) _b = (b); \
+     _a > _b ? _a : _b; })
+#undef min
+#define min(a,b) \
+   ({ __typeof__ (a) _a = (a); \
+       __typeof__ (b) _b = (b); \
+     _a < _b ? _a : _b; })
+
+/* point (siril.h:481-483), used by cosmetic_correction's deviant_pixel */
+typedef struct {
+	double x, y;
+} point;
 
 /* cfitsio error code used by quantize.c (fitsio.h) */
 #define MEMORY_ALLOCATION 113

@@ -73,3 +73,8 @@ int undo_save_state(const char *message, ...) {
 	(void) message;
 	return 0;
 }
+
+/* utils.c:94-96: an image is RGB when naxis == 3 */
+gboolean isrgb(fits *fit) {
+	return (fit->naxis == 3);
+}

@@ -74,6 +74,13 @@ def find_deviant_pixels(dark_layer: np.ndarray, sig: Tuple[float, float]
 
 
 def _median5x5(buf: np.ndarray, x: int, y: int, is_cfa: bool) -> int:
+    """Reference quirk (getMedian5x5, cosmetic_correction.c:34-67,
+    verified against the compiled C in test_c_goldens): the n gathered
+    neighbours are sorted inside a zero-padded 24-slot buffer and the
+    median window starts at 24-n-1 — one slot BEFORE the real values, so
+    the result is the median one rank lower than the true median (for
+    interior pixels, n == 24, the window nominally starts at value[-1],
+    but GSL's even-n median only reads sorted[10] and sorted[11])."""
     h, w = buf.shape
     step, radius = (2, 4) if is_cfa else (1, 2)
     vals = []
@@ -81,9 +88,15 @@ def _median5x5(buf: np.ndarray, x: int, y: int, is_cfa: bool) -> int:
         for xx in range(x - radius, x + radius + 1, step):
             if 0 <= yy < h and 0 <= xx < w and (xx != x or yy != y):
                 vals.append(float(buf[yy, xx]))
-    s = np.sort(np.asarray(vals))
-    n = s.size
-    med = s[(n - 1) // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    n = len(vals)
+    value = np.zeros(24, np.float64)
+    value[24 - n:] = np.sort(np.asarray(vals))  # pads (zeros) sort first
+    start = 24 - n - 1
+    if start >= 0:
+        win = value[start : start + n]
+        med = win[n // 2] if n % 2 else (win[n // 2 - 1] + win[n // 2]) / 2
+    else:  # n == 24: GSL median over (value-1)[0:24] reads value[10,11]
+        med = (value[10] + value[11]) / 2
     return int(np_round_to_word(med))
 
 
