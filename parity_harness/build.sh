@@ -64,11 +64,18 @@ head -1 gen/cosmetic.inc | grep -q '^static WORD getMedian5x5'
 grep -q '^int cosmeticCorrection' gen/cosmetic.inc
 tail -1 gen/cosmetic.inc | grep -q '^}'
 
-CFLAGS="-O2 -fno-fast-math -ffp-contract=off -I shim -I $REF -I ."
+# -fcommon: Def_Wavelet.h:70-78 defines a global VARIABLE (mallat_plan_des)
+# in the header, one tentative definition per TU — 1993-era C that modern
+# gcc's -fno-common default rejects at link time.
+CFLAGS="-O2 -fno-fast-math -ffp-contract=off -fcommon -I shim -I $REF -I ."
 gcc $CFLAGS -c "$REF/algos/statistics.c"  -o build/statistics.o
 gcc $CFLAGS -c "$REF/algos/quantize.c"    -o build/quantize.o
 gcc $CFLAGS -c "$REF/algos/demosaicing.c" -o build/demosaicing.o
 gcc $CFLAGS -c "$REF/algos/quality.c"     -o build/quality.o
+gcc $CFLAGS -c "$REF/algos/pave.c"        -o build/pave.o
+gcc $CFLAGS -c "$REF/algos/transform.c"   -o build/transform.o
+gcc $CFLAGS -c "$REF/algos/reconstr.c"    -o build/reconstr.o
+gcc $CFLAGS -c "$REF/algos/io_wave.c"     -o build/io_wave.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o
 gcc $CFLAGS -c harness.c  -o build/harness.o

@@ -16,6 +16,7 @@
 #include <limits.h>
 #include <math.h>
 #include <stdint.h>
+#include <stddef.h>     /* offsetof, for the .wave layout facts */
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -63,6 +64,12 @@ double MTF(double x, double m);
 
 #include "algos/cosmetic_correction.h"
 #include "gen/cosmetic.inc"       /* src/algos/cosmetic_correction.c:34-294 */
+
+/* wavelets: pave.c/transform.c/reconstr.c/io_wave.c compile as their own
+ * TUs (they are GUI-free ESO-MIDAS code); prototypes from the reference */
+#include "algos/Def_Math.h"
+#include "algos/Def_Mem.h"
+#include "algos/Def_Wavelet.h"
 
 static WORD reject_block(struct rejdata *data, struct rejargs *args,
 		int nb_frames, uint64_t crej[2]) {
@@ -841,6 +848,126 @@ static void suite_cosmetic(const char *dir) {
 	fclose(f);
 }
 
+/* ---------------------------- suite: wavelets ---------------------------- */
+
+static void suite_wavelets(const char *dir) {
+	FILE *f = open_out(dir, "c_wavelets.bin");
+	static const int geos[][2] = { {33, 41}, {64, 64}, {96, 67} };
+	int g, type, plan;
+
+	/* struct layout facts the Python .wave reader/writer assume */
+	w_i32(f, (int32_t) sizeof(wave_transf_des));
+	w_i32(f, (int32_t) offsetof(wave_transf_des, Nbr_Ligne));
+
+	for (g = 0; g < 3; g++) {
+		int Nl = geos[g][0], Nc = geos[g][1];
+		long npix = (long) Nl * Nc, i;
+		int nplanes = (g == 0) ? 3 : 4;
+		WORD *img = malloc(npix * 2);
+		for (i = 0; i < npix; i++)
+			img[i] = (rnd_unit() < 0.02) ? rnd_range(50000, 65535)
+			                             : rnd_range(0, 20000);
+		for (type = TO_PAVE_LINEAR; type <= TO_PAVE_BSPLINE; type++) {
+			wave_transf_des W;
+			float *Imag = f_vector_alloc(npix);
+			WORD *out = malloc(npix * 2);
+			float coef[8];
+			memset(&W, 0, sizeof W);
+			w_u16(f, (uint16_t) Nl);
+			w_u16(f, (uint16_t) Nc);
+			w_u8(f, (uint8_t) type);
+			w_u8(f, (uint8_t) nplanes);
+			w_u16s(f, img, npix);
+			prepare_rawdata(Imag, Nl, Nc, img);
+			if (wavelet_transform_data(Imag, Nl, Nc, &W, type, nplanes)) {
+				fprintf(stderr, "wavelet transform failed\n");
+				exit(1);
+			}
+			fwrite(W.Pave.Data, sizeof(float), npix * nplanes, f);
+			/* get_wavelet_layers path: extract plane -> reget_rawdata */
+			for (plan = 0; plan < nplanes; plan++) {
+				pave_2d_extract_plan(W.Pave.Data, Imag, Nl, Nc, plan);
+				reget_rawdata(Imag, Nl, Nc, out);
+				w_u16s(f, out, npix);
+			}
+			/* wrecons path: weighted reconstruction -> WORD */
+			for (i = 0; i < nplanes; i++)
+				coef[i] = (float) (rnd_unit() * 2.0);
+			fwrite(coef, sizeof(float), nplanes, f);
+			wavelet_reconstruct_data(&W, Imag, coef);
+			reget_rawdata(Imag, Nl, Nc, out);
+			w_u16s(f, out, npix);
+			/* .wave on-disk bytes as the reference writes them, with the
+			 * leaked heap-pointer/padding regions zeroed so the golden
+			 * is deterministic (wave_io_read never reads those bytes:
+			 * io_wave.c:156-211).  Also prove the reference READER
+			 * accepts the zeroed form (what siriltpu writes). */
+			{
+				char path[64];
+				long fsize;
+				FILE *wf;
+				unsigned char *bytes;
+				wave_transf_des R;
+				snprintf(path, sizeof path, "/tmp/ph_%d_%d.wave", g, type);
+				if (wave_io_write(path, &W)) exit(1);
+				wf = fopen(path, "rb");
+				fseek(wf, 0, SEEK_END);
+				fsize = ftell(wf);
+				fseek(wf, 0, SEEK_SET);
+				bytes = malloc(fsize);
+				if (fread(bytes, 1, fsize, wf) != (size_t) fsize) exit(1);
+				fclose(wf);
+				/* zero: tail-of-name..Pyramid.Data, Pave, Mallat */
+				memset(bytes + offsetof(wave_transf_des, Pyramid), 0,
+						sizeof(wave_transf_des)
+								- offsetof(wave_transf_des, Pyramid));
+				memset(bytes + offsetof(wave_transf_des, Type_Wave_Transform)
+						+ sizeof(int), 0,
+						offsetof(wave_transf_des, Pyramid)
+								- offsetof(wave_transf_des, Type_Wave_Transform)
+								- sizeof(int));
+				wf = fopen(path, "wb");
+				fwrite(bytes, 1, fsize, wf);
+				fclose(wf);
+				memset(&R, 0, sizeof R);
+				if (wave_io_read(path, &R)) {
+					fprintf(stderr, "reference reader rejected zeroed hdr\n");
+					exit(1);
+				}
+				if (R.Nbr_Ligne != Nl || R.Nbr_Col != Nc
+						|| memcmp(R.Pave.Data, W.Pave.Data,
+								npix * nplanes * sizeof(float)) != 0) {
+					fprintf(stderr, "zeroed-header re-read mismatch\n");
+					exit(1);
+				}
+				wave_io_free(&R);
+				remove(path);
+				w_i64(f, fsize);
+				fwrite(bytes, 1, fsize, f);
+				free(bytes);
+			}
+			wave_io_free(&W);
+			free(Imag);
+			free(out);
+		}
+		free(img);
+	}
+
+	/* reget_rawdata rescale path: floats above USHRT_MAX and negatives */
+	{
+		enum { NPIX = 63 };
+		float im[NPIX];
+		WORD out[NPIX];
+		int i;
+		for (i = 0; i < NPIX; i++)
+			im[i] = (float) (rnd_unit() * 200000.0 - 20000.0);
+		fwrite(im, sizeof(float), NPIX, f);
+		reget_rawdata(im, 7, 9, out);
+		w_u16s(f, out, NPIX);
+	}
+	fclose(f);
+}
+
 int main(int argc, char **argv) {
 	const char *dir = (argc > 1) ? argv[1] : ".";
 	rng_state = 0x9E3779B97F4A7C15ULL;
@@ -863,6 +990,8 @@ int main(int argc, char **argv) {
 	suite_colors(dir);
 	rng_state = 0x7E57C0DE7E57C0DEULL;
 	suite_cosmetic(dir);
+	rng_state = 0x1CEB00DA1CEB00DAULL;
+	suite_wavelets(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

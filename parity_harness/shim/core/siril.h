@@ -140,6 +140,10 @@ typedef struct ffit {
 	WORD *pdata[3];
 } fits;
 
+/* reconstr.c's reget_rawdata writes gfit.rx/ry (a reference-global side
+ * effect the harness ignores); defined in support.c */
+extern fits gfit;
+
 struct image_stats {
 	long total, ngoodpix;
 	double mean, avgDev, median, sigma, bgnoise, min, max, normValue, mad,

@@ -8,6 +8,7 @@
 #include "gui/histogram.h"
 
 cominfo com;
+fits gfit;   /* reget_rawdata (reconstr.c:126-127) stores Nl/Nc here */
 
 WORD get_normalized_value(fits *fit) {
 	/* image_find_minmax over all layers, then UCHAR_MAX if maxi <= 255 */

@@ -7,10 +7,11 @@ transform ``pave_2d_tfo`` (:140-187: plane_k = img_k − smooth_k(img_k),
 last plane = final smooth), reconstruction with per-plane weights
 (``pave_2d_build`` :191-210), plane extraction (:214-227).
 
-Border handling reproduces ``test_ind`` (pave.c:88-102): mirror at the
-low edge (index −i → i) but CLAMP at the high edge (index ≥ N → N−1) —
-an asymmetric convention (the symmetric reflection is commented out in
-the reference).
+Border handling reproduces ``test_ind`` (pave.c:88-102) as COMPILED,
+verified against the C binary in tests/test_c_goldens.py: any negative
+index is pinned to 0 (the mirror ``Val = -ind`` is commented out; the
+live statement is ``Val = -0``), and an index ≥ N is pinned to N−1 —
+i.e. both edges clamp to the boundary pixel.
 
 Step for plane k is 2^k; the smoothing is separable, implemented as two
 1-D passes of gathered taps, fully jit/vmap-friendly.
@@ -39,30 +40,30 @@ _BSPLINE_TAPS = ((-2, 1.0 / 16), (-1, 4.0 / 16), (0, 6.0 / 16),
 
 
 def _test_ind(idx: Array, n: int) -> Array:
-    """Border index rule (pave.c:88-102): mirror low, clamp high."""
-    idx = jnp.where(idx < 0, -idx, idx)
-    return jnp.minimum(idx, n - 1)
+    """Border index rule (pave.c:88-102, compiled code): clamp both
+    edges (negative → 0, ≥ n → n−1)."""
+    return jnp.clip(idx, 0, n - 1)
 
 
 def _shift_take(img: Array, k: int, axis: int) -> Array:
     """out[i] = img[test_ind(i + k)] along ``axis`` with STATIC k,
     expressed as slices + concat (gathers along a full image axis
     compile and run poorly on TPU; these fuse into the convolution).
-    k < 0: mirror-low  -> reversed prefix img[1..-k] then img[:n+k]
-    k > 0: clamp-high  -> img[k:] then the last element repeated."""
+    k < 0: clamp-low  -> the first element repeated, then img[:n+k]
+    k > 0: clamp-high -> img[k:] then the last element repeated."""
     if k == 0:
         return img
     n = img.shape[axis]
     axis = axis % img.ndim
 
-    def take(lo, hi, rev=False):
+    def take(lo, hi):
         sl = [slice(None)] * img.ndim
-        sl[axis] = slice(lo, hi, -1) if rev else slice(lo, hi)
+        sl[axis] = slice(lo, hi)
         return img[tuple(sl)]
 
     if k < 0:
         m = -k
-        head = take(m, 0, rev=True)          # img[m], ..., img[1]
+        head = jnp.repeat(take(0, 1), m, axis=axis)
         return jnp.concatenate([head, take(0, n - m)], axis=axis)
     tail = jnp.repeat(take(n - 1, n), k, axis=axis)
     return jnp.concatenate([take(k, n), tail], axis=axis)

@@ -17,8 +17,10 @@ from siriltpu.testing.synth import gaussian_star, starfield
 def literal_atrous(img, nplanes, kind):
     """Direct transcription of pave_2d_tfo + smoothing kernels."""
     def test_ind(i, n):
+        # compiled reference: negative indexes pin to 0 (the mirror
+        # `Val = -ind` in pave.c:92 is commented out; `Val = -0` ships)
         if i < 0:
-            return -i
+            return 0
         return min(i, n - 1)
 
     def smooth(im, plan, taps):
