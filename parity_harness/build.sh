@@ -40,6 +40,23 @@ sed -n '623,656p'  "$REF/algos/colors.c"      >> gen/colors.inc
 # cosmetic_correction.c core: median5x5/average3x3 fixers,
 # count/find_deviant_pixels, cosmeticCorrOnePoint/OneLine, cosmeticCorrection
 sed -n '34,294p'   "$REF/algos/cosmetic_correction.c" > gen/cosmetic.inc
+# core/siril.c image ops (GUI-free blocks): MAX_ITER/EPSILON constants,
+# soper, imoper, addmax, fdiv, entropy, loglut, contrast, fill, off,
+# get_wavelet_layers, fmul_layer, BandingEngine, backgroundnoise
+sed -n '60,61p'     "$REF/core/siril.c"  > gen/imops.inc
+sed -n '112,145p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '150,187p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '229,249p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '252,275p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '570,594p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '596,616p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '618,634p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '665,694p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '696,719p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '1285,1336p' "$REF/core/siril.c" >> gen/imops.inc
+sed -n '1448,1459p' "$REF/core/siril.c" >> gen/imops.inc
+sed -n '1529,1615p' "$REF/core/siril.c" >> gen/imops.inc
+sed -n '1626,1715p' "$REF/core/siril.c" >> gen/imops.inc
 
 # sanity: the extractions start/end where we think they do
 grep -q '^int round_to_int' gen/utils_round.inc
@@ -63,6 +80,14 @@ tail -1 gen/colors.inc | grep -q '^}'
 head -1 gen/cosmetic.inc | grep -q '^static WORD getMedian5x5'
 grep -q '^int cosmeticCorrection' gen/cosmetic.inc
 tail -1 gen/cosmetic.inc | grep -q '^}'
+head -1 gen/imops.inc | grep -q '^#define MAX_ITER 15'
+grep -q '^int soper' gen/imops.inc
+grep -q '^int imoper' gen/imops.inc
+grep -q '^double entropy' gen/imops.inc
+grep -q '^int get_wavelet_layers' gen/imops.inc
+grep -q '^int BandingEngine' gen/imops.inc
+grep -q '^int backgroundnoise' gen/imops.inc
+tail -1 gen/imops.inc | grep -q '^}'
 
 # -fcommon: Def_Wavelet.h:70-78 defines a global VARIABLE (mallat_plan_des)
 # in the header, one tentative definition per TU — 1993-era C that modern

@@ -71,6 +71,13 @@ double MTF(double x, double m);
 #include "algos/Def_Mem.h"
 #include "algos/Def_Wavelet.h"
 
+/* core/siril.c image-op blocks (soper..backgroundnoise; entropy needs the
+ * histogram builders, BandingEngine needs DBL_MAX and the ushort stats) */
+#include <float.h>
+#include "gui/histogram.h"
+#include "gsl/gsl_statistics_ushort.h"
+#include "gen/imops.inc"          /* src/core/siril.c:60-61,112-719,1285-1715 */
+
 static WORD reject_block(struct rejdata *data, struct rejargs *args,
 		int nb_frames, uint64_t crej[2]) {
 	double sigma = -1.0;
@@ -848,6 +855,249 @@ static void suite_cosmetic(const char *dir) {
 	fclose(f);
 }
 
+/* ----------------------------- suite: imops ------------------------------ */
+
+static void make_mono_fits(fits *fit, WORD *img, int nx, int ny) {
+	memset(fit, 0, sizeof(*fit));
+	fit->rx = nx;
+	fit->ry = ny;
+	fit->naxis = 2;
+	fit->naxes[0] = nx;
+	fit->naxes[1] = ny;
+	fit->naxes[2] = 1;
+	fit->data = img;
+	fit->pdata[0] = img;
+	fit->pdata[1] = img;
+	fit->pdata[2] = img;
+}
+
+static void suite_imops(const char *dir) {
+	FILE *f = open_out(dir, "c_imops.bin");
+	const int nx = 31, ny = 17;
+	const long npix = (long) nx * ny;
+	int rep, li, oi;
+
+	/* part A: soper/imoper/fdiv/addmax, mono and RGB, incl. saturation */
+	for (rep = 0; rep < 2; rep++) {
+		for (li = 0; li < 2; li++) {
+			int nl = li ? 3 : 1;
+			long n = npix * nl, i;
+			WORD *a = malloc(n * 2), *b = malloc(n * 2);
+			WORD *wa = malloc(n * 2), *wb = malloc(n * 2);
+			fits fa, fb;
+			double scalar = (rep == 0) ? 1234.56 : -789.25;
+			float coef = (rep == 0) ? 1.0f : 2.5f;
+			for (i = 0; i < n; i++) {
+				a[i] = (rnd_unit() < 0.05) ? rnd_range(65000, 65535)
+				                           : rnd_range(0, 40000);
+				b[i] = rnd_range(1, 50000);   /* no 0s: imoper 'd' is C
+				                                 integer division (UB on 0) */
+			}
+			w_u8(f, (uint8_t) nl);
+			w_f64(f, scalar);
+			fwrite(&coef, 4, 1, f);
+			w_u16s(f, a, n);
+			w_u16s(f, b, n);
+			for (oi = 0; oi < 4; oi++) {
+				char op = "asmd"[oi];
+				memcpy(wa, a, n * 2);
+				(nl == 3 ? make_rgb_fits : make_mono_fits)(&fa, wa, nx, ny);
+				soper(&fa, scalar, op);
+				w_u16s(f, wa, n);
+				memcpy(wa, a, n * 2);
+				memcpy(wb, b, n * 2);
+				(nl == 3 ? make_rgb_fits : make_mono_fits)(&fa, wa, nx, ny);
+				(nl == 3 ? make_rgb_fits : make_mono_fits)(&fb, wb, nx, ny);
+				imoper(&fa, &fb, op);
+				w_u16s(f, wa, n);
+			}
+			memcpy(wa, a, n * 2);
+			memcpy(wb, b, n * 2);
+			(nl == 3 ? make_rgb_fits : make_mono_fits)(&fa, wa, nx, ny);
+			(nl == 3 ? make_rgb_fits : make_mono_fits)(&fb, wb, nx, ny);
+			w_u8(f, (uint8_t) fdiv(&fa, &fb, coef));
+			w_u16s(f, wa, n);
+			memcpy(wa, a, n * 2);
+			memcpy(wb, b, n * 2);
+			(nl == 3 ? make_rgb_fits : make_mono_fits)(&fa, wa, nx, ny);
+			(nl == 3 ? make_rgb_fits : make_mono_fits)(&fb, wb, nx, ny);
+			addmax(&fa, &fb);
+			w_u16s(f, wa, n);
+			free(a); free(b); free(wa); free(wb);
+		}
+	}
+
+	/* part B: entropy — plain, with selection, and with the stats
+	 * threshold (note the reference compares histogram COUNTS against a
+	 * pixel-value threshold; the golden captures that as compiled) */
+	{
+		WORD *img = malloc(npix * 2);
+		long i;
+		fits fit;
+		rectangle area = { 5, 3, 20, 11 };
+		imstats *st;
+		for (i = 0; i < npix; i++)
+			img[i] = (rnd_unit() < 0.3) ? rnd_range(0, 200)
+			                            : rnd_range(0, 65535);
+		make_mono_fits(&fit, img, nx, ny);
+		w_u16s(f, img, npix);
+		w_f64(f, entropy(&fit, 0, NULL, NULL));
+		w_f64(f, entropy(&fit, 0, &area, NULL));
+		st = statistics(&fit, 0, NULL, STATS_BASIC, STATS_ZERO_NONE);
+		w_f64(f, st->median);
+		w_f64(f, st->sigma);
+		w_f64(f, entropy(&fit, 0, NULL, st));
+		free(st);
+		free(img);
+	}
+
+	/* part C: loglut both directions (the EXP direction truncation-casts
+	 * doubles that can exceed WORD range — compiled x86 behavior) */
+	{
+		WORD *img = malloc(npix * 2);
+		WORD *w = malloc(npix * 2);
+		long i;
+		fits fit;
+		for (i = 0; i < npix; i++)
+			img[i] = rnd_range(0, 65535);
+		w_u16s(f, img, npix);
+		memcpy(w, img, npix * 2);
+		make_mono_fits(&fit, w, nx, ny);
+		loglut(&fit, LOG);
+		w_u16s(f, w, npix);
+		loglut(&fit, EXP);    /* round-trip through the log image */
+		w_u16s(f, w, npix);
+		free(img); free(w);
+	}
+
+	/* part D: contrast with empty and non-empty com.selection */
+	{
+		WORD *img = malloc(npix * 2);
+		long i;
+		fits fit;
+		for (i = 0; i < npix; i++)
+			img[i] = rnd_range(100, 30000);
+		make_mono_fits(&fit, img, nx, ny);
+		w_u16s(f, img, npix);
+		memset(&com.selection, 0, sizeof com.selection);
+		w_f64(f, contrast(&fit, 0));
+		com.selection.x = 4; com.selection.y = 2;
+		com.selection.w = 12; com.selection.h = 9;
+		w_f64(f, contrast(&fit, 0));
+		memset(&com.selection, 0, sizeof com.selection);
+		free(img);
+	}
+
+	/* part E: fill (explicit rect + com.selection fallback) and off */
+	{
+		WORD *img = malloc(npix * 2);
+		WORD *w = malloc(npix * 2);
+		long i;
+		fits fit;
+		rectangle area = { 7, 2, 13, 8 };
+		for (i = 0; i < npix; i++)
+			img[i] = rnd_range(0, 65535);
+		w_u16s(f, img, npix);
+		memcpy(w, img, npix * 2);
+		make_mono_fits(&fit, w, nx, ny);
+		fill(&fit, 4242, &area);
+		w_u16s(f, w, npix);
+		memcpy(w, img, npix * 2);
+		off(&fit, 20000);
+		w_u16s(f, w, npix);
+		memcpy(w, img, npix * 2);
+		off(&fit, -20000);
+		w_u16s(f, w, npix);
+		free(img); free(w);
+	}
+
+	/* part F: BandingEngine — row-banded data, 4 parameter combos */
+	{
+		const int bx = 64, by = 48;
+		const long bn = (long) bx * by;
+		static const double sigs[2] = { 1.0, 3.0 };
+		static const double amts[2] = { 0.7, 1.0 };
+		int ci;
+		for (ci = 0; ci < 4; ci++) {
+			WORD *img = malloc(bn * 2);
+			long i;
+			fits fit;
+			for (i = 0; i < bn; i++) {
+				long row = i / bx;
+				double band = 300.0 * ((row % 4 == 0) ? 1.0 : 0.0);
+				double v = 8000.0 + band + (rnd_unit() - 0.5) * 400.0
+						+ ((rnd_unit() < 0.01) ? 40000.0 : 0.0);
+				img[i] = round_to_WORD(v);
+			}
+			w_u16s(f, img, bn);
+			w_f64(f, sigs[ci & 1]);
+			w_f64(f, amts[ci >> 1]);
+			w_u8(f, (uint8_t) (ci & 1));       /* protect_highlights */
+			make_mono_fits(&fit, img, bx, by);
+			if (BandingEngine(&fit, sigs[ci & 1], amts[ci >> 1],
+					(ci & 1), FALSE)) {
+				fprintf(stderr, "BandingEngine failed\n");
+				exit(1);
+			}
+			w_u16s(f, img, bn);
+			free(img);
+		}
+	}
+
+	/* part G: backgroundnoise (wavelet finest-scale sigma-clip estimator) */
+	{
+		const int bx = 96, by = 80;
+		const long bn = (long) bx * by;
+		WORD *img = malloc(bn * 2);
+		double sigma[3] = { 0, 0, 0 };
+		long i;
+		fits fit;
+		for (i = 0; i < bn; i++) {
+			double v = 2000.0 + (rnd_unit() + rnd_unit() + rnd_unit()
+					+ rnd_unit() - 2.0) * 120.0;
+			if (rnd_unit() < 0.0005)
+				v = 30000.0;  /* a couple of stars; more would inflate the
+				                 loop's FIXED mean past the clipped body and
+				                 the reference itself reports "no data" */
+			img[i] = round_to_WORD(v);
+		}
+		w_u16s(f, img, bn);
+		make_mono_fits(&fit, img, bx, by);
+#ifdef DBG_BGNOISE
+		{
+			fits wv;
+			imstats *st;
+			memset(&wv, 0, sizeof wv);
+			copyfits(&fit, &wv, CP_ALLOC | CP_FORMAT | CP_COPYA, 0);
+			if (get_wavelet_layers(&wv, 4, 0, TO_PAVE_BSPLINE, -1))
+				fprintf(stderr, "DBG gwl fail\n");
+			st = statistics(&wv, 0, NULL, STATS_BASIC, STATS_ZERO_NULLCHECK);
+			if (st)
+				fprintf(stderr, "DBG plane0 mean=%f sigma=%f norm=%f\n",
+						st->mean, st->sigma, st->normValue);
+			else
+				fprintf(stderr, "DBG stats NULL\n");
+			{
+				long zz, nz = 0;
+				for (zz = 0; zz < bn; zz++)
+					if (wv.pdata[0][zz])
+						nz++;
+				fprintf(stderr, "DBG nonzero=%ld max=%u\n", nz,
+						(unsigned) 0);
+			}
+		}
+#endif
+		if (backgroundnoise(&fit, sigma)) {
+			fprintf(stderr, "backgroundnoise failed\n");
+			exit(1);
+		}
+		w_f64(f, sigma[0]);
+		free(img);
+	}
+
+	fclose(f);
+}
+
 /* ---------------------------- suite: wavelets ---------------------------- */
 
 static void suite_wavelets(const char *dir) {
@@ -992,6 +1242,8 @@ int main(int argc, char **argv) {
 	suite_cosmetic(dir);
 	rng_state = 0x1CEB00DA1CEB00DAULL;
 	suite_wavelets(dir);
+	rng_state = 0xF00DFACEF00DFACEULL;
+	suite_imops(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

@@ -37,4 +37,14 @@ int undo_save_state(const char *message, ...);
 #define gdk_threads_add_idle(fn, p) ((void) (p))
 gboolean isrgb(fits *fit);
 
+/* glib path helpers + minimal fits lifecycle for the extracted
+ * core/siril.c image-op blocks (implemented in support.c; the real
+ * copyfits/new_fit_image live in cfitsio-bound image_format_fits.c) */
+const char *g_get_tmp_dir(void);
+gchar *g_build_filename(const char *a, const char *b, void *end);
+void g_free(void *p);
+int copyfits(fits *from, fits *to, unsigned char oper, int layer);
+int new_fit_image(fits *fit, int width, int height, int nblayer);
+void clearfits(fits *fit);
+
 #endif

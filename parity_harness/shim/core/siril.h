@@ -96,6 +96,24 @@ typedef struct {
 #define GLAYER 1
 #define BLAYER 2
 
+/* image-op constants for the extracted core/siril.c blocks
+ * (siril.h:58-62,146-152,166-169,180-181) */
+#define LOW_BOUND  0.00002
+#define HIGH_BOUND 0.99998
+#define SIGMA_PER_FWHM 2.35482
+#define CP_INIT   0x01
+#define CP_ALLOC  0x02
+#define CP_COPYA  0x04
+#define CP_FORMAT 0x08
+#define OPER_ADD 'a'
+#define OPER_SUB 's'
+#define OPER_MUL 'm'
+#define OPER_DIV 'd'
+#define LOG 1
+#define EXP -1
+typedef double gdouble;
+typedef int gint;
+
 /* MAD -> sigma normalization constant (siril.h:64), used by the extracted
  * findMidtonesBalance */
 #define MAD_NORM 1.4826
@@ -123,6 +141,7 @@ typedef struct {
 		sensor_pattern bayer_pattern;
 	} debayer;
 	struct phot_config phot_set;
+	rectangle selection;   /* the extracted contrast() reads com.selection */
 } cominfo;
 extern cominfo com;
 

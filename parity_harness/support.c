@@ -3,6 +3,8 @@
  * because that file is GTK-bound), get_normalized_value (utils.c:454-459
  * via image_find_minmax), and the `com` global demosaicing.c's unused
  * fits-level path references. */
+#include <stdio.h>
+
 #include "core/siril.h"
 #include "core/proto.h"
 #include "gui/histogram.h"
@@ -66,7 +68,10 @@ gsl_histogram *computeHisto_Selection(fits *fit, int layer,
 #include <stdarg.h>
 
 char *siril_log_message(const char *format, ...) {
-	(void) format;
+	va_list ap;
+	va_start(ap, format);
+	vfprintf(stderr, format, ap);
+	va_end(ap);
 	return NULL;
 }
 
@@ -78,4 +83,67 @@ int undo_save_state(const char *message, ...) {
 /* utils.c:94-96: an image is RGB when naxis == 3 */
 gboolean isrgb(fits *fit) {
 	return (fit->naxis == 3);
+}
+
+/* glib path helpers for the extracted get_wavelet_layers */
+#include <stdio.h>
+#include <string.h>
+
+const char *g_get_tmp_dir(void) {
+	return "/tmp";
+}
+
+gchar *g_build_filename(const char *a, const char *b, void *end) {
+	size_t n = strlen(a) + strlen(b) + 2;
+	char *s = malloc(n);
+	(void) end;
+	snprintf(s, n, "%s/%s", a, b);
+	return s;
+}
+
+void g_free(void *p) {
+	free(p);
+}
+
+/* Minimal fits lifecycle for the extracted BandingEngine/backgroundnoise
+ * (the reference's copyfits/new_fit_image, image_format_fits.c:958,1194,
+ * do cfitsio bookkeeping the harness doesn't need; only the flag combo
+ * CP_ALLOC|CP_FORMAT|CP_COPYA is exercised). */
+static void fits_alloc(fits *f, int rx, int ry, int nlayers) {
+	long npix = (long) rx * ry;
+	int l;
+	f->rx = rx;
+	f->ry = ry;
+	f->naxis = (nlayers == 3) ? 3 : 2;
+	f->naxes[0] = rx;
+	f->naxes[1] = ry;
+	f->naxes[2] = nlayers;
+	f->data = realloc(f->data, npix * nlayers * sizeof(WORD));
+	for (l = 0; l < 3; l++)
+		f->pdata[l] = f->data + npix * ((l < nlayers) ? l : 0);
+}
+
+int copyfits(fits *from, fits *to, unsigned char oper, int layer) {
+	(void) layer;
+	if (oper & (CP_ALLOC | CP_FORMAT))
+		fits_alloc(to, from->rx, from->ry, (int) from->naxes[2]);
+	if (oper & CP_COPYA)
+		memcpy(to->data, from->data,
+				(long) from->rx * from->ry * from->naxes[2] * sizeof(WORD));
+	if (oper & CP_INIT)
+		memset(to->data, 0,
+				(long) from->rx * from->ry * from->naxes[2] * sizeof(WORD));
+	return 0;
+}
+
+int new_fit_image(fits *fit, int width, int height, int nblayer) {
+	fits_alloc(fit, width, height, nblayer);
+	memset(fit->data, 0,
+			(long) width * height * nblayer * sizeof(WORD));
+	return 0;
+}
+
+void clearfits(fits *fit) {
+	free(fit->data);
+	fit->data = NULL;
 }

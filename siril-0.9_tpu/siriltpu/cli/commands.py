@@ -408,14 +408,16 @@ def process_bgnoise(state, args):
     img = state.require_image()
     sigmas = imops.background_noise(img.data)
     for i, s in enumerate(sigmas):
+        norm = 255.0 if int(img.data.max()) <= 255 else 65535.0
         state.log(f"Background noise value (channel: #{i}): "
-                  f"{s:0.3f} ({s / 65535.0 * 10:.3e})")
+                  f"{s:0.3f} ({s / norm:.3e})")
 
 
 @command("entropy", 0, "entropy")
 def process_entropy(state, args):
     img = state.require_image()
-    e = sum(imops.entropy(img.data[c]) for c in range(img.nlayers))
+    e = sum(imops.entropy(img.data[c], rect=state.selection)
+            for c in range(img.nlayers))
     state.log(f"Entropy: {e:.3f}")
 
 
@@ -424,8 +426,7 @@ def process_contrast(state, args):
     img = state.require_image()
     for layer in range(img.nlayers):
         st = statistics(img, layer, selection=state.selection, nullcheck=True)
-        buf = img.data[layer].astype(np.float64)
-        c = float(((buf - st.mean) ** 2).mean())
+        c = imops.contrast(img.data[layer], st.mean)
         state.log(f"Contrast (channel: #{layer}): {c:.1f}")
 
 

@@ -63,7 +63,14 @@ def imoper(a: np.ndarray, b: np.ndarray, oper: str) -> np.ndarray:
     elif oper == OPER_SUB:
         r = ai - bi
     elif oper == OPER_MUL:
-        r = ai * bi
+        # The C multiplies in 32-bit signed int, so products above
+        # INT_MAX are UB; gcc -O2's vectorized round_to_WORD resolves
+        # them to (prod mod 65536) + 1 (verified exhaustively over the
+        # boundary region against the compiled reference loop in
+        # test_c_goldens/parity_harness). Products in (65535, INT_MAX]
+        # clamp to 65535 as written.
+        prod = ai * bi
+        r = np.where(prod > 0x7FFFFFFF, (prod % 65536 + 1) & 0xFFFF, prod)
     elif oper == OPER_DIV:
         r = np.where(bi == 0, 0, ai // np.maximum(bi, 1))  # C int division
     else:
@@ -120,25 +127,59 @@ def rotate_pi(data: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(data[..., ::-1, ::-1])
 
 
-def entropy(layer: np.ndarray) -> float:
-    """Shannon entropy of the normalized histogram (siril.c:596-616)."""
-    counts = np.bincount(layer.reshape(-1), minlength=65536).astype(np.float64)
-    p = counts / counts.sum()
-    nz = p > 0
-    return float(-(p[nz] * np.log(p[nz])).sum())
+def entropy(layer: np.ndarray, rect=None, stats=None) -> float:
+    """Entropy as the reference computes it (siril.c:570-594, verified
+    against the compiled C in test_c_goldens):
+
+    - the histogram is a GSL histogram of ``norm + 1`` uniform bins over
+      [0, norm] (norm = 255 for byte-range images, else 65535), so
+      value == norm pixels fall off the open upper edge and are DROPPED;
+    - ``n`` is the FULL image pixel count even when a selection ``rect``
+      limits the histogram (top-down rect on bottom-up data);
+    - each bin contributes (p/n)·ln(n/p) only when ``threshold < p <
+      nbins`` — p is the bin COUNT, yet the optional ``stats`` threshold
+      is median + sigma, a pixel-VALUE scale (reference bug, kept)."""
+    norm = 255 if int(layer.max()) <= 255 else 65535
+    threshold = 0.0
+    if stats is not None and stats.median >= 0.0 and stats.sigma >= 0.0:
+        threshold = stats.median + 1 * stats.sigma
+    if rect is None:
+        sel = layer
+    else:
+        ry = layer.shape[-2]
+        y0 = ry - rect.y - rect.h
+        sel = layer[y0 : y0 + rect.h, rect.x : rect.x + rect.w]
+    counts = np.bincount(sel.reshape(-1), minlength=norm + 1)[: norm + 1]
+    counts = counts.astype(np.float64)
+    counts[norm] = 0.0        # == norm falls off the GSL upper edge
+    n = float(layer.shape[-1] * layer.shape[-2])
+    size = float(norm + 1)
+    p = counts[(counts > threshold) & (counts < size)]
+    return float(((p / n) * np.log(n / p)).sum())
 
 
 def loglut(data: np.ndarray, inverted: bool = False) -> np.ndarray:
-    """Logarithmic scale (siril.c:636-663): v -> log(v) scaled to range."""
+    """Log LUT (siril.c:596-616, verified against the compiled C):
+    LOG: WORD = (WORD)(k·ln(v+1)) with k = 65535/ln(65535) — a
+    TRUNCATION cast, not round_to_WORD. EXP: WORD = (WORD)exp((v+1)/k),
+    whose result can slightly exceed 65535 near the top of the range;
+    the compiled double→WORD cast goes through int32 truncation and
+    keeps the low 16 bits (x86-64 cvttsd2si), reproduced here."""
+    k = 65535.0 / np.log(65535.0)
     x = data.astype(np.float64)
-    norm = 65535.0
-    with np.errstate(divide="ignore"):
-        l = np.where(x > 0, np.log(x), 0.0)
-    lmax = np.log(norm)
-    out = l / lmax * norm
-    if inverted:
-        out = norm - out
-    return np_round_to_word(out)
+    if not inverted:   # LOG direction
+        out = k * np.log(x + 1.0)
+    else:              # EXP direction
+        out = np.exp((x + 1.0) / k)
+    return (out.astype(np.int64) & 0xFFFF).astype(np.uint16)
+
+
+def contrast(layer: np.ndarray, mean: float) -> float:
+    """Contrast metric (siril.c:618-634): mean squared deviation of the
+    FULL layer from ``mean`` — the reference takes the mean from
+    statistics over com.selection but always sums the whole image."""
+    buf = layer.astype(np.float64)
+    return float(((buf - mean) ** 2).sum() / buf.size)
 
 
 def ddp(data: np.ndarray, level: float, coef: float, sigma: float) -> np.ndarray:
@@ -342,18 +383,26 @@ def banding_reduction(data: np.ndarray, sigma: float, amount: float,
                 reject = np_round_to_word(
                     np.float64(background + globalsigma / sigma))
                 n = int(np.searchsorted(line, reject, side="left"))
-                if n == 0:
-                    n = 1
-            median = (line[(n - 1) // 2] if n % 2 else
-                      (line[n // 2 - 1] + line[n // 2]) / 2.0)
+            if n == 0:
+                # every value ≥ reject: GSL median of n==0 is 0.0, so the
+                # reference's rowvalue becomes the full background
+                # (verified against the compiled C in test_c_goldens)
+                median = 0.0
+            else:
+                median = (line[(n - 1) // 2] if n % 2 else
+                          (line[n // 2 - 1] + line[n // 2]) / 2.0)
             rowvals[ch, row] = background - median
             minimum = min(minimum, rowvals[ch, row])
     for ch in range(c):
         for row in range(h):
             fix[ch, row, :] = float(np_round_to_word(
                 np.float64(rowvals[ch, row] - minimum)))
+    # fmul_layer takes `float coeff` (siril.c:1448): the scale runs in
+    # f32 before round_to_WORD — reproduced (it moves .5 knife-edges)
+    scaled = (fix.astype(np.float32)
+              * np.float32(amount)).astype(np.float64)
     fixed = np.clip(work.astype(np.int64) +
-                    np_round_to_word(fix * amount).astype(np.int64),
+                    np_round_to_word(scaled).astype(np.int64),
                     0, 65535).astype(np.uint16)
     if apply_rotation:
         fixed = np.rot90(fixed, k=-1, axes=(-2, -1)).copy()
