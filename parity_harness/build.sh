@@ -57,6 +57,13 @@ sed -n '1285,1336p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1448,1459p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1529,1615p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1626,1715p' "$REF/core/siril.c" >> gen/imops.inc
+# gradient.c background extraction: NPARAM constants + C() macro, poly_1..4,
+# buildBoxesAutomatically, computeBackground, extractBackgroundAuto,
+# clearSamples (the GTK bkgExtractBackground wrapper is re-stated in the
+# harness with explicit parameters)
+sed -n '34,186p'  "$REF/algos/gradient.c"  > gen/gradient.inc
+sed -n '188,333p' "$REF/algos/gradient.c" >> gen/gradient.inc
+sed -n '378,383p' "$REF/algos/gradient.c" >> gen/gradient.inc
 
 # sanity: the extractions start/end where we think they do
 grep -q '^int round_to_int' gen/utils_round.inc
@@ -80,6 +87,11 @@ tail -1 gen/colors.inc | grep -q '^}'
 head -1 gen/cosmetic.inc | grep -q '^static WORD getMedian5x5'
 grep -q '^int cosmeticCorrection' gen/cosmetic.inc
 tail -1 gen/cosmetic.inc | grep -q '^}'
+head -1 gen/gradient.inc | grep -q '^#define NPARAM_POLY4 15'
+grep -q '^static int buildBoxesAutomatically' gen/gradient.inc
+grep -q '^static gsl_matrix \*computeBackground' gen/gradient.inc
+grep -q '^static int extractBackgroundAuto' gen/gradient.inc
+tail -1 gen/gradient.inc | grep -q '^}'
 head -1 gen/imops.inc | grep -q '^#define MAX_ITER 15'
 grep -q '^int soper' gen/imops.inc
 grep -q '^int imoper' gen/imops.inc

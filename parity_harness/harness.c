@@ -78,6 +78,14 @@ double MTF(double x, double m);
 #include "gsl/gsl_statistics_ushort.h"
 #include "gen/imops.inc"          /* src/core/siril.c:60-61,112-719,1285-1715 */
 
+/* gradient.c background extraction (needs the mini-GSL vector/sort/
+ * multifit shims; gradient.h brings newBackground) */
+#include "gsl/gsl_vector.h"
+#include "gsl/gsl_sort.h"
+#include "gsl/gsl_multifit.h"
+#include "algos/gradient.h"
+#include "gen/gradient.inc"       /* src/algos/gradient.c:33-333,378-383 */
+
 static WORD reject_block(struct rejdata *data, struct rejargs *args,
 		int nb_frames, uint64_t crej[2]) {
 	double sigma = -1.0;
@@ -855,6 +863,83 @@ static void suite_cosmetic(const char *dir) {
 	fclose(f);
 }
 
+/* --------------------------- suite: gradient ----------------------------- */
+
+static void make_mono_fits(fits *fit, WORD *img, int nx, int ny);
+
+static void suite_gradient(const char *dir) {
+	FILE *f = open_out(dir, "c_gradient.bin");
+	/* (w, h, box, interval, order) — orders 1, 2 and 4; box is the GUI
+	 * spin value * 2 (always even, bkgExtractBackground gradient.c:396) */
+	/* grids dense enough that the fit stays overdetermined after box
+	 * rejection (an order-4 fit from <15 surviving boxes would be GSL
+	 * min-norm territory the mini-GSL QR does not reproduce) */
+	static const int cases[][5] = {
+		{ 128,  96, 20, 10, POLY_1 },
+		{ 160, 120, 20,  6, POLY_2 },
+		{ 200, 150, 20,  5, POLY_4 },
+	};
+	int ci;
+	size_t i;
+
+	for (ci = 0; ci < 3; ci++) {
+		const int w = cases[ci][0], h = cases[ci][1];
+		const int box = cases[ci][2], interval = cases[ci][3];
+		const long npix = (long) w * h;
+		newBackground bkg;
+		WORD *img = malloc(npix * 2);
+		fits fit, out;
+		long k;
+
+		/* smooth gradient + noise + a sprinkling of stars */
+		for (k = 0; k < npix; k++) {
+			long y = k / w, x = k % w;
+			double v = 3000.0 + 4.0 * x + 6.5 * y + 0.01 * x * y
+					+ (rnd_unit() - 0.5) * 300.0;
+			if (rnd_unit() < 0.002)
+				v += 30000.0;
+			img[k] = round_to_WORD(v);
+		}
+		make_mono_fits(&fit, img, w, h);
+		memset(&out, 0, sizeof out);
+
+		bkg.order = (poly_order) cases[ci][4];
+		bkg.box = box;
+		bkg.row = h;
+		bkg.col = w;
+		bkg.layer = 0;
+		bkg.tolerance = 2.0;
+		bkg.deviation = 1.0;
+		bkg.unbalance = 0.8;
+		bkg.boxPerRow = (size_t) ((double) w / ((double) box + interval - 1));
+		bkg.boxPerCol = (size_t) ((double) h / ((double) box + interval - 1));
+
+		w_u16(f, (uint16_t) w);
+		w_u16(f, (uint16_t) h);
+		w_u16(f, (uint16_t) box);
+		w_u8(f, (uint8_t) cases[ci][4]);
+		w_u16(f, (uint16_t) bkg.boxPerRow);
+		w_u16(f, (uint16_t) bkg.boxPerCol);
+		w_u16s(f, img, npix);
+
+		if (extractBackgroundAuto(&fit, &out, &bkg)) {
+			fprintf(stderr, "extractBackgroundAuto failed\n");
+			exit(1);
+		}
+		/* post-rejection samples survive in com.grad */
+		for (i = 0; i < bkg.boxPerRow * bkg.boxPerCol; i++) {
+			w_f64(f, com.grad[i].centre.x);
+			w_f64(f, com.grad[i].centre.y);
+			w_f64(f, com.grad[i].boxvalue[0]);
+		}
+		w_u16s(f, out.data, npix);
+		clearSamples();
+		clearfits(&out);
+		free(img);
+	}
+	fclose(f);
+}
+
 /* ----------------------------- suite: imops ------------------------------ */
 
 static void make_mono_fits(fits *fit, WORD *img, int nx, int ny) {
@@ -1244,6 +1329,8 @@ int main(int argc, char **argv) {
 	suite_wavelets(dir);
 	rng_state = 0xF00DFACEF00DFACEULL;
 	suite_imops(dir);
+	rng_state = 0xB16B00B5B16B00B5ULL;
+	suite_gradient(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

@@ -230,3 +230,156 @@ double gsl_matrix_get(const gsl_matrix *m, size_t i, size_t j) {
 void gsl_matrix_set(gsl_matrix *m, size_t i, size_t j, double x) {
 	m->data[i * m->tda + j] = x;
 }
+
+/* ---- dense vectors + sort + double sd + weighted LSQ (for gradient.c) -- */
+
+#include "gsl/gsl_vector.h"
+#include "gsl/gsl_sort.h"
+#include "gsl/gsl_multifit.h"
+#include <math.h>
+#include <string.h>
+
+gsl_vector *gsl_vector_alloc(size_t n) {
+	gsl_vector *v = malloc(sizeof(gsl_vector));
+	v->size = n;
+	v->data = malloc(n * sizeof(double));
+	return v;
+}
+
+gsl_vector *gsl_vector_calloc(size_t n) {
+	gsl_vector *v = gsl_vector_alloc(n);
+	memset(v->data, 0, n * sizeof(double));
+	return v;
+}
+
+void gsl_vector_free(gsl_vector *v) {
+	free(v->data);
+	free(v);
+}
+
+double gsl_vector_get(const gsl_vector *v, size_t i) {
+	return v->data[i];
+}
+
+void gsl_vector_set(gsl_vector *v, size_t i, double x) {
+	v->data[i] = x;
+}
+
+gsl_matrix *gsl_matrix_calloc(size_t n1, size_t n2) {
+	gsl_matrix *m = gsl_matrix_alloc(n1, n2);
+	memset(m->data, 0, n1 * n2 * sizeof(double));
+	return m;
+}
+
+static int cmp_double(const void *a, const void *b) {
+	double x = *(const double *) a, y = *(const double *) b;
+	return (x > y) - (x < y);
+}
+
+void gsl_sort(double *data, size_t stride, size_t n) {
+	/* gradient.c always calls with stride 1 */
+	(void) stride;
+	qsort(data, n, sizeof(double), cmp_double);
+}
+
+double gsl_stats_sd(const double data[], size_t stride, size_t n) {
+	/* GSL variance_source.c: recurrence mean then (n/(n-1)) correction */
+	long double mean = 0, var = 0;
+	size_t i;
+	for (i = 0; i < n; i++)
+		mean += (data[i * stride] - mean) / (i + 1);
+	for (i = 0; i < n; i++) {
+		long double d = data[i * stride] - mean;
+		var += (d * d - var) / (i + 1);
+	}
+	return sqrt(var * ((double) n / (double) (n - 1)));
+}
+
+gsl_multifit_linear_workspace *gsl_multifit_linear_alloc(size_t n, size_t p) {
+	gsl_multifit_linear_workspace *w = malloc(sizeof(*w));
+	w->n = n;
+	w->p = p;
+	return w;
+}
+
+void gsl_multifit_linear_free(gsl_multifit_linear_workspace *w) {
+	free(w);
+}
+
+/* Column-scaled Householder QR least squares (see gsl_multifit.h shim
+ * header for why this replaces GSL's balanced SVD). */
+int gsl_multifit_wlinear(const gsl_matrix *X, const gsl_vector *w,
+		const gsl_vector *y, gsl_vector *c, gsl_matrix *cov, double *chisq,
+		gsl_multifit_linear_workspace *work) {
+	size_t n = X->size1, p = X->size2, i, j, k;
+	double *A = malloc(n * p * sizeof(double));
+	double *b = malloc(n * sizeof(double));
+	double *scale = malloc(p * sizeof(double));
+	(void) cov;
+	(void) work;
+
+	for (i = 0; i < n; i++) {
+		double sw = sqrt(w->data[i]);
+		for (j = 0; j < p; j++)
+			A[i * p + j] = sw * X->data[i * X->tda + j];
+		b[i] = sw * y->data[i];
+	}
+	for (j = 0; j < p; j++) {
+		double s = 0;
+		for (i = 0; i < n; i++)
+			s += A[i * p + j] * A[i * p + j];
+		s = sqrt(s);
+		scale[j] = (s > 0) ? s : 1.0;
+		for (i = 0; i < n; i++)
+			A[i * p + j] /= scale[j];
+	}
+	/* Householder QR in place; apply reflectors to b */
+	for (k = 0; k < p; k++) {
+		double nrm = 0, alpha, beta;
+		for (i = k; i < n; i++)
+			nrm += A[i * p + k] * A[i * p + k];
+		nrm = sqrt(nrm);
+		if (nrm == 0)
+			continue;
+		alpha = (A[k * p + k] > 0) ? -nrm : nrm;
+		/* v = x - alpha e_k stored in column k below diag; v_k adjusted */
+		A[k * p + k] -= alpha;
+		beta = -1.0 / (alpha * A[k * p + k]);   /* 2/||v||^2 */
+		for (j = k + 1; j < p; j++) {
+			double dot = 0;
+			for (i = k; i < n; i++)
+				dot += A[i * p + k] * A[i * p + j];
+			dot *= beta;
+			for (i = k; i < n; i++)
+				A[i * p + j] -= dot * A[i * p + k];
+		}
+		{
+			double dot = 0;
+			for (i = k; i < n; i++)
+				dot += A[i * p + k] * b[i];
+			dot *= beta;
+			for (i = k; i < n; i++)
+				b[i] -= dot * A[i * p + k];
+		}
+		A[k * p + k] = alpha;   /* R diagonal */
+	}
+	/* back substitution R c = b */
+	for (k = p; k-- > 0;) {
+		double s = b[k];
+		for (j = k + 1; j < p; j++)
+			s -= A[k * p + j] * c->data[j];
+		c->data[k] = (A[k * p + k] != 0) ? s / A[k * p + k] : 0.0;
+	}
+	for (j = 0; j < p; j++)
+		c->data[j] /= scale[j];
+	if (chisq) {
+		double s = 0;
+		for (i = p; i < n; i++)
+			s += b[i] * b[i];
+		*chisq = s;
+	}
+	free(A);
+	free(b);
+	free(scale);
+	return 0;
+}

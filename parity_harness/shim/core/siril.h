@@ -45,6 +45,20 @@ typedef struct {
 	double x, y;
 } point;
 
+/* background-extraction sample box (siril.h:485-488) + polynomial order
+ * (siril.h:210-215), used by the extracted gradient.c */
+typedef struct {
+	point centre;
+	double boxvalue[3];
+} gradient;
+
+typedef enum {
+	POLY_1,
+	POLY_2,
+	POLY_3,
+	POLY_4,
+} poly_order;
+
 /* cfitsio error code used by quantize.c (fitsio.h) */
 #define MEMORY_ALLOCATION 113
 
@@ -101,10 +115,12 @@ typedef struct {
 #define LOW_BOUND  0.00002
 #define HIGH_BOUND 0.99998
 #define SIGMA_PER_FWHM 2.35482
-#define CP_INIT   0x01
-#define CP_ALLOC  0x02
-#define CP_COPYA  0x04
-#define CP_FORMAT 0x08
+#define CP_INIT    0x01
+#define CP_ALLOC   0x02
+#define CP_COPYA   0x04
+#define CP_FORMAT  0x08
+#define CP_EXTRACT 0x10
+#define CP_EXPAND  0x20
 #define OPER_ADD 'a'
 #define OPER_SUB 's'
 #define OPER_MUL 'm'
@@ -142,6 +158,8 @@ typedef struct {
 	} debayer;
 	struct phot_config phot_set;
 	rectangle selection;   /* the extracted contrast() reads com.selection */
+	gradient *grad;        /* background-extraction samples (gradient.c) */
+	int grad_nb_boxes, grad_size_boxes;
 } cominfo;
 extern cominfo com;
 

@@ -15,6 +15,7 @@ typedef struct {
 } gsl_matrix;
 
 gsl_matrix *gsl_matrix_alloc(size_t n1, size_t n2);
+gsl_matrix *gsl_matrix_calloc(size_t n1, size_t n2);
 void gsl_matrix_free(gsl_matrix *m);
 double gsl_matrix_get(const gsl_matrix *m, size_t i, size_t j);
 void gsl_matrix_set(gsl_matrix *m, size_t i, size_t j, double x);

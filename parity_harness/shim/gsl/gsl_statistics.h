@@ -9,6 +9,7 @@
 
 double gsl_stats_median_from_sorted_data(const double sorted_data[],
 		size_t stride, size_t n);
+double gsl_stats_sd(const double data[], size_t stride, size_t n);
 double gsl_stats_ushort_median_from_sorted_data(
 		const unsigned short sorted_data[], size_t stride, size_t n);
 double gsl_stats_ushort_sd(const unsigned short data[], size_t stride,

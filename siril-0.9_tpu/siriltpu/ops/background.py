@@ -160,16 +160,22 @@ def compute_background(layer: np.ndarray,
     yp = np.vander(np.arange(height, dtype=np.float64), deg + 1,
                    increasing=True)
     model = yp @ C @ xp.T
-    return np.where(model < 0, 0.0, model)
+    return model
 
 
 def extract_background(data: np.ndarray,
                        params: Optional[BackgroundParams] = None
                        ) -> np.ndarray:
-    """Background image of a (C, H, W) frame as uint16 (extractBackgroundAuto)."""
+    """Background image of a (C, H, W) frame as uint16
+    (extractBackgroundAuto, gradient.c:299-333). The reference stores
+    the model with a bare ``(WORD)`` TRUNCATION cast — out-of-range
+    values (negative corners of high-order fits) wrap through the
+    compiled int32→uint16 conversion; verified in test_c_goldens."""
     out = np.empty_like(data)
     for c in range(data.shape[0]):
-        out[c] = np_round_to_word(compute_background(data[c], params))
+        model = compute_background(data[c], params)
+        out[c] = (model.astype(np.int64).astype(np.int32)
+                  & 0xFFFF).astype(np.uint16)
     return out
 
 
