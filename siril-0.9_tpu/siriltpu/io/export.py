@@ -76,13 +76,19 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
         writer = AviWriter(path, out_w, out_h, args.fps, codec="mjpeg",
                            jpeg_quality=min(55 + 9 * args.quality, 100))
         fmt = "avi"
-    elif fmt in ("mp4", "webm"):
+    elif fmt == "mp4":
+        # dependency-free MJPEG-in-MP4 muxer (replaces mp4_output.c's
+        # libavformat path; see io/mp4.py)
+        from siriltpu.io.mp4 import Mp4Writer
+        writer = Mp4Writer(path, out_w, out_h, args.fps)
+        fmt = "mp4"
+    elif fmt == "webm":
         try:
             import imageio.v2 as iio
             mp4 = iio.get_writer(path, fps=args.fps)
         except Exception as e:
             raise RuntimeError(
-                "MP4 output is not supported: ffmpeg backend missing "
+                "WEBM output is not supported: ffmpeg backend missing "
                 f"({e})") from e
     elif fmt != "fits":
         raise ValueError(f"unknown export format {args.fmt}")
@@ -106,6 +112,10 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
             writer.write_frame(out)
         elif fmt == "avi":
             writer.write_frame(out)
+        elif fmt == "mp4":
+            from siriltpu.io.avi import _frame_to_jpeg
+            quality = min(55 + 9 * args.quality, 100)
+            writer.add_frame(_frame_to_jpeg(out, quality))
         elif mp4 is not None:
             img8 = (np.clip(out.data.astype(np.float64) / 257.0 + 0.5,
                             0, 255).astype(np.uint8))
@@ -119,7 +129,7 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
                 out)
     if fmt == "ser":
         writer.write_and_close()
-    elif fmt == "avi":
+    elif fmt in ("avi", "mp4"):
         writer.close()
     elif mp4 is not None:
         mp4.close()

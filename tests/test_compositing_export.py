@@ -134,20 +134,61 @@ def test_export_sequence_ser_and_avi(tmp_path):
     assert os.path.getsize(p2) > 1000
 
 
+def _parse_mp4_boxes(buf, start=0, end=None):
+    """Top-level ISO-BMFF box walk: {tag: (offset, size)}."""
+    end = len(buf) if end is None else end
+    boxes = {}
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off : off + 4], "big")
+        tag = buf[off + 4 : off + 8]
+        boxes[tag] = (off, size)
+        if size < 8:
+            break
+        off += size
+    return boxes
+
+
 def test_export_mp4(tmp_path):
+    """MP4 export without ffmpeg (io/mp4.py): a structurally valid
+    ISO-BMFF file whose JPEG samples decode back to the frames."""
+    import struct
+    from PIL import Image
+    import io as _io
     from siriltpu.io import fits as fits_io
     from siriltpu.io.sequence import check_seq
 
     d = str(tmp_path)
-    frames, _, _ = make_sequence_frames(3, 32, 32, seed=3)
+    frames, _, _ = make_sequence_frames(3, 32, 48, seed=3)
     for i, f in enumerate(frames):
         fits_io.write_fits(f"{d}/m{i+1:02d}.fit", Frame(f))
     seq = check_seq(d)[0]
-    try:
-        p = export_sequence(seq, ExportArgs(basename="vid", fmt="mp4"))
-        assert os.path.getsize(p) > 0
-    except RuntimeError as e:
-        pytest.skip(f"ffmpeg backend unavailable: {e}")
+    p = export_sequence(seq, ExportArgs(basename="vid", fmt="mp4",
+                                        fps=30.0, quality=5))
+    buf = open(p, "rb").read()
+    boxes = _parse_mp4_boxes(buf)
+    assert set(boxes) == {b"ftyp", b"mdat", b"moov"}
+    assert buf[boxes[b"ftyp"][0] + 8 : boxes[b"ftyp"][0] + 12] == b"isom"
+    # locate stsz/stco inside moov and pull the samples out of mdat
+    moff, msize = boxes[b"moov"]
+    moov = buf[moff : moff + msize]
+    zi = moov.find(b"stsz")
+    ci = moov.find(b"stco")
+    assert zi > 0 and ci > 0
+    _, n = struct.unpack_from(">II", moov, zi + 8)
+    assert n == 3
+    sizes = struct.unpack_from(f">{n}I", moov, zi + 16)
+    cn, = struct.unpack_from(">I", moov, ci + 8)
+    assert cn == n
+    offs = struct.unpack_from(f">{n}I", moov, ci + 12)
+    for k in range(n):
+        jpeg = buf[offs[k] : offs[k] + sizes[k]]
+        assert jpeg[:2] == b"\xff\xd8"
+        img = np.asarray(Image.open(_io.BytesIO(jpeg)).convert("L"))
+        assert img.shape == (32, 48)
+        want = (frames[k][0].astype(np.float64) * 255.0
+                / 65535.0)[::-1]   # display orientation, 8-bit scale
+        assert np.abs(img.astype(float) - want).mean() < 12.0
 
 
 def test_export_mjpeg_roundtrip(tmp_path):
