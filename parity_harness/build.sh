@@ -18,7 +18,7 @@ mkdir -p gen build "$OUT"
 
 # --- verbatim extractions (line ranges are stable: the reference is read-only)
 sed -n '60,91p'    "$REF/core/utils.c"        > gen/utils_round.inc
-sed -n '488,533p'  "$REF/core/utils.c"        > gen/utils_qsort.inc
+sed -n '478,533p'  "$REF/core/utils.c"        > gen/utils_qsort.inc
 sed -n '1130,1187p' "$REF/stacking/stacking.c" > gen/stack_clippers.inc
 sed -n '1656,1793p' "$REF/stacking/stacking.c" > gen/stack_reject.inc
 # gui/histogram.c GUI-free math: shadowsClipping/targetBackground constants,
@@ -53,6 +53,7 @@ sed -n '596,616p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '618,634p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '665,694p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '696,719p'   "$REF/core/siril.c" >> gen/imops.inc
+sed -n '1173,1192p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1285,1336p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1448,1459p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1529,1615p' "$REF/core/siril.c" >> gen/imops.inc
@@ -64,6 +65,11 @@ sed -n '1626,1715p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '34,186p'  "$REF/algos/gradient.c"  > gen/gradient.inc
 sed -n '188,333p' "$REF/algos/gradient.c" >> gen/gradient.inc
 sed -n '378,383p' "$REF/algos/gradient.c" >> gen/gradient.inc
+# star_finder.c: Compute_threshold, is_star, peaker, compare/sort_stars,
+# FWHM_average (skip GTK get_structure and the GUI add/remove_star block)
+sed -n '37,78p'   "$REF/algos/star_finder.c"  > gen/starfind.inc
+sed -n '94,255p'  "$REF/algos/star_finder.c" >> gen/starfind.inc
+sed -n '336,367p' "$REF/algos/star_finder.c" >> gen/starfind.inc
 
 # sanity: the extractions start/end where we think they do
 grep -q '^int round_to_int' gen/utils_round.inc
@@ -92,6 +98,10 @@ grep -q '^static int buildBoxesAutomatically' gen/gradient.inc
 grep -q '^static gsl_matrix \*computeBackground' gen/gradient.inc
 grep -q '^static int extractBackgroundAuto' gen/gradient.inc
 tail -1 gen/gradient.inc | grep -q '^}'
+grep -q '^static WORD Compute_threshold' gen/starfind.inc
+grep -q '^fitted_PSF \*\*peaker' gen/starfind.inc
+grep -q '^void sort_stars' gen/starfind.inc
+tail -1 gen/starfind.inc | grep -q '^}'
 head -1 gen/imops.inc | grep -q '^#define MAX_ITER 15'
 grep -q '^int soper' gen/imops.inc
 grep -q '^int imoper' gen/imops.inc
@@ -113,6 +123,8 @@ gcc $CFLAGS -c "$REF/algos/pave.c"        -o build/pave.o
 gcc $CFLAGS -c "$REF/algos/transform.c"   -o build/transform.o
 gcc $CFLAGS -c "$REF/algos/reconstr.c"    -o build/reconstr.o
 gcc $CFLAGS -c "$REF/algos/io_wave.c"     -o build/io_wave.o
+# HAVE_GSL_2: selects the reference's GSL>=2 covariance path (PSF.c:383)
+gcc $CFLAGS -DHAVE_GSL_1=0 -DHAVE_GSL_2=1 -c "$REF/algos/PSF.c" -o build/PSF.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o
 gcc $CFLAGS -c harness.c  -o build/harness.o

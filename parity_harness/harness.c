@@ -56,6 +56,7 @@ double QualityEstimate(fits *fit, int layer, int qtype);
 double MTF(double x, double m);
 #include "gen/histo_mtf.inc"      /* src/gui/histogram.c:33-34,537-564,595-608,684-740 */
 
+#include "algos/PSF.h"            /* reference header: full fwhm_struct */
 #include "algos/photometry.h"     /* reference header: photometry struct */
 #include "gen/photometry.inc"     /* src/algos/photometry.c:31-323 */
 
@@ -84,7 +85,16 @@ double MTF(double x, double m);
 #include "gsl/gsl_sort.h"
 #include "gsl/gsl_multifit.h"
 #include "algos/gradient.h"
-#include "gen/gradient.inc"       /* src/algos/gradient.c:33-333,378-383 */
+#include "gen/gradient.inc"       /* src/algos/gradient.c:34-333,378-383 */
+
+/* star_finder.c: Compute_threshold, is_star, peaker, compare/sort_stars.
+ * The GTK-bound get_structure (star_finder.c:80-92 reads spin buttons)
+ * is replaced by a no-op so the caller's starFinder values survive. */
+#include "algos/star_finder.h"
+static void get_structure(starFinder *sf) {
+	(void) sf;
+}
+#include "gen/starfind.inc"       /* src/algos/star_finder.c:39-78,103-255,337-367 */
 
 static WORD reject_block(struct rejdata *data, struct rejargs *args,
 		int nb_frames, uint64_t crej[2]) {
@@ -1183,6 +1193,153 @@ static void suite_imops(const char *dir) {
 	fclose(f);
 }
 
+/* ------------------------------ suite: psf ------------------------------- */
+
+static void w_psf(FILE *f, const fitted_PSF *r) {
+	w_f64(f, r->B);
+	w_f64(f, r->A);
+	w_f64(f, r->x0);
+	w_f64(f, r->y0);
+	w_f64(f, r->sx);
+	w_f64(f, r->sy);
+	w_f64(f, r->fwhmx);
+	w_f64(f, r->fwhmy);
+	w_f64(f, r->angle);
+	w_f64(f, r->mag);
+	w_f64(f, r->rmse);
+}
+
+static void suite_psf(const char *dir) {
+	FILE *f = open_out(dir, "c_psf.bin");
+	/* (boxsize, A, SX, SY, angle_deg, fit_angle) */
+	static const double cases[][6] = {
+		{ 20, 20000, 9.0, 9.0, 0, 1 },     /* symmetric: no angle stage */
+		{ 20, 30000, 14.0, 7.0, 25, 1 },   /* elongated + angle refit  */
+		{ 20, 30000, 14.0, 7.0, 25, 0 },   /* starfinder mode: no angle */
+		{ 24, 8000, 6.0, 10.0, -40, 1 },   /* sy > sx: symmetry fold   */
+		{ 16, 50000, 5.0, 4.0, 10, 1 },    /* bright, small box        */
+	};
+	int ci;
+
+	for (ci = 0; ci < 5; ci++) {
+		const int bs = (int) cases[ci][0];
+		const double A = cases[ci][1], SX = cases[ci][2], SY = cases[ci][3];
+		const double ang = cases[ci][4] * M_PI / 180.0;
+		const int fit_angle = (int) cases[ci][5];
+		const double B = 1200.0;
+		const double x0 = bs / 2.0 + 0.3 + 0.1 * ci;
+		const double y0 = bs / 2.0 - 0.2 + 0.07 * ci;
+		long npix = (long) bs * bs, k;
+		WORD *img = malloc(npix * 2);
+		fits ffx;
+		gsl_matrix *z = gsl_matrix_alloc(bs, bs);
+		fitted_PSF *r;
+		int i, j;
+
+		for (i = 0; i < bs; i++) {
+			for (j = 0; j < bs; j++) {
+				/* the reference model addresses the grid 1-based
+				 * (PSF.c:175-177) and rotates about the centroid */
+				double tx = cos(ang) * (j + 1 - x0) - sin(ang) * (i + 1 - y0);
+				double ty = sin(ang) * (j + 1 - x0) + cos(ang) * (i + 1 - y0);
+				double v = B + A * exp(-(tx * tx / SX + ty * ty / SY))
+						+ (rnd_unit() - 0.5) * 40.0;
+				img[i * bs + j] = round_to_WORD(v);
+			}
+		}
+		make_mono_fits(&ffx, img, bs, bs);
+		gfit = ffx;    /* psf_global_minimisation normalizes by gfit */
+		for (i = 0; i < bs; i++)
+			for (j = 0; j < bs; j++)
+				gsl_matrix_set(z, i, j, (double) img[i * bs + j]);
+
+		{
+			double bg = background(&ffx, 0, NULL);
+			r = psf_global_minimisation(z, bg, 0, fit_angle, FALSE);
+			if (!r) {
+				fprintf(stderr, "psf fit %d returned NULL\n", ci);
+				exit(1);
+			}
+			w_u16(f, (uint16_t) bs);
+			w_u8(f, (uint8_t) fit_angle);
+			w_u16s(f, img, npix);
+			w_f64(f, bg);
+			w_psf(f, r);
+			free(r);
+		}
+		gsl_matrix_free(z);
+		free(img);
+	}
+	fclose(f);
+}
+
+/* ---------------------------- suite: starfind ---------------------------- */
+
+static void suite_starfind(const char *dir) {
+	FILE *f = open_out(dir, "c_starfind.bin");
+	const int w = 300, h = 220, nstars = 25;
+	const long npix = (long) w * h;
+	WORD *img = malloc(npix * 2);
+	double *sx_ = malloc(nstars * sizeof(double));
+	double *sy_ = malloc(nstars * sizeof(double));
+	double *px = malloc(nstars * sizeof(double));
+	double *py = malloc(nstars * sizeof(double));
+	double *amp = malloc(nstars * sizeof(double));
+	fits fit;
+	starFinder sf = { 10, 1.0, 0.5, 0 };
+	fitted_PSF **stars;
+	long k;
+	int s, i, j, n;
+
+	for (s = 0; s < nstars; s++) {
+		px[s] = 25.0 + rnd_unit() * (w - 50);
+		py[s] = 25.0 + rnd_unit() * (h - 50);
+		amp[s] = 3000.0 + rnd_unit() * 30000.0;
+		sx_[s] = 6.0 + rnd_unit() * 4.0;
+		sy_[s] = sx_[s] * (0.8 + rnd_unit() * 0.2);
+	}
+	for (i = 0; i < h; i++) {
+		for (j = 0; j < w; j++) {
+			double v = 1000.0 + (rnd_unit() + rnd_unit() - 1.0) * 30.0;
+			for (s = 0; s < nstars; s++) {
+				double dx = j - px[s], dy = i - py[s];
+				if (fabs(dx) < 30 && fabs(dy) < 30)
+					v += amp[s] * exp(-(dx * dx / sx_[s]
+							+ dy * dy / sy_[s]));
+			}
+			img[i * w + j] = round_to_WORD(v);
+		}
+	}
+	make_mono_fits(&fit, img, w, h);
+	gfit = fit;        /* peaker's fits normalize B/A by gfit */
+
+	w_u16(f, (uint16_t) w);
+	w_u16(f, (uint16_t) h);
+	w_u16(f, (uint16_t) sf.radius);
+	w_f64(f, sf.sigma);
+	w_f64(f, sf.roundness);
+	w_u16s(f, img, npix);
+
+	stars = peaker(&fit, 0, &sf, NULL);
+	if (!stars) {
+		fprintf(stderr, "peaker found nothing\n");
+		exit(1);
+	}
+	for (n = 0; stars[n]; n++)
+		;
+	w_i32(f, n);
+	for (k = 0; k < n; k++) {
+		w_f64(f, stars[k]->xpos);
+		w_f64(f, stars[k]->ypos);
+		w_psf(f, stars[k]);
+		free(stars[k]);
+	}
+	free(stars);
+	free(img);
+	free(sx_); free(sy_); free(px); free(py); free(amp);
+	fclose(f);
+}
+
 /* ---------------------------- suite: wavelets ---------------------------- */
 
 static void suite_wavelets(const char *dir) {
@@ -1331,6 +1488,10 @@ int main(int argc, char **argv) {
 	suite_imops(dir);
 	rng_state = 0xB16B00B5B16B00B5ULL;
 	suite_gradient(dir);
+	rng_state = 0xCAFED00DCAFED00DULL;
+	suite_psf(dir);
+	rng_state = 0x0DDBA11C0DDBA11CULL;
+	suite_starfind(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

@@ -383,3 +383,257 @@ int gsl_multifit_wlinear(const gsl_matrix *X, const gsl_vector *w,
 	free(scale);
 	return 0;
 }
+
+/* ---- nonlinear LM solver + matrix helpers + rng stubs (for PSF.c) ---- */
+
+#include "gsl/gsl_multifit_nlin.h"
+#include "gsl/gsl_rng.h"
+
+int gsl_matrix_memcpy(gsl_matrix *dst, const gsl_matrix *src) {
+	memcpy(dst->data, src->data,
+			src->size1 * src->size2 * sizeof(double));
+	return 0;
+}
+
+double gsl_matrix_max(const gsl_matrix *m) {
+	size_t i, n = m->size1 * m->size2;
+	double mx = m->data[0];
+	for (i = 1; i < n; i++)
+		if (m->data[i] > mx)
+			mx = m->data[i];
+	return mx;
+}
+
+void gsl_matrix_max_index(const gsl_matrix *m, size_t *imax, size_t *jmax) {
+	size_t i, n = m->size1 * m->size2, best = 0;
+	for (i = 1; i < n; i++)
+		if (m->data[i] > m->data[best])
+			best = i;
+	*imax = best / m->size2;
+	*jmax = best % m->size2;
+}
+
+gsl_vector_view gsl_vector_view_array(double *base, size_t n) {
+	gsl_vector_view v;
+	v.vector.size = n;
+	v.vector.data = base;
+	return v;
+}
+
+static const gsl_rng_type rng_type_instance;
+const gsl_rng_type *gsl_rng_default = &rng_type_instance;
+void gsl_rng_env_setup(void) {
+}
+gsl_rng *gsl_rng_alloc(const gsl_rng_type *T) {
+	(void) T;
+	return malloc(sizeof(gsl_rng));
+}
+void gsl_rng_free(gsl_rng *r) {
+	free(r);
+}
+
+static const gsl_multifit_fdfsolver_type lmsder_instance;
+const gsl_multifit_fdfsolver_type *gsl_multifit_fdfsolver_lmsder =
+		&lmsder_instance;
+
+gsl_multifit_fdfsolver *gsl_multifit_fdfsolver_alloc(
+		const gsl_multifit_fdfsolver_type *T, size_t n, size_t p) {
+	gsl_multifit_fdfsolver *s = malloc(sizeof(*s));
+	(void) T;
+	s->x = gsl_vector_calloc(p);
+	s->f = gsl_vector_calloc(n);
+	s->dx = gsl_vector_calloc(p);
+	s->J = gsl_matrix_calloc(n, p);
+	s->lambda = 1e-3;
+	s->fdf = NULL;
+	return s;
+}
+
+int gsl_multifit_fdfsolver_set(gsl_multifit_fdfsolver *s,
+		gsl_multifit_function_fdf *fdf, const gsl_vector *x) {
+	s->fdf = fdf;
+	memcpy(s->x->data, x->data, fdf->p * sizeof(double));
+	fdf->fdf(s->x, fdf->params, s->f, s->J);
+	s->lambda = 1e-3;
+	return GSL_SUCCESS;
+}
+
+/* solve (A + lambda diag(A)) d = g for small p via Cholesky-ish Gauss */
+static int lm_solve(double *A, double *g, double lambda, size_t p,
+		double *d) {
+	double M[16 * 16];
+	size_t i, j, k;
+	for (i = 0; i < p; i++)
+		for (j = 0; j < p; j++)
+			M[i * p + j] = A[i * p + j]
+					+ ((i == j) ? lambda * A[i * p + i] : 0.0);
+	for (i = 0; i < p; i++)
+		d[i] = g[i];
+	/* Gaussian elimination with partial pivoting */
+	for (k = 0; k < p; k++) {
+		size_t piv = k;
+		double t;
+		for (i = k + 1; i < p; i++)
+			if (fabs(M[i * p + k]) > fabs(M[piv * p + k]))
+				piv = i;
+		if (M[piv * p + k] == 0.0)
+			return -1;
+		if (piv != k) {
+			for (j = 0; j < p; j++) {
+				t = M[k * p + j];
+				M[k * p + j] = M[piv * p + j];
+				M[piv * p + j] = t;
+			}
+			t = d[k];
+			d[k] = d[piv];
+			d[piv] = t;
+		}
+		for (i = k + 1; i < p; i++) {
+			double fct = M[i * p + k] / M[k * p + k];
+			for (j = k; j < p; j++)
+				M[i * p + j] -= fct * M[k * p + j];
+			d[i] -= fct * d[k];
+		}
+	}
+	for (k = p; k-- > 0;) {
+		for (j = k + 1; j < p; j++)
+			d[k] -= M[k * p + j] * d[j];
+		d[k] /= M[k * p + k];
+	}
+	return 0;
+}
+
+int gsl_multifit_fdfsolver_iterate(gsl_multifit_fdfsolver *s) {
+	gsl_multifit_function_fdf *fdf = s->fdf;
+	size_t n = fdf->n, p = fdf->p, i, j, k;
+	double JtJ[16 * 16], Jtf[16], d[16];
+	gsl_vector *ftrial = gsl_vector_alloc(n);
+	gsl_vector *xtrial = gsl_vector_alloc(p);
+	double fnorm2 = 0, fnew2;
+	int tries;
+
+	for (i = 0; i < n; i++)
+		fnorm2 += s->f->data[i] * s->f->data[i];
+	for (i = 0; i < p; i++) {
+		Jtf[i] = 0;
+		for (j = 0; j < p; j++)
+			JtJ[i * p + j] = 0;
+	}
+	for (k = 0; k < n; k++) {
+		for (i = 0; i < p; i++) {
+			double Jki = s->J->data[k * p + i];
+			Jtf[i] += Jki * s->f->data[k];
+			for (j = i; j < p; j++)
+				JtJ[i * p + j] += Jki * s->J->data[k * p + j];
+		}
+	}
+	for (i = 0; i < p; i++)
+		for (j = 0; j < i; j++)
+			JtJ[i * p + j] = JtJ[j * p + i];
+
+	for (tries = 0; tries < 16; tries++) {
+		if (lm_solve(JtJ, Jtf, s->lambda, p, d) != 0) {
+			s->lambda *= 10.0;
+			continue;
+		}
+		for (i = 0; i < p; i++)
+			xtrial->data[i] = s->x->data[i] - d[i];
+		fdf->f(xtrial, fdf->params, ftrial);
+		fnew2 = 0;
+		for (i = 0; i < n; i++)
+			fnew2 += ftrial->data[i] * ftrial->data[i];
+		if (fnew2 < fnorm2) {
+			for (i = 0; i < p; i++) {
+				s->dx->data[i] = xtrial->data[i] - s->x->data[i];
+				s->x->data[i] = xtrial->data[i];
+			}
+			memcpy(s->f->data, ftrial->data, n * sizeof(double));
+			fdf->fdf(s->x, fdf->params, s->f, s->J);
+			s->lambda = (s->lambda > 1e-12) ? s->lambda * 0.1 : 1e-12;
+			gsl_vector_free(ftrial);
+			gsl_vector_free(xtrial);
+			return GSL_SUCCESS;
+		}
+		s->lambda *= 10.0;
+		if (s->lambda > 1e12)
+			break;
+	}
+	gsl_vector_free(ftrial);
+	gsl_vector_free(xtrial);
+	return GSL_ENOPROG;
+}
+
+int gsl_multifit_fdfsolver_jac(gsl_multifit_fdfsolver *s, gsl_matrix *J) {
+	memcpy(J->data, s->J->data,
+			s->J->size1 * s->J->size2 * sizeof(double));
+	return GSL_SUCCESS;
+}
+
+void gsl_multifit_fdfsolver_free(gsl_multifit_fdfsolver *s) {
+	gsl_vector_free(s->x);
+	gsl_vector_free(s->f);
+	gsl_vector_free(s->dx);
+	gsl_matrix_free(s->J);
+	free(s);
+}
+
+int gsl_multifit_test_delta(const gsl_vector *dx, const gsl_vector *x,
+		double epsabs, double epsrel) {
+	/* exact GSL semantics (multifit/convergence.c) */
+	size_t i;
+	int ok = 1;
+	for (i = 0; i < dx->size; i++) {
+		double tol = epsabs + epsrel * fabs(x->data[i]);
+		if (fabs(dx->data[i]) >= tol)
+			ok = 0;
+	}
+	return ok ? GSL_SUCCESS : GSL_CONTINUE;
+}
+
+int gsl_multifit_covar(const gsl_matrix *J, double epsrel,
+		gsl_matrix *covar) {
+	/* covar = (J^T J)^-1 via Gauss-Jordan (errors are reported at
+	 * tolerance only) */
+	size_t n = J->size1, p = J->size2, i, j, k;
+	double A[16 * 32];
+	(void) epsrel;
+	for (i = 0; i < p; i++) {
+		for (j = 0; j < p; j++) {
+			double s = 0;
+			for (k = 0; k < n; k++)
+				s += J->data[k * p + i] * J->data[k * p + j];
+			A[i * 2 * p + j] = s;
+		}
+		for (j = 0; j < p; j++)
+			A[i * 2 * p + p + j] = (i == j) ? 1.0 : 0.0;
+	}
+	for (k = 0; k < p; k++) {
+		size_t piv = k;
+		double t;
+		for (i = k + 1; i < p; i++)
+			if (fabs(A[i * 2 * p + k]) > fabs(A[piv * 2 * p + k]))
+				piv = i;
+		if (A[piv * 2 * p + k] == 0.0)
+			continue;
+		if (piv != k)
+			for (j = 0; j < 2 * p; j++) {
+				t = A[k * 2 * p + j];
+				A[k * 2 * p + j] = A[piv * 2 * p + j];
+				A[piv * 2 * p + j] = t;
+			}
+		t = A[k * 2 * p + k];
+		for (j = 0; j < 2 * p; j++)
+			A[k * 2 * p + j] /= t;
+		for (i = 0; i < p; i++) {
+			if (i == k)
+				continue;
+			t = A[i * 2 * p + k];
+			for (j = 0; j < 2 * p; j++)
+				A[i * 2 * p + j] -= t * A[k * 2 * p + j];
+		}
+	}
+	for (i = 0; i < p; i++)
+		for (j = 0; j < p; j++)
+			covar->data[i * p + j] = A[i * 2 * p + p + j];
+	return GSL_SUCCESS;
+}

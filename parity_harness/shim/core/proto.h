@@ -8,6 +8,7 @@
 #include "core/siril.h"
 
 int round_to_int(double x);
+void swap_param(double *a, double *b);
 WORD round_to_WORD(double x);
 BYTE round_to_BYTE(double x);
 BYTE conv_to_BYTE(double x);
@@ -46,5 +47,9 @@ void g_free(void *p);
 int copyfits(fits *from, fits *to, unsigned char oper, int layer);
 int new_fit_image(fits *fit, int width, int height, int nblayer);
 void clearfits(fits *fit);
+
+/* defined by the extracted core/siril.c block (gen/imops.inc, linked
+ * from the harness TU); PSF.c calls it for the fit-box background */
+double background(fits *fit, int reqlayer, rectangle *selection);
 
 #endif

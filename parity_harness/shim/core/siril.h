@@ -10,9 +10,12 @@
 #ifndef SHIM_SIRIL_H
 #define SHIM_SIRIL_H
 
+#include <assert.h>
 #include <limits.h>
 #include <stdint.h>
 #include <stdlib.h>
+
+#define g_assert assert
 
 typedef unsigned char BYTE;
 typedef unsigned short WORD;
@@ -141,13 +144,12 @@ struct phot_config {
 	double outer;
 };
 
-/* reduced fitted_PSF: the extracted getPhotometryData reads x0/y0/sx only
- * (reference: typedef of struct fwhm_struct, siril.h; fields used at
- * photometry.c:246-256) */
-typedef struct {
-	double x0, y0;
-	double sx;
-} fitted_PSF;
+/* fitted_PSF: the real typedef (siril.h:205); struct fwhm_struct body
+ * comes from the reference's algos/PSF.h, included by the harness */
+typedef struct fwhm_struct fitted_PSF;
+
+#define MAX_STARS 50000
+#define g_snprintf snprintf
 
 /* reduced cominfo: demosaicing.c's fits-level debayer() reads
  * com.debayer.bayer_pattern (the harness never calls it, but the TU must
@@ -160,6 +162,8 @@ typedef struct {
 	rectangle selection;   /* the extracted contrast() reads com.selection */
 	gradient *grad;        /* background-extraction samples (gradient.c) */
 	int grad_nb_boxes, grad_size_boxes;
+	double magOffset;      /* psf_display_result */
+	int max_thread;
 } cominfo;
 extern cominfo com;
 
@@ -173,6 +177,10 @@ typedef struct ffit {
 	long naxes[3];
 	unsigned short maxi;
 	unsigned short mini;
+	/* optics metadata psf_update_units reads (zero = unknown) */
+	double focal_length;
+	double pixel_size_x, pixel_size_y;
+	unsigned int binning_x, binning_y;
 	WORD *data;
 	WORD *pdata[3];
 } fits;
