@@ -125,6 +125,11 @@ gcc $CFLAGS -c "$REF/algos/reconstr.c"    -o build/reconstr.o
 gcc $CFLAGS -c "$REF/algos/io_wave.c"     -o build/io_wave.o
 # HAVE_GSL_2: selects the reference's GSL>=2 covariance path (PSF.c:383)
 gcc $CFLAGS -DHAVE_GSL_1=0 -DHAVE_GSL_2=1 -c "$REF/algos/PSF.c" -o build/PSF.o
+# star matching (atpmatch): pure C except the final cvCalculH, which the
+# harness stubs to capture the matched pairs (shim/opencv/opencv.h)
+gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/misc.c"     -o build/match_misc.o
+gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/atpmatch.c" -o build/atpmatch.o
+gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/match.c"    -o build/match.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o
 gcc $CFLAGS -c harness.c  -o build/harness.o

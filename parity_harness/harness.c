@@ -1340,6 +1340,91 @@ static void suite_starfind(const char *dir) {
 	fclose(f);
 }
 
+/* ----------------------------- suite: match ------------------------------ */
+
+/* match.h gates on HAVE_OPENCV, which must stay OFF for the imops.inc
+ * block in this TU (it selects the reference's non-OpenCV wavelet path
+ * in backgroundnoise) — declare the entry point directly instead */
+int new_star_match(fitted_PSF **s1, fitted_PSF **s2, int n, Homography *H);
+extern int h_captured_n;
+extern double h_captured[4096][4];
+
+static void suite_match(const char *dir) {
+	FILE *f = open_out(dir, "c_match.bin");
+	/* (angle_deg, scale, tx, ty, n_drop) */
+	static const double cases[][5] = {
+		{  2.5, 1.00,  25.5, -12.3, 0 },
+		{ -7.0, 1.06, -80.0,  40.0, 4 },
+		{  0.0, 0.97,   3.2,   5.9, 6 },
+	};
+	const int n = 30;
+	int ci, s, i;
+
+	for (ci = 0; ci < 3; ci++) {
+		const double th = cases[ci][0] * M_PI / 180.0;
+		const double sc = cases[ci][1];
+		const double tx = cases[ci][2], ty = cases[ci][3];
+		const int ndrop = (int) cases[ci][4];
+		fitted_PSF *a = calloc(n, sizeof(fitted_PSF));
+		fitted_PSF *b = calloc(n, sizeof(fitted_PSF));
+		fitted_PSF **pa = malloc(n * sizeof(void *));
+		fitted_PSF **pb = malloc(n * sizeof(void *));
+		Homography H;
+
+		for (s = 0; s < n; s++) {
+			a[s].xpos = 50.0 + rnd_unit() * 1900.0;
+			a[s].ypos = 50.0 + rnd_unit() * 1400.0;
+			a[s].mag = -16.0 + 0.25 * s;   /* sorted brightest-first */
+			pa[s] = &a[s];
+		}
+		for (s = 0; s < n; s++) {
+			if (s < n - ndrop) {
+				/* true counterpart + 0.2 px jitter */
+				b[s].xpos = sc * (cos(th) * a[s].xpos - sin(th) * a[s].ypos)
+						+ tx + (rnd_unit() - 0.5) * 0.4;
+				b[s].ypos = sc * (sin(th) * a[s].xpos + cos(th) * a[s].ypos)
+						+ ty + (rnd_unit() - 0.5) * 0.4;
+			} else {
+				/* spurious detection, no counterpart */
+				b[s].xpos = 50.0 + rnd_unit() * 1900.0;
+				b[s].ypos = 50.0 + rnd_unit() * 1400.0;
+			}
+			b[s].mag = a[s].mag + (rnd_unit() - 0.5) * 0.05;
+			pb[s] = &b[s];
+		}
+
+		h_captured_n = 0;
+		if (new_star_match(pa, pb, n, &H)) {
+			fprintf(stderr, "new_star_match failed (case %d)\n", ci);
+			exit(1);
+		}
+		w_u16(f, (uint16_t) n);
+		w_f64(f, cases[ci][0]);
+		w_f64(f, sc);
+		w_f64(f, tx);
+		w_f64(f, ty);
+		for (s = 0; s < n; s++) {
+			w_f64(f, a[s].xpos);
+			w_f64(f, a[s].ypos);
+			w_f64(f, a[s].mag);
+		}
+		for (s = 0; s < n; s++) {
+			w_f64(f, b[s].xpos);
+			w_f64(f, b[s].ypos);
+			w_f64(f, b[s].mag);
+		}
+		w_i32(f, h_captured_n);
+		for (i = 0; i < h_captured_n; i++) {
+			w_f64(f, h_captured[i][0]);
+			w_f64(f, h_captured[i][1]);
+			w_f64(f, h_captured[i][2]);
+			w_f64(f, h_captured[i][3]);
+		}
+		free(a); free(b); free(pa); free(pb);
+	}
+	fclose(f);
+}
+
 /* ---------------------------- suite: wavelets ---------------------------- */
 
 static void suite_wavelets(const char *dir) {
@@ -1492,6 +1577,8 @@ int main(int argc, char **argv) {
 	suite_psf(dir);
 	rng_state = 0x0DDBA11C0DDBA11CULL;
 	suite_starfind(dir);
+	rng_state = 0x7A1A61357A1A6135ULL;
+	suite_match(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

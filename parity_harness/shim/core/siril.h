@@ -48,6 +48,15 @@ typedef struct {
 	double x, y;
 } point;
 
+/* Homography (siril.h:607-613), filled by the cvCalculH capture stub */
+typedef struct Homo {
+	double h00, h01, h02;
+	double h10, h11, h12;
+	double h20, h21, h22;
+	int pair_matched;
+	int Inliers;
+} Homography;
+
 /* background-extraction sample box (siril.h:485-488) + polynomial order
  * (siril.h:210-215), used by the extracted gradient.c */
 typedef struct {

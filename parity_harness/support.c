@@ -147,3 +147,32 @@ void clearfits(fits *fit) {
 	free(fit->data);
 	fit->data = NULL;
 }
+
+/* cvCalculH capture stub (see shim/opencv/opencv.h): records the final
+ * matched star pairs new_star_match feeds to the RANSAC homography —
+ * that correspondence set is the matcher's golden output. */
+#define HAVE_OPENCV 1   /* atpmatch.h gates its content behind this;
+                           no OpenCV code is pulled in (capture stub) */
+#include "registration/matching/misc.h"    /* TRANS, used by atpmatch.h */
+#include "registration/matching/atpmatch.h"
+#include "opencv/opencv.h"
+
+int h_captured_n = 0;
+double h_captured[4096][4];
+
+int cvCalculH(s_star *star_array_img, struct s_star *star_array_ref,
+		int n, Homography *H) {
+	int i;
+	h_captured_n = (n > 4096) ? 4096 : n;
+	for (i = 0; i < h_captured_n; i++) {
+		h_captured[i][0] = star_array_img[i].x;
+		h_captured[i][1] = star_array_img[i].y;
+		h_captured[i][2] = star_array_ref[i].x;
+		h_captured[i][3] = star_array_ref[i].y;
+	}
+	H->h00 = 1; H->h01 = 0; H->h02 = 0;
+	H->h10 = 0; H->h11 = 1; H->h12 = 0;
+	H->h20 = 0; H->h21 = 0; H->h22 = 1;
+	H->Inliers = n;
+	return 0;
+}
