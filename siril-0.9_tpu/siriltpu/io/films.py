@@ -155,6 +155,11 @@ class FilmFile:
                 return cls._open_avi(path)
             except ValueError:
                 pass
+        if path.lower().endswith((".mp4", ".mov", ".m4v")):
+            try:
+                return cls._open_mp4(path)
+            except ValueError:
+                pass
         # fallback: imageio plugin (requires an ffmpeg backend for most)
         try:
             import imageio.v3 as iio
@@ -233,6 +238,155 @@ class FilmFile:
         film._chunks = chunks
         film._dib_bpp = bpp
         film._backend = backend
+        return film
+
+    @classmethod
+    def _open_mp4(cls, path: str) -> "FilmFile":
+        """ISO-BMFF (MP4/MOV) demuxer for Motion-JPEG video tracks —
+        the counterpart of io/mp4.py's muxer, and reads real Siril/
+        ffmpeg MJPEG-in-MP4 output too. H.264/H.265 tracks raise a
+        clean unsupported-codec error (no ffmpeg in this environment;
+        reference scope: src/io/films.c via ffms2)."""
+
+        def boxes(buf, start, end):
+            off = start
+            while off + 8 <= end:
+                size, = struct.unpack_from(">I", buf, off)
+                tag = buf[off + 4 : off + 8]
+                if size == 1:   # 64-bit size
+                    size, = struct.unpack_from(">Q", buf, off + 8)
+                    yield tag, off + 16, off + size
+                else:
+                    if size < 8:
+                        return
+                    yield tag, off + 8, off + size
+                off += size
+
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            # top-level scan for moov (read only headers + moov body)
+            moov = None
+            off = 0
+            while off + 8 <= size:
+                f.seek(off)
+                hdr = f.read(16)
+                if len(hdr) < 8:
+                    break
+                bsz, = struct.unpack_from(">I", hdr, 0)
+                tag = hdr[4:8]
+                body = off + 8
+                if bsz == 1:
+                    bsz, = struct.unpack_from(">Q", hdr, 8)
+                    body = off + 16
+                if bsz < 8:
+                    break
+                if tag == b"moov":
+                    f.seek(body)
+                    moov = f.read(off + bsz - body)
+                    break
+                off += bsz
+        if moov is None:
+            raise ValueError("no moov box")
+
+        def find(buf, s, e, *tags):
+            for tag, bs, be in boxes(buf, s, e):
+                if tag == tags[0]:
+                    if len(tags) == 1:
+                        return bs, be
+                    return find(buf, bs, be, *tags[1:])
+            return None
+
+        # locate the video trak
+        video = None
+        for tag, bs, be in boxes(moov, 0, len(moov)):
+            if tag != b"trak":
+                continue
+            h = find(moov, bs, be, b"mdia", b"hdlr")
+            if h and moov[h[0] + 8 : h[0] + 12] == b"vide":
+                video = (bs, be)
+                break
+        if video is None:
+            raise ValueError("no video track")
+        bs, be = video
+        mdhd = find(moov, bs, be, b"mdia", b"mdhd")
+        timescale = struct.unpack_from(">I", moov, mdhd[0] + 12)[0]
+        stbl = find(moov, bs, be, b"mdia", b"minf", b"stbl")
+        tbl = {t: (s0, e0) for t, s0, e0 in boxes(moov, *stbl)}
+
+        # codec gate
+        s0, _ = tbl[b"stsd"]
+        fourcc = moov[s0 + 8 + 4 : s0 + 8 + 8]
+        if fourcc == b"mp4v":
+            # esds objectTypeIndication must be JPEG (0x6C)
+            entry = moov[s0 + 8 : tbl[b"stsd"][1]]
+            z = entry.find(b"esds")
+            oti = None
+            if z >= 0:
+                # ES(03) hdr -> DecoderConfig(04): OTI is the byte after
+                # the tag 0x04 and its expandable length
+                p = entry.find(b"\x04", z + 8)
+                while p >= 0:
+                    q = p + 1
+                    while entry[q] & 0x80:
+                        q += 1
+                    oti = entry[q + 1]
+                    break
+            if oti != 0x6C:
+                raise ValueError(
+                    f"unsupported mp4v codec (OTI {oti}) — only MJPEG "
+                    f"(ISO/IEC 10918-1) video is demuxed natively")
+        elif fourcc not in (b"jpeg", b"mjpa", b"AVDJ"):
+            raise ValueError(
+                f"unsupported MP4 codec {fourcc!r} — only MJPEG video "
+                f"is demuxed natively (H.264/H.265 need ffmpeg)")
+        width, height = struct.unpack_from(">HH", moov, s0 + 8 + 32)
+
+        # sample tables
+        s0, _ = tbl[b"stsz"]
+        fixed, n = struct.unpack_from(">II", moov, s0 + 4)
+        sizes = ([fixed] * n if fixed else
+                 list(struct.unpack_from(f">{n}I", moov, s0 + 12)))
+        if b"stco" in tbl:
+            s0, _ = tbl[b"stco"]
+            nc, = struct.unpack_from(">I", moov, s0 + 4)
+            coff = struct.unpack_from(f">{nc}I", moov, s0 + 8)
+        else:
+            s0, _ = tbl[b"co64"]
+            nc, = struct.unpack_from(">I", moov, s0 + 4)
+            coff = struct.unpack_from(f">{nc}Q", moov, s0 + 8)
+        s0, _ = tbl[b"stsc"]
+        ne, = struct.unpack_from(">I", moov, s0 + 4)
+        stsc = [struct.unpack_from(">III", moov, s0 + 8 + 12 * k)
+                for k in range(ne)]
+        chunks = []
+        si = 0
+        for ci in range(nc):
+            spc = 1
+            for first, cnt, _sdi in stsc:
+                if ci + 1 >= first:
+                    spc = cnt
+            o = coff[ci]
+            for _ in range(spc):
+                if si >= n:
+                    break
+                chunks.append((o, sizes[si]))
+                o += sizes[si]
+                si += 1
+        # fps from stts
+        fps = 25.0
+        if b"stts" in tbl and timescale:
+            s0, _ = tbl[b"stts"]
+            ne, = struct.unpack_from(">I", moov, s0 + 4)
+            if ne >= 1:
+                _cnt, delta = struct.unpack_from(">II", moov, s0 + 8)
+                if delta:
+                    fps = timescale / delta
+        if not chunks:
+            raise ValueError("no samples")
+        film = cls(path=path, width=int(width), height=int(height),
+                   nb_frames=len(chunks), fps=float(fps))
+        film._chunks = chunks
+        film._backend = "mjpeg"
         return film
 
     def read_frame(self, index: int) -> Frame:

@@ -216,3 +216,30 @@ def test_export_mjpeg_roundtrip(tmp_path):
     assert got.shape[1:] == want.shape[1:]
     err = np.abs(got[0].astype(int) - want[0].astype(int))
     assert err.mean() < 3 and err.max() <= 32  # JPEG quality 100 path
+
+
+def test_export_mp4_roundtrip_demux(tmp_path):
+    """The MP4 muxer's output reopens through the ISO-BMFF demuxer
+    (films.py _open_mp4) — the MJPEG-in-MP4 counterpart of the AVI
+    round-trip, covering the reference's ffms2 MP4 film import scope."""
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.films import FilmFile
+    from siriltpu.io.sequence import check_seq
+
+    d = str(tmp_path)
+    frames, _, _ = make_sequence_frames(3, 32, 48, seed=7)
+    for i, f in enumerate(frames):
+        fits_io.write_fits(f"{d}/m{i+1:02d}.fit", Frame(f))
+    seq = check_seq(d)[0]
+    p = export_sequence(seq, ExportArgs(basename="rt", fmt="mp4",
+                                        fps=30.0, quality=5))
+    film = FilmFile.open(p)
+    assert film._backend == "mjpeg"
+    assert (film.width, film.height) == (48, 32)
+    assert film.nb_frames == 3
+    assert film.fps == pytest.approx(30.0, rel=0.01)
+    got = film.read_frame(0).data
+    want = np.clip(frames[0].astype(np.float64) * 255.0 / 65535.0 + 0.5,
+                   0, 255).astype(np.uint16)
+    assert got.shape[1:] == want.shape[1:]
+    assert np.abs(got[0].astype(float) - want[0]).mean() < 12.0
