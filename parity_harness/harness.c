@@ -87,6 +87,9 @@ double MTF(double x, double m);
 #include "algos/gradient.h"
 #include "gen/gradient.inc"       /* src/algos/gradient.c:34-333,378-383 */
 
+#include "gen/fits_flip.inc"      /* src/io/image_format_fits.c:1143-1161 */
+#include "io/ser.h"               /* reference header: SER container */
+
 /* star_finder.c: Compute_threshold, is_star, peaker, compare/sort_stars.
  * The GTK-bound get_structure (star_finder.c:80-92 reads spin buttons)
  * is replaced by a no-op so the caller's starFinder values survive. */
@@ -670,6 +673,7 @@ static void suite_photometry(const char *dir) {
 static void make_rgb_fits(fits *fit, WORD *img, int nx, int ny) {
 	long npix = (long) nx * ny;
 	memset(fit, 0, sizeof(*fit));
+	fit->bitpix = USHORT_IMG;
 	fit->rx = nx;
 	fit->ry = ny;
 	fit->naxis = 3;
@@ -954,6 +958,7 @@ static void suite_gradient(const char *dir) {
 
 static void make_mono_fits(fits *fit, WORD *img, int nx, int ny) {
 	memset(fit, 0, sizeof(*fit));
+	fit->bitpix = USHORT_IMG;
 	fit->rx = nx;
 	fit->ry = ny;
 	fit->naxis = 2;
@@ -1340,6 +1345,218 @@ static void suite_starfind(const char *dir) {
 	fclose(f);
 }
 
+/* ------------------------------ suite: ser ------------------------------- */
+
+static void w_file(FILE *f, const char *path) {
+	FILE *in = fopen(path, "rb");
+	long sz;
+	unsigned char *buf;
+	fseek(in, 0, SEEK_END);
+	sz = ftell(in);
+	fseek(in, 0, SEEK_SET);
+	buf = malloc(sz);
+	if (fread(buf, 1, sz, in) != (size_t) sz)
+		exit(1);
+	fclose(in);
+	w_i64(f, sz);
+	fwrite(buf, 1, sz, f);
+	free(buf);
+}
+
+static void suite_ser(const char *dir) {
+	FILE *f = open_out(dir, "c_ser.bin");
+	const char *tmp_mono = "/tmp/ph_mono.ser";
+	const char *tmp_rgb = "/tmp/ph_rgb.ser";
+	const char *tmp_bayer = "/tmp/ph_bayer.ser";
+	const int w = 40, h = 30;
+	const long npix = (long) w * h;
+	int fr, i;
+
+	com.debayer.open_debayer = 0;
+	com.debayer.use_bayer_header = 1;
+	com.debayer.bayer_pattern = BAYER_FILTER_RGGB;
+	com.debayer.bayer_inter = BAYER_VNG;
+
+	/* part A: create/write/close a mono SER, then reopen + read back */
+	{
+		struct ser_struct ser;
+		fits fit;
+		WORD *img = malloc(npix * 2);
+		ser_init_struct(&ser);
+		if (ser_create_file(tmp_mono, &ser, TRUE, NULL)) exit(1);
+		for (fr = 0; fr < 3; fr++) {
+			for (i = 0; i < npix; i++)
+				img[i] = rnd_range(0, 65535);
+			make_mono_fits(&fit, img, w, h);
+			w_u16s(f, img, npix);             /* fits-side input */
+			if (ser_write_frame_from_fit(&ser, &fit, fr)) exit(1);
+		}
+		if (ser_write_and_close(&ser)) exit(1);
+		w_file(f, tmp_mono);                  /* exact file bytes */
+
+		ser_init_struct(&ser);
+		if (ser_open_file((char *) tmp_mono, &ser)) exit(1);
+		w_i32(f, ser.color_id);
+		w_i32(f, ser.little_endian);
+		w_i32(f, ser.image_width);
+		w_i32(f, ser.image_height);
+		w_i32(f, ser.bit_pixel_depth);
+		w_i32(f, (int32_t) ser.frame_count);
+		for (fr = 0; fr < 3; fr++) {
+			fits rfit;
+			memset(&rfit, 0, sizeof rfit);
+			if (ser_read_frame(&ser, fr, &rfit)) exit(1);
+			w_u16s(f, rfit.data, npix);       /* after flip to bottom-up */
+			free(rfit.data);
+		}
+		/* partial region read (mono, layer 0).  NOTE: the C's mono/RGB
+		 * partial read is a CONTIGUOUS run from the area origin, not a
+		 * rectangle (ser.c:797-817) — every in-tree caller passes
+		 * full-width row blocks where both are identical, so the
+		 * fixture does too (divergence documented in PARITY.md). */
+		{
+			rectangle area = { 0, 5, 40, 11 };
+			WORD *buf = malloc((long) area.w * area.h * 2);
+			if (ser_read_opened_partial(&ser, 0, 1, buf, &area)) exit(1);
+			w_u16s(f, buf, (long) area.w * area.h);
+			free(buf);
+		}
+		ser_close_file(&ser);
+		free(img);
+	}
+
+	/* part B: RGB (SER v3) round-trip + partial per layer */
+	{
+		struct ser_struct ser;
+		fits fit;
+		WORD *img = malloc(npix * 3 * 2);
+		ser_init_struct(&ser);
+		if (ser_create_file(tmp_rgb, &ser, TRUE, NULL)) exit(1);
+		for (fr = 0; fr < 2; fr++) {
+			for (i = 0; i < npix * 3; i++)
+				img[i] = rnd_range(0, 65535);
+			make_rgb_fits(&fit, img, w, h);
+			w_u16s(f, img, npix * 3);
+			if (ser_write_frame_from_fit(&ser, &fit, fr)) exit(1);
+		}
+		if (ser_write_and_close(&ser)) exit(1);
+		w_file(f, tmp_rgb);
+
+		ser_init_struct(&ser);
+		if (ser_open_file((char *) tmp_rgb, &ser)) exit(1);
+		w_i32(f, ser.color_id);
+		for (fr = 0; fr < 2; fr++) {
+			fits rfit;
+			memset(&rfit, 0, sizeof rfit);
+			if (ser_read_frame(&ser, fr, &rfit)) exit(1);
+			w_u16s(f, rfit.data, npix * 3);
+			free(rfit.data);
+		}
+		{
+			rectangle area = { 0, 2, 40, 9 };
+			WORD *buf = malloc((long) area.w * area.h * 2);
+			int layer;
+			for (layer = 0; layer < 3; layer++) {
+				if (ser_read_opened_partial(&ser, layer, 0, buf, &area))
+					exit(1);
+				w_u16s(f, buf, (long) area.w * area.h);
+			}
+			free(buf);
+		}
+		ser_close_file(&ser);
+		free(img);
+	}
+
+	/* part C: Bayer RGGB file fabricated raw (incl. the INVERTED
+	 * endianness convention: header flag 1 = big-endian data), read
+	 * with open_debayer on (VNG) and off, partial read with the
+	 * demosaic-window expansion, then truncation repair */
+	{
+		unsigned char header[SER_HEADER_LEN];
+		FILE *sf = fopen(tmp_bayer, "wb");
+		WORD *cfa = malloc(npix * 2);
+		int32_t v;
+		struct ser_struct ser;
+		fits rfit;
+
+		memset(header, 0, sizeof header);
+		memcpy(header, "LUCAM-RECORDER", 14);
+		v = 8;  memcpy(header + 18, &v, 4);         /* SER_BAYER_RGGB */
+		v = 1;  memcpy(header + 22, &v, 4);         /* "LittleEndian"=1
+		                                               -> BIG endian data
+		                                               (inverted quirk) */
+		v = w;  memcpy(header + 26, &v, 4);
+		v = h;  memcpy(header + 30, &v, 4);
+		v = 16; memcpy(header + 34, &v, 4);
+		v = 2;  memcpy(header + 38, &v, 4);         /* 2 frames */
+		fwrite(header, 1, sizeof header, sf);
+		for (fr = 0; fr < 2; fr++) {
+			for (i = 0; i < npix; i++) {
+				WORD px = rnd_range(0, 65535);
+				unsigned char be[2] = { (unsigned char) (px >> 8),
+						(unsigned char) (px & 0xFF) };
+				cfa[i] = px;
+				fwrite(be, 1, 2, sf);
+			}
+			w_u16s(f, cfa, npix);                   /* logical CFA values */
+		}
+		fclose(sf);
+
+		com.debayer.open_debayer = 1;
+		ser_init_struct(&ser);
+		if (ser_open_file((char *) tmp_bayer, &ser)) exit(1);
+		memset(&rfit, 0, sizeof rfit);
+		if (ser_read_frame(&ser, 0, &rfit)) exit(1);  /* debayered RGB */
+		w_u16s(f, rfit.data, npix * 3);
+		free(rfit.data);
+		/* partial read on the Bayer file (window expansion + debayer).
+		 * Full-width again: the debayer-area read is also a contiguous
+		 * run (ser.c:858-881), rectangular only at full width. */
+		{
+			rectangle area = { 0, 6, 40, 10 };
+			WORD *buf = malloc((long) area.w * area.h * 2);
+			int layer;
+			for (layer = 0; layer < 3; layer++) {
+				if (ser_read_opened_partial(&ser, layer, 1, buf, &area))
+					exit(1);
+				w_u16s(f, buf, (long) area.w * area.h);
+			}
+			free(buf);
+		}
+		com.debayer.open_debayer = 0;
+		memset(&rfit, 0, sizeof rfit);
+		if (ser_read_frame(&ser, 0, &rfit)) exit(1);  /* CFA as mono */
+		w_u16s(f, rfit.data, npix);
+		free(rfit.data);
+		ser_close_file(&ser);
+
+		/* crashed-capture repair: the reference fixes the count ONLY
+		 * when the header says 0 frames (ser.c:337-344); truncate
+		 * mid-frame AND zero the header count, reopen -> repaired to 1
+		 * whole frame and the header is rewritten on disk */
+		if (truncate(tmp_bayer, SER_HEADER_LEN + npix * 2 + npix) != 0)
+			exit(1);
+		{
+			FILE *fz = fopen(tmp_bayer, "r+b");
+			int32_t zero = 0;
+			fseek(fz, 38, SEEK_SET);
+			fwrite(&zero, 4, 1, fz);
+			fclose(fz);
+		}
+		ser_init_struct(&ser);
+		if (ser_open_file((char *) tmp_bayer, &ser)) exit(1);
+		w_i32(f, (int32_t) ser.frame_count);
+		w_file(f, tmp_bayer);        /* the repaired file bytes */
+		ser_close_file(&ser);
+		free(cfa);
+	}
+
+	remove(tmp_mono);
+	remove(tmp_rgb);
+	remove(tmp_bayer);
+	fclose(f);
+}
+
 /* ----------------------------- suite: match ------------------------------ */
 
 /* match.h gates on HAVE_OPENCV, which must stay OFF for the imops.inc
@@ -1579,6 +1796,8 @@ int main(int argc, char **argv) {
 	suite_starfind(dir);
 	rng_state = 0x7A1A61357A1A6135ULL;
 	suite_match(dir);
+	rng_state = 0x5E55E55E55E55E55ULL;
+	suite_ser(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

@@ -52,4 +52,13 @@ void clearfits(fits *fit);
  * from the harness TU); PSF.c calls it for the fit-box background */
 double background(fits *fit, int reqlayer, rectangle *selection);
 
+/* for ser.c: the FITS row flip (extracted from image_format_fits.c),
+ * glib string/list shims, and the date parser stub (support.c) */
+void fits_flip_top_to_bottom(fits *fit);
+gchar *g_strndup(const char *s, size_t n);
+typedef struct _GSList {
+	void *data;
+	struct _GSList *next;
+} GSList;
+
 #endif

@@ -14,8 +14,17 @@
 #include <limits.h>
 #include <stdint.h>
 #include <stdlib.h>
+#include <time.h>     /* struct tm, for ser.c's date conversion */
 
 #define g_assert assert
+
+/* cfitsio image-type codes (fitsio.h), used by ser.c's fit geometry */
+#define BYTE_IMG    8
+#define SHORT_IMG   16
+#define USHORT_IMG  20
+#define LONG_IMG    32
+#define FLOAT_IMG  (-32)
+#define DOUBLE_IMG (-64)
 
 typedef unsigned char BYTE;
 typedef unsigned short WORD;
@@ -165,7 +174,10 @@ typedef struct fwhm_struct fitted_PSF;
  * compile); the extracted photometry block reads com.phot_set. */
 typedef struct {
 	struct {
+		gboolean open_debayer;
+		gboolean use_bayer_header;
 		sensor_pattern bayer_pattern;
+		interpolation_method bayer_inter;
 	} debayer;
 	struct phot_config phot_set;
 	rectangle selection;   /* the extracted contrast() reads com.selection */
@@ -190,6 +202,13 @@ typedef struct ffit {
 	double focal_length;
 	double pixel_size_x, pixel_size_y;
 	unsigned int binning_x, binning_y;
+	/* header strings ser.c copies to/from SER headers (FLEN_VALUE=71) */
+	char date_obs[71];
+	char date[71];
+	char instrume[71];
+	char telescop[71];
+	char observer[71];
+	char bayer_pattern[71];
 	WORD *data;
 	WORD *pdata[3];
 } fits;

@@ -176,3 +176,11 @@ int cvCalculH(s_star *star_array_img, struct s_star *star_array_ref,
 	H->Inliers = n;
 	return 0;
 }
+
+/* glib string dup for ser.c */
+gchar *g_strndup(const char *s, size_t n) {
+	char *out = malloc(n + 1);
+	memcpy(out, s, n);
+	out[n] = '\0';
+	return out;
+}

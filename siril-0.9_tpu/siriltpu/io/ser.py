@@ -86,12 +86,12 @@ class SerHeader:
     def pack(self) -> bytes:
         return struct.pack(
             _HEADER_FMT,
-            self.file_id.encode("ascii")[:14].ljust(14),
+            self.file_id.encode("ascii")[:14].ljust(14, b"\x00"),
             self.lu_id, self.color_id, self.little_endian,
             self.width, self.height, self.bit_pixel_depth, self.frame_count,
-            self.observer.encode("ascii")[:40].ljust(40),
-            self.instrument.encode("ascii")[:40].ljust(40),
-            self.telescope.encode("ascii")[:40].ljust(40),
+            self.observer.encode("ascii")[:40].ljust(40, b"\x00"),
+            self.instrument.encode("ascii")[:40].ljust(40, b"\x00"),
+            self.telescope.encode("ascii")[:40].ljust(40, b"\x00"),
             self.date, self.date_utc,
         )
 
@@ -133,8 +133,15 @@ class SerFile:
                 raise ValueError(f"bad SER header in {path}")
             fb = header.frame_nbytes
             max_frames = (size - SER_HEADER_LEN) // fb if fb else 0
-            if header.frame_count == 0 or header.frame_count > max_frames:
-                header.frame_count = int(max_frames)  # repair truncated capture
+            repaired = False
+            if header.frame_count == 0:
+                # the reference repairs ONLY the crashed-capture case
+                # (header count 0, ser.c:337-344) and rewrites the header;
+                # a nonzero count on a short file is kept as-is and later
+                # frame reads fail, exactly like ser_read_frame's
+                # short-read error (verified in test_c_goldens)
+                header.frame_count = int(max_frames)
+                repaired = header.frame_count > 0
             ts: List[int] = []
             ts_off = SER_HEADER_LEN + fb * header.frame_count
             if size >= ts_off + 8 * header.frame_count and header.frame_count > 0:
@@ -142,6 +149,9 @@ class SerFile:
                 raw = np.fromfile(f, dtype="<u8", count=header.frame_count)
                 if raw.size == header.frame_count:
                     ts = [int(t) for t in raw]
+        if repaired:
+            with open(path, "r+b") as f:
+                f.write(header.pack())   # "SER file has been fixed..."
         return cls(path=path, header=header, timestamps=ts)
 
     @classmethod
@@ -153,7 +163,10 @@ class SerFile:
             if not overwrite:
                 raise FileExistsError(path)
             os.unlink(path)
-        header = SerHeader(width=width, height=height, color_id=color_id,
+        # the reference stamps its own files "Made by Siril" (NUL-padded,
+        # ser.c:576) rather than the capture-software default id
+        header = SerHeader(file_id="Made by Siril",
+                           width=width, height=height, color_id=color_id,
                            bit_pixel_depth=bit_pixel_depth, frame_count=0,
                            little_endian=0)
         if copy_from is not None:
@@ -261,13 +274,45 @@ class SerFile:
                     out[r] = row
             return out
 
-        # color paths: read the (expanded) full-width region and demosaic
-        frame = self.read_frame(frame_no, debayer=debayer,
-                                bayer_pattern=bayer_pattern,
-                                bayer_method=bayer_method)
-        layer_img = frame.data[layer][::-1]  # back to top-down for area coords
+        if color in (SER_RGB, SER_BGR):
+            # rectangular crop of the interleaved planes (the reference
+            # reads a contiguous run here — identical for the full-width
+            # row blocks it actually passes; divergence in PARITY.md)
+            frame = self.read_frame(frame_no, debayer=debayer,
+                                    bayer_pattern=bayer_pattern,
+                                    bayer_method=bayer_method)
+            layer_img = frame.data[layer][::-1]   # top-down for area coords
+            return np.ascontiguousarray(
+                layer_img[area.y : area.y + area.h,
+                          area.x : area.x + area.w])
+
+        # Bayer: the reference demosaics a WINDOW expanded by 2-3 px with
+        # parity preserved (get_debayer_area, demosaicing.c:787-843) and
+        # extracts the area from it. The expansion is narrower than VNG's
+        # effective support, so values on the first/last row of a block
+        # genuinely differ from a full-frame debayer — reproduced exactly
+        # (verified against the compiled C in test_c_goldens).
+        from siriltpu.ops.demosaic import debayer_buffer, pattern_from_ser
+
+        def expand(pos, length, limit):
+            off = 3 if pos & 1 else 2
+            start = pos - off
+            if start < 0:
+                start, off = 0, pos
+            end = pos + length - 1
+            grow = 2 if end & 1 else 3
+            if end + grow >= limit:
+                grow = limit - end - 1
+            return start, off, length + (pos - start) + grow
+
+        wy0, yoff, wh = expand(area.y, area.h, h.height)
+        wx0, xoff, ww = expand(area.x, area.w, h.width)
+        raw = self._read_raw_frame(frame_no).reshape(h.height, h.width)
+        window = np.ascontiguousarray(raw[wy0 : wy0 + wh, wx0 : wx0 + ww])
+        pat = bayer_pattern or pattern_from_ser(color)
+        demo = debayer_buffer(window, pat, bayer_method)  # (3, wh, ww)
         return np.ascontiguousarray(
-            layer_img[area.y : area.y + area.h, area.x : area.x + area.w])
+            demo[layer, yoff : yoff + area.h, xoff : xoff + area.w])
 
     # ----------------------------------------------------------------- write
 
