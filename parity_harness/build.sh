@@ -67,6 +67,9 @@ sed -n '188,333p' "$REF/algos/gradient.c" >> gen/gradient.inc
 sed -n '378,383p' "$REF/algos/gradient.c" >> gen/gradient.inc
 # the FITS row flip ser.c's full-frame reads call (image_format_fits.c)
 sed -n '1143,1161p' "$REF/io/image_format_fits.c" > gen/fits_flip.inc
+# sequence helpers the compiled seqfile.c links against
+sed -n '99,109p'   "$REF/core/utils.c"    > gen/seq_helpers.inc
+sed -n '814,827p'  "$REF/io/sequence.c"  >> gen/seq_helpers.inc
 # star_finder.c: Compute_threshold, is_star, peaker, compare/sort_stars,
 # FWHM_average (skip GTK get_structure and the GUI add/remove_star block)
 sed -n '37,78p'   "$REF/algos/star_finder.c"  > gen/starfind.inc
@@ -100,6 +103,9 @@ grep -q '^static int buildBoxesAutomatically' gen/gradient.inc
 grep -q '^static gsl_matrix \*computeBackground' gen/gradient.inc
 grep -q '^static int extractBackgroundAuto' gen/gradient.inc
 tail -1 gen/gradient.inc | grep -q '^}'
+head -1 gen/seq_helpers.inc | grep -q '^gboolean ends_with'
+grep -q '^void initialize_sequence' gen/seq_helpers.inc
+tail -1 gen/seq_helpers.inc | grep -q '^}'
 head -1 gen/fits_flip.inc | grep -q '^void fits_flip_top_to_bottom'
 tail -1 gen/fits_flip.inc | grep -q '^}'
 grep -q '^static WORD Compute_threshold' gen/starfind.inc
@@ -136,6 +142,7 @@ gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/atpmatch.c" -o build/
 gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/match.c"    -o build/match.o
 # SER container I/O (pure POSIX; needs the flip + debayer already built)
 gcc $CFLAGS -c "$REF/io/ser.c" -o build/ser.o
+gcc $CFLAGS -c "$REF/io/seqfile.c" -o build/seqfile.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o
 gcc $CFLAGS -c harness.c  -o build/harness.o

@@ -89,6 +89,8 @@ double MTF(double x, double m);
 
 #include "gen/fits_flip.inc"      /* src/io/image_format_fits.c:1143-1161 */
 #include "io/ser.h"               /* reference header: SER container */
+#include "io/sequence.h"          /* shim: sequence decls for seqfile.c */
+#include "gen/seq_helpers.inc"    /* utils.c:99-109, sequence.c:814-827 */
 
 /* star_finder.c: Compute_threshold, is_star, peaker, compare/sort_stars.
  * The GTK-bound get_structure (star_finder.c:80-92 reads spin buttons)
@@ -1557,6 +1559,110 @@ static void suite_ser(const char *dir) {
 	fclose(f);
 }
 
+/* ---------------------------- suite: seqfile ----------------------------- */
+
+static void suite_seqfile(const char *dir) {
+	FILE *f = open_out(dir, "c_seqfile.bin");
+	const char *base = "/tmp/ph_seqtest";
+	sequence seq;
+	imstats st[5];
+	imgdata imgs[5];
+	regdata reg[5];
+	regdata *regp[1] = { reg };
+	sequence *rd;
+	int i;
+
+	/* a 5-image mono sequence: stats cached on images 0/2/4, reg data
+	 * with negative shifts/fractional quality, image 3 deselected */
+	memset(&seq, 0, sizeof seq);
+	initialize_sequence(&seq, TRUE);
+	seq.seqname = (char *) base;
+	seq.beg = 1;
+	seq.number = 5;
+	seq.selnum = 4;
+	seq.fixed = 5;
+	seq.nb_layers = 1;
+	seq.reference_image = 2;
+	seq.type = SEQ_REGULAR;
+	seq.imgparam = imgs;
+	seq.regparam = regp;
+	memset(imgs, 0, sizeof imgs);
+	memset(reg, 0, sizeof reg);
+	memset(st, 0, sizeof st);
+	for (i = 0; i < 5; i++) {
+		imgs[i].filenum = i + 1;
+		imgs[i].incl = (i != 3);
+		if ((i % 2) == 0) {
+			st[i].mean = 1234.5678901 + i;
+			st[i].median = 1200.0 + i;
+			st[i].sigma = 56.789 + i;
+			st[i].avgDev = 43.21 + i;
+			st[i].mad = 40.5 + i;
+			st[i].sqrtbwmv = 41.25 + i;
+			st[i].location = 0.0183105 + i * 1e-4;
+			st[i].scale = 0.00087 + i * 1e-5;
+			st[i].min = 12.0;
+			st[i].max = 65535.0;
+			imgs[i].stats = &st[i];
+		}
+		reg[i].shiftx = (i - 2) * 3;
+		reg[i].shifty = 2 - i;
+		reg[i].rot_centre_x = 512.25f;
+		reg[i].rot_centre_y = 384.75f;
+		reg[i].angle = 0.125f * i;
+		reg[i].fwhm = 3.5f + 0.25f * i;
+		reg[i].quality = 0.912345678 - 0.01 * i;
+	}
+	if (writeseqfile(&seq)) {
+		fprintf(stderr, "writeseqfile failed\n");
+		exit(1);
+	}
+	{
+		char path[64];
+		snprintf(path, sizeof path, "%s.seq", base);
+		w_file(f, path);                      /* exact text bytes */
+	}
+
+	/* read it back through the compiled parser and emit what it parsed */
+	rd = readseqfile(base);
+	if (!rd) {
+		fprintf(stderr, "readseqfile failed\n");
+		exit(1);
+	}
+	w_i32(f, rd->beg);
+	w_i32(f, rd->number);
+	w_i32(f, rd->selnum);
+	w_i32(f, rd->fixed);
+	w_i32(f, rd->reference_image);
+	w_i32(f, rd->nb_layers);
+	w_i32(f, rd->end);
+	for (i = 0; i < rd->number; i++) {
+		w_i32(f, rd->imgparam[i].filenum);
+		w_i32(f, rd->imgparam[i].incl);
+		w_u8(f, rd->imgparam[i].stats != NULL);
+		if (rd->imgparam[i].stats) {
+			w_f64(f, rd->imgparam[i].stats->mean);
+			w_f64(f, rd->imgparam[i].stats->median);
+			w_f64(f, rd->imgparam[i].stats->sigma);
+			w_f64(f, rd->imgparam[i].stats->location);
+			w_f64(f, rd->imgparam[i].stats->scale);
+		}
+	}
+	for (i = 0; i < rd->number; i++) {
+		w_i32(f, rd->regparam[0][i].shiftx);
+		w_i32(f, rd->regparam[0][i].shifty);
+		w_f64(f, rd->regparam[0][i].angle);
+		w_f64(f, rd->regparam[0][i].fwhm);
+		w_f64(f, rd->regparam[0][i].quality);
+	}
+	{
+		char path[64];
+		snprintf(path, sizeof path, "%s.seq", base);
+		remove(path);
+	}
+	fclose(f);
+}
+
 /* ----------------------------- suite: match ------------------------------ */
 
 /* match.h gates on HAVE_OPENCV, which must stay OFF for the imops.inc
@@ -1798,6 +1904,7 @@ int main(int argc, char **argv) {
 	suite_match(dir);
 	rng_state = 0x5E55E55E55E55E55ULL;
 	suite_ser(dir);
+	suite_seqfile(dir);   /* fully deterministic, no rng */
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

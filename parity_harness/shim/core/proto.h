@@ -56,9 +56,9 @@ double background(fits *fit, int reqlayer, rectangle *selection);
  * glib string/list shims, and the date parser stub (support.c) */
 void fits_flip_top_to_bottom(fits *fit);
 gchar *g_strndup(const char *s, size_t n);
-typedef struct _GSList {
-	void *data;
-	struct _GSList *next;
-} GSList;
+int stat_file(const char *filename, image_type *type, char **realname);
+void get_possible_image_filename(sequence *seq, int image_number,
+		char *name_buffer);
+/* GSList typedef lives in the siril.h shim (ser.h needs it) */
 
 #endif

@@ -225,4 +225,83 @@ struct image_stats {
 };
 typedef struct image_stats imstats;
 
+/* ---- sequence model, for the compiled seqfile.c (siril.h:189-374;
+ * ffms2 fields omitted exactly as the reference omits them when built
+ * without film support) ---- */
+#define PREVIEW_NB 2
+#define MAX_SEQPSF 7
+
+typedef enum { NORMAL_DISPLAY } display_mode;
+
+typedef struct {
+	char *name;
+	double wavelength;
+	WORD lo, hi;
+	gboolean cut_over, cut_under;
+	display_mode rendering_mode;
+} layer_info;
+
+typedef enum { SEQ_REGULAR, SEQ_SER, SEQ_INTERNAL } sequence_type;
+
+typedef struct imdata {
+	int filenum;
+	gboolean incl;
+	imstats *stats;
+	char *date_obs;
+} imgdata;
+
+typedef struct registration_data {
+	int shiftx, shifty;
+	float rot_centre_x, rot_centre_y;
+	float angle;
+	fitted_PSF *fwhm_data;
+	float fwhm;
+	double quality;
+} regdata;
+
+typedef void fitsfile;   /* cfitsio handle, opaque here */
+
+/* glib singly-linked list (ser.h's timestamp API) */
+typedef struct _GSList {
+	void *data;
+	struct _GSList *next;
+} GSList;
+
+/* file-type sniffing enum (siril.h:95-112) + default include flag */
+typedef enum {
+	TYPEUNDEF = 0,
+	TYPEFITS = (1 << 2),
+	TYPESER = (1 << 5),
+} image_type;
+#define SEQUENCE_DEFAULT_INCLUDE TRUE
+
+typedef struct sequ {
+	char *seqname;
+	int number;
+	int selnum;
+	int fixed;
+	int nb_layers;
+	unsigned int rx, ry;
+	layer_info *layers;
+	int reference_image;
+	imgdata *imgparam;
+	regdata **regparam;
+	int beg, end;
+	double exposure;
+	int previewX[PREVIEW_NB], previewY[PREVIEW_NB];
+	int previewW[PREVIEW_NB], previewH[PREVIEW_NB];
+	sequence_type type;
+	struct ser_struct *ser_file;
+	fits **internal_fits;
+	fitsfile **fptr;
+	fits *offset, *dark, *flat;
+	char *ppprefix;
+	int current;
+	gboolean needs_saving;
+	fitted_PSF **photometry[MAX_SEQPSF];
+	int reference_star;
+	double reference_mag;
+	double photometry_colors[MAX_SEQPSF][3];
+} sequence;
+
 #endif

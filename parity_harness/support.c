@@ -184,3 +184,22 @@ gchar *g_strndup(const char *s, size_t n) {
 	out[n] = '\0';
 	return out;
 }
+
+/* GTK memory-display stub for the compiled seqfile.c */
+void update_used_memory(void) {
+}
+
+/* linkage stubs for the compiled seqfile.c's buildseqfile path (the
+ * harness goldens exercise read/writeseqfile only) */
+int stat_file(const char *filename, image_type *type, char **realname) {
+	(void) filename;
+	(void) realname;
+	*type = TYPEFITS;
+	return 0;
+}
+
+void get_possible_image_filename(sequence *seq, int image_number,
+		char *name_buffer) {
+	sprintf(name_buffer, "%s%.*d.fit", seq->seqname, seq->fixed,
+			image_number);
+}
