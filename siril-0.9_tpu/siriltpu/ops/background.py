@@ -6,7 +6,8 @@ Reference: src/algos/gradient.c — box grid construction
 replace-by-median then median), box rejection (deviation·sigma high side,
 deviation·unbalance low side :177-183), weighted least-squares polynomial
 fit of order 1–4 (3/6/10/15 params, :34-37, ``computeBackground``
-:188-300), evaluation clamps negatives to 0.
+:188-300), model stored via the reference's bare (WORD) truncation
+cast (verified against the compiled C in test_c_goldens).
 
 TPU mapping: per-box statistics are a blocked reduction; the polynomial
 evaluation over the full image is a fused Vandermonde combination on
@@ -21,7 +22,6 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from siriltpu.utils.rounding import np_round_to_word
 
 NPARAMS = {1: 3, 2: 6, 3: 10, 4: 15}
 
@@ -71,7 +71,9 @@ def build_background_samples(layer: np.ndarray, params: BackgroundParams
     nboxes = p.boxes_per_row * p.boxes_per_col
     if nboxes < NPARAMS[p.order]:
         raise ValueError("not enough boxes for the polynomial order")
-    mat = layer.astype(np.float64).copy()
+    # astype always copies, so the in-place outlier replacement below
+    # never touches the caller's array (one 200 MB pass at 6K, not three)
+    mat = layer.astype(np.float64)
 
     row_pos = np.empty(p.boxes_per_col)
     col_pos = np.empty(p.boxes_per_row)
@@ -133,8 +135,7 @@ def compute_background(layer: np.ndarray,
     (computeBackground, clamped at 0)."""
     p = params or BackgroundParams()
     height, width = layer.shape
-    cols, rows, vals = build_background_samples(
-        layer.astype(np.float64), p)
+    cols, rows, vals = build_background_samples(layer, p)
     ok = vals >= 0
     if ok.sum() < NPARAMS[p.order]:
         raise ValueError("not enough valid background samples")

@@ -281,12 +281,16 @@ def rotate(data: np.ndarray, angle_deg: float, *, crop_to_fit: bool = True,
 def sub_background_layer(image: np.ndarray, background: np.ndarray
                          ) -> np.ndarray:
     """sub_background (siril.c:192-240): subtract in [0,1] doubles, then
-    add |min| so the result is non-negative."""
-    a = image.astype(np.float64) / 65535.0
-    b = background.astype(np.float64) / 65535.0
-    d = a - b
+    add |min| so the result is non-negative. In-place arithmetic: large
+    fresh allocations are disproportionately slow on this host."""
+    d = image.astype(np.float64)
+    d /= 65535.0
+    b = background.astype(np.float64)
+    b /= 65535.0
+    d -= b
     d += abs(d.min())
-    return np_round_to_word(d * 65535.0)
+    d *= 65535.0
+    return np_round_to_word(d)
 
 
 __all__ = ["soper", "imoper", "fdiv", "ndiv", "addmax", "crop", "mirrorx",
