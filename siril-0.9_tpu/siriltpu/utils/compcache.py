@@ -26,7 +26,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
 
     Must run before the first ``jax.jit`` trace to help that trace;
     safe (but less useful) afterwards.
+
+    Also applies the host allocator tuning (utils/hostmem.retain_heap):
+    every siriltpu entry point wants both, and this is the one call they
+    all share.
     """
+    from siriltpu.utils.hostmem import retain_heap
+    retain_heap()
     global _ENABLED
     env = os.environ.get("SIRILTPU_COMPILE_CACHE", "")
     if env.lower() in ("0", "off", "false", "none"):
