@@ -8,7 +8,6 @@ memory_percent · available_MB / (rx · nb_frames · 2 bytes · nthreads).
 
 from __future__ import annotations
 
-import os
 
 
 def get_available_memory_mb() -> int:

@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-import numpy as np
 
 from siriltpu.core.frame import Frame
 from siriltpu.io import fits as fits_io

@@ -11,7 +11,6 @@ All writers take bottom-up Frames and emit top-down files.
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import Optional
 

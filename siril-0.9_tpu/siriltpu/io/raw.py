@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ engine's area coordinates, see siriltpu/io/fits.py and ser.py).
 
 from __future__ import annotations
 
-import glob
 import os
 import re
 from dataclasses import dataclass, field

@@ -19,7 +19,6 @@ single device program; `vmap`/sharding over the frame axis scales it out.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

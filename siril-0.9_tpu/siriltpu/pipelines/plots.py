@@ -9,7 +9,6 @@ available.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np

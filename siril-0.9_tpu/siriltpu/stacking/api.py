@@ -22,8 +22,7 @@ siriltpu/parallel/.
 from __future__ import annotations
 
 import functools
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence as Seq, Tuple
 
 import jax
