@@ -53,14 +53,7 @@ def compute_shifts(frames: Array, ref_index: int, sel: Tuple[int, int, int]):
     return sx, sy
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def align_frames(frames: Array, sx: Array, sy: Array) -> Array:
-    """Apply integer shifts to all frames (zero fill), uint16 -> uint16.
-
-    Implemented as two axis gathers with clipped per-frame index vectors
-    (out[f, y, x] = frames[f, y - sy_f, x - sx_f]). A vmapped dynamic
-    ``jnp.roll`` lowers to pathological code on TPU (measured 145 s for
-    100x4K^2); the double take_along_axis runs in milliseconds."""
+def _align_frames_impl(frames: Array, sx: Array, sy: Array) -> Array:
     f, h, w = frames.shape
     rows = jnp.arange(h)[None, :] - sy[:, None]
     cols = jnp.arange(w)[None, :] - sx[:, None]
@@ -72,6 +65,18 @@ def align_frames(frames: Array, sx: Array, sy: Array) -> Array:
     g = jnp.take_along_axis(g, cols_c[:, None, :], axis=2)
     mask = row_ok[:, :, None] & col_ok[:, None, :]
     return jnp.where(mask, g, jnp.uint16(0))
+
+
+# Apply integer shifts to all frames (zero fill), uint16 -> uint16.
+# Implemented as two axis gathers with clipped per-frame index vectors
+# (out[f, y, x] = frames[f, y - sy_f, x - sx_f]). A vmapped dynamic
+# ``jnp.roll`` lowers to pathological code on TPU (measured 145 s for
+# 100x4K^2); the double take_along_axis runs in milliseconds.
+# The donating variant frees the source HBM for pipelines that are done
+# with the raw frames; the keeping variant lets callers reuse them
+# (saves a defensive 3.2 GB device copy per call, ~40 ms).
+align_frames = jax.jit(_align_frames_impl, donate_argnums=(0,))
+align_frames_keep = jax.jit(_align_frames_impl)
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,7 +95,8 @@ def _make_stack_block(rejection: str, sig):
 def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
                        ref_index: int = 0, rejection: str = "sigma",
                        sig=(3.0, 3.0), block_rows: int = 128,
-                       with_quality: bool = True, return_device: bool = False):
+                       with_quality: bool = True, return_device: bool = False,
+                       keep_frames: bool = False):
     """Full pipeline on a device-resident (F, H, W) uint16 frame batch.
 
     Returns (stacked (H, W) uint16 np.ndarray, shifts (F,2), quality or None).
@@ -107,7 +113,8 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
         x0, y0, s = sel
         sels = jax.lax.dynamic_slice(frames_dev, (0, y0, x0), (f, s, s))
         quality = quality_estimate_batch(sels)
-    aligned = align_frames(frames_dev, sx, sy)
+    aligned = (align_frames_keep if keep_frames
+               else align_frames)(frames_dev, sx, sy)
     from siriltpu.ops.pallas.reject_stack import _on_tpu, sigma_stack_pallas
     if rejection == "sigma" and (h * w) % 2048 == 0 and _on_tpu():
         # fused Pallas kernel: sort + clip + mean in VMEM, one pass
@@ -197,8 +204,9 @@ class RegisterStackBench:
         # warmup / compile on the real shapes (the pipeline donates its
         # input, so hand it a copy)
         out, shifts, q = register_and_stack(
-            jnp.array(master), sel=self.sel, rejection=self.rejection,
-            block_rows=self.block_rows, with_quality=self.with_quality)
+            master, sel=self.sel, rejection=self.rejection,
+            block_rows=self.block_rows, with_quality=self.with_quality,
+            keep_frames=True)
         assert np.array_equal(shifts[:, 0], -self.shifts[:, 0]), "registration failed"
         assert np.array_equal(shifts[:, 1], -self.shifts[:, 1]), "registration failed"
 
@@ -207,9 +215,9 @@ class RegisterStackBench:
         pending = None
         for _ in range(reps):
             stacked, (sx, sy), qd = register_and_stack(
-                jnp.array(master), sel=self.sel, rejection=self.rejection,
+                master, sel=self.sel, rejection=self.rejection,
                 block_rows=self.block_rows, with_quality=self.with_quality,
-                return_device=True)
+                return_device=True, keep_frames=True)
             stacked.copy_to_host_async()
             if pending is not None:
                 np.asarray(pending)  # finalize the previous batch's output
