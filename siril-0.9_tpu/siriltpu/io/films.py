@@ -150,15 +150,17 @@ class FilmFile:
 
     @classmethod
     def open(cls, path: str) -> "FilmFile":
+        # struct/index errors from truncated or hostile files are just
+        # "not a demuxable container" — normalize to the fallback path
         if path.lower().endswith(".avi"):
             try:
                 return cls._open_avi(path)
-            except ValueError:
+            except (ValueError, struct.error, IndexError, EOFError):
                 pass
         if path.lower().endswith((".mp4", ".mov", ".m4v")):
             try:
                 return cls._open_mp4(path)
-            except ValueError:
+            except (ValueError, struct.error, IndexError, EOFError):
                 pass
         # fallback: imageio plugin (requires an ffmpeg backend for most)
         try:
@@ -197,8 +199,11 @@ class FilmFile:
             def walk(end):
                 nonlocal width, height, fps, bpp, compression
                 while f.tell() + 8 <= end:
-                    tag = f.read(4)
-                    (sz,) = struct.unpack("<I", f.read(4))
+                    hdr = f.read(8)
+                    if len(hdr) < 8:
+                        break
+                    tag = hdr[:4]
+                    (sz,) = struct.unpack("<I", hdr[4:])
                     start = f.tell()
                     if tag == b"LIST":
                         f.read(4)  # list type

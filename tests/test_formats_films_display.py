@@ -490,3 +490,47 @@ def test_convert_dir_with_mjpeg_film(tmp_path):
     assert n == 4
     fr = read_fits(str(tmp_path / "film00001.fit"))
     assert fr.data.shape[1:] == (16, 24)
+
+
+def test_malformed_containers_fail_cleanly(tmp_path):
+    """Truncated/garbage AVI, MP4 and SER inputs raise clean errors —
+    never unhandled struct/index crashes (parsers take untrusted files)."""
+    import struct
+
+    from siriltpu.io.films import FilmFile
+    from siriltpu.io.ser import SER_HEADER_LEN, SerFile
+
+    cases = {
+        "garbage.avi": b"RIFF\x10\x00\x00\x00AVI LIST\xff\xff\xff\xff",
+        "short.avi": b"RI",
+        "garbage.mp4": b"\x00\x00\x00\x08ftypisom" + b"\x00" * 4,
+        "truncmoov.mp4": (b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+                          + b"\x00\x00\xff\xffmoov" + b"\x12" * 16),
+        "noise.mp4": bytes(range(256)) * 8,
+    }
+    for name, payload in cases.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        try:
+            FilmFile.open(str(p))
+            raise AssertionError(f"{name}: expected an error")
+        except (ValueError, RuntimeError):
+            pass  # clean, typed failure
+
+    bad_ser = tmp_path / "bad.ser"
+    hdr = bytearray(SER_HEADER_LEN)
+    hdr[:14] = b"LUCAM-RECORDER"
+    struct.pack_into("<iiiiii", hdr, 18, 0, 0, -5, 7, 16, 3)  # negative w
+    bad_ser.write_bytes(bytes(hdr))
+    try:
+        SerFile.open(str(bad_ser))
+        raise AssertionError("bad.ser: expected an error")
+    except ValueError:
+        pass
+    short_ser = tmp_path / "short.ser"
+    short_ser.write_bytes(b"LUCAM")
+    try:
+        SerFile.open(str(short_ser))
+        raise AssertionError("short.ser: expected an error")
+    except (ValueError, struct.error):
+        pass
