@@ -44,6 +44,7 @@ sed -n '34,294p'   "$REF/algos/cosmetic_correction.c" > gen/cosmetic.inc
 # soper, imoper, addmax, fdiv, entropy, loglut, contrast, fill, off,
 # get_wavelet_layers, fmul_layer, BandingEngine, backgroundnoise
 sed -n '60,61p'     "$REF/core/siril.c"  > gen/imops.inc
+sed -n '65,103p'    "$REF/core/siril.c" >> gen/imops.inc
 sed -n '112,145p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '150,187p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '229,249p'   "$REF/core/siril.c" >> gen/imops.inc
@@ -52,6 +53,11 @@ sed -n '570,594p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '596,616p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '618,634p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '665,694p'   "$REF/core/siril.c" >> gen/imops.inc
+# shift(): the reference declares `fits tmpfit;` on the stack and then
+# reallocs tmpfit.data — uninitialized-pointer UB that happens to work
+# in the GTK app's memory layout. Zero-initialize it (the only
+# non-verbatim byte in any extraction; behavior = the reference intent).
+sed -n '479,510p'   "$REF/core/siril.c" | sed 's/fits tmpfit;/fits tmpfit = { 0 };/' >> gen/imops.inc
 sed -n '696,719p'   "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1173,1192p' "$REF/core/siril.c" >> gen/imops.inc
 sed -n '1285,1336p' "$REF/core/siril.c" >> gen/imops.inc
@@ -113,6 +119,8 @@ grep -q '^fitted_PSF \*\*peaker' gen/starfind.inc
 grep -q '^void sort_stars' gen/starfind.inc
 tail -1 gen/starfind.inc | grep -q '^}'
 head -1 gen/imops.inc | grep -q '^#define MAX_ITER 15'
+grep -q '^int threshlo' gen/imops.inc
+grep -q '^int shift' gen/imops.inc
 grep -q '^int soper' gen/imops.inc
 grep -q '^int imoper' gen/imops.inc
 grep -q '^double entropy' gen/imops.inc

@@ -1146,6 +1146,52 @@ static void suite_imops(const char *dir) {
 		}
 	}
 
+	/* part H: threshlo/threshhi/nozero */
+	{
+		WORD *img = malloc(npix * 2);
+		WORD *w = malloc(npix * 2);
+		long i;
+		fits fit;
+		for (i = 0; i < npix; i++)
+			img[i] = rnd_range(0, 65535);
+		w_u16s(f, img, npix);
+		memcpy(w, img, npix * 2);
+		make_mono_fits(&fit, w, nx, ny);
+		threshlo(&fit, 12000);
+		w_u16s(f, w, npix);
+		memcpy(w, img, npix * 2);
+		threshhi(&fit, 50000);
+		w_u16s(f, w, npix);
+		memcpy(w, img, npix * 2);
+		nozero(&fit, 777);
+		w_u16s(f, w, npix);
+		free(img);
+		free(w);
+	}
+
+	/* part I: shift() — operates on the global gfit; exercises the
+	 * ii > 0 source-skip quirk and zero fill on all four sign combos */
+	{
+		static const int sh[][2] = { {3, 2}, {-4, 5}, {6, -3}, {-2, -7} };
+		WORD *img = malloc(npix * 2);
+		long i;
+		int ci;
+		for (i = 0; i < npix; i++)
+			img[i] = rnd_range(1, 65535);
+		w_u16s(f, img, npix);
+		for (ci = 0; ci < 4; ci++) {
+			WORD *w = malloc(npix * 2);
+			memcpy(w, img, npix * 2);
+			make_mono_fits(&gfit, w, nx, ny);
+			shift(sh[ci][0], sh[ci][1]);
+			w_u16(f, (uint16_t) (sh[ci][0] & 0xFFFF));
+			w_u16(f, (uint16_t) (sh[ci][1] & 0xFFFF));
+			w_u16s(f, w, npix);
+			free(w);
+		}
+		free(img);
+	}
+
 	/* part G: backgroundnoise (wavelet finest-scale sigma-clip estimator) */
 	{
 		const int bx = 96, by = 80;

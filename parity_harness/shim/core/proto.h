@@ -51,6 +51,10 @@ void clearfits(fits *fit);
 /* defined by the extracted core/siril.c block (gen/imops.inc, linked
  * from the harness TU); PSF.c calls it for the fit-box background */
 double background(fits *fit, int reqlayer, rectangle *selection);
+int threshlo(fits *fit, int level);
+int threshhi(fits *fit, int level);
+int nozero(fits *fit, int level);
+int shift(int sx, int sy);
 
 /* for ser.c: the FITS row flip (extracted from image_format_fits.c),
  * glib string/list shims, and the date parser stub (support.c) */

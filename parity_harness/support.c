@@ -125,8 +125,16 @@ static void fits_alloc(fits *f, int rx, int ry, int nlayers) {
 
 int copyfits(fits *from, fits *to, unsigned char oper, int layer) {
 	(void) layer;
-	if (oper & (CP_ALLOC | CP_FORMAT))
+	if (oper & (CP_ALLOC | CP_FORMAT)) {
 		fits_alloc(to, from->rx, from->ry, (int) from->naxes[2]);
+		if (!(oper & CP_COPYA))
+			/* the reference leaves fresh CP_ALLOC data uninitialized;
+			 * in practice a fresh large malloc is zeroed mmap memory
+			 * (what shift()'s uncovered pixels observably contain) —
+			 * pin that so the goldens are deterministic */
+			memset(to->data, 0, (long) from->rx * from->ry
+					* from->naxes[2] * sizeof(WORD));
+	}
 	if (oper & CP_COPYA)
 		memcpy(to->data, from->data,
 				(long) from->rx * from->ry * from->naxes[2] * sizeof(WORD));
