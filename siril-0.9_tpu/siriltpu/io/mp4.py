@@ -65,7 +65,12 @@ class Mp4Writer:
         self._f.write(struct.pack(">I", 8) + b"mdat")  # size patched later
 
     def add_frame(self, jpeg: bytes) -> None:
-        self._offsets.append(self._f.tell())
+        off = self._f.tell()
+        if off + len(jpeg) > 0xFFFFFFFF:
+            # stco/mdat use 32-bit offsets/sizes in this minimal muxer
+            raise ValueError("MP4 output would exceed 4 GB; export in "
+                             "chunks or use the SER/AVI containers")
+        self._offsets.append(off)
         self._sizes.append(len(jpeg))
         self._f.write(jpeg)
 
