@@ -155,12 +155,14 @@ class FilmFile:
         if path.lower().endswith(".avi"):
             try:
                 return cls._open_avi(path)
-            except (ValueError, struct.error, IndexError, EOFError):
+            except (ValueError, KeyError, struct.error, IndexError,
+                    EOFError):
                 pass
         if path.lower().endswith((".mp4", ".mov", ".m4v")):
             try:
                 return cls._open_mp4(path)
-            except (ValueError, struct.error, IndexError, EOFError):
+            except (ValueError, KeyError, struct.error, IndexError,
+                    EOFError):
                 pass
         # fallback: imageio plugin (requires an ffmpeg backend for most)
         try:
