@@ -16,7 +16,7 @@ The reference mutates global state (``gfit``, ``com.seq``) under one worker
 thread; siriltpu is arrays-in/arrays-out with the same observable semantics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from siriltpu.core.frame import Frame, ImStats, Rect  # noqa: F401
 
