@@ -56,6 +56,15 @@ def repl(state: SirilState) -> None:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="siriltpu")
+    # reference getopt surface: -i initfile -f formats -v -d cwd
+    # (src/main.c:176-222); -c/-s add the headless modes the GTK app
+    # lacked
+    from siriltpu import __version__
+    parser.add_argument("-v", "--version", action="version",
+                        version=f"siriltpu {__version__} "
+                                "(Siril 0.9 capabilities, TPU-native)")
+    parser.add_argument("-f", "--formats", action="store_true",
+                        help="print supported input formats and exit")
     parser.add_argument("-d", "--directory", default=".",
                         help="working directory")
     parser.add_argument("-i", "--initfile", default="",
@@ -66,6 +75,15 @@ def main(argv=None) -> int:
                         help="run commands from a script file")
     parser.add_argument("image", nargs="?", help="image to load at startup")
     args = parser.parse_args(argv)
+
+    if args.formats:
+        from siriltpu.io.films import FILM_EXTENSIONS
+        print("FITS (fit/fits/fts), SER v2/v3, BMP, PNM (ppm/pgm/pnm), "
+              "PIC (IRIS), TIFF, JPEG, PNG, DNG (uncompressed + "
+              "lossless-JPEG), films: " + "/".join(FILM_EXTENSIONS)
+              + " (AVI DIB+MJPEG and MP4/MOV MJPEG natively; "
+                "others need an ffmpeg-backed imageio)")
+        return 0
 
     enable_compilation_cache()
     state = make_state(args.directory, args.initfile)
