@@ -1308,9 +1308,28 @@ static void suite_psf(const char *dir) {
 
 		{
 			double bg = background(&ffx, 0, NULL);
+			double norm = 65535.0;
 			r = psf_global_minimisation(z, bg, 0, fit_angle, FALSE);
 			if (!r) {
 				fprintf(stderr, "psf fit %d returned NULL\n", ci);
+				exit(1);
+			}
+			/* emit only fits that CONVERGED to the planted truth: at a
+			 * shared minimum any correct LM (GSL's lmsder included)
+			 * lands on the same parameters, which is what makes the
+			 * mini-GSL solver substitution valid (gsl_multifit_nlin.h) */
+			/* rmse is bounded by 3% of the amplitude: case 2 fits a
+			 * rotated star with the no-angle model, so its minimum has
+			 * a large but legitimate model-mismatch residual */
+			if (fabs(r->x0 - x0) > 0.05 || fabs(r->y0 - y0) > 0.05
+					|| fabs(r->A * norm - A) / A > 0.02
+					|| fabs(r->B * norm - B) / B > 0.05
+					|| r->rmse * norm > 0.03 * A) {
+				fprintf(stderr,
+						"psf fit %d did not converge to truth: "
+						"x0 %f/%f y0 %f/%f A %f/%f rmse %f\n", ci,
+						r->x0, x0, r->y0, y0, r->A * norm, A,
+						r->rmse * norm);
 				exit(1);
 			}
 			w_u16(f, (uint16_t) bs);
