@@ -27,6 +27,9 @@ sed -n '33,34p'    "$REF/gui/histogram.c"      > gen/histo_mtf.inc
 sed -n '537,564p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
 sed -n '595,608p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
 sed -n '684,740p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
+# the real histogram builders statistics()/entropy() call (previously
+# re-stated in support.c; verbatim is a stronger anchor)
+sed -n '111,150p'  "$REF/gui/histogram.c"      > gen/histo_build.inc
 # photometry.c minus its includes and trailing GTK callback: hampel family,
 # robustmean, phot_alloc, magnitude/error model, getPhotometryData
 sed -n '31,323p'   "$REF/algos/photometry.c"   > gen/photometry.inc
@@ -89,6 +92,9 @@ grep -q 'percentile_clipping' gen/stack_clippers.inc
 grep -q 'remove_pixel' gen/stack_clippers.inc
 head -1 gen/stack_reject.inc | grep -q 'int N = nb_frames'
 tail -3 gen/stack_reject.inc | grep -q 'sum += data->stack\[frame\]'
+head -1 gen/histo_build.inc | grep -q 'computeHisto(fits'
+grep -q 'computeHisto_Selection' gen/histo_build.inc
+tail -1 gen/histo_build.inc | grep -q '^}'
 head -1 gen/histo_mtf.inc | grep -q 'shadowsClipping'
 grep -q '^double MTF' gen/histo_mtf.inc
 grep -q '^double findMidtonesBalance' gen/histo_mtf.inc

@@ -29,38 +29,7 @@ WORD get_normalized_value(fits *fit) {
 	return USHRT_MAX;
 }
 
-gsl_histogram *computeHisto(fits *fit, int layer) {
-	size_t i, ndata, size;
-	WORD *buf;
-	size = (size_t) get_normalized_value(fit);
-	gsl_histogram *histo = gsl_histogram_alloc(size + 1);
-	gsl_histogram_set_ranges_uniform(histo, 0, size);
-	buf = fit->pdata[layer];
-	ndata = (size_t) fit->rx * fit->ry;
-	for (i = 0; i < ndata; i++)
-		gsl_histogram_increment(histo, (double) buf[i]);
-	return histo;
-}
-
-gsl_histogram *computeHisto_Selection(fits *fit, int layer,
-		rectangle *selection) {
-	WORD *from;
-	size_t stridefrom, i, j, size;
-	size = (size_t) get_normalized_value(fit);
-	gsl_histogram *histo = gsl_histogram_alloc(size + 1);
-	gsl_histogram_set_ranges_uniform(histo, 0, size);
-	from = fit->pdata[layer]
-			+ (fit->ry - selection->y - selection->h) * fit->rx + selection->x;
-	stridefrom = fit->rx - selection->w;
-	for (i = 0; i < (size_t) selection->h; i++) {
-		for (j = 0; j < (size_t) selection->w; j++) {
-			gsl_histogram_increment(histo, (double) *from);
-			from++;
-		}
-		from += stridefrom;
-	}
-	return histo;
-}
+#include "gen/histo_build.inc"  /* src/gui/histogram.c:110-149 */
 
 /* Logging/undo stubs for the extracted histogram.c / photometry.c blocks.
  * The reference versions write to the GTK console / swap undo files; the
