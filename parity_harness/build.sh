@@ -30,6 +30,10 @@ sed -n '684,740p'  "$REF/gui/histogram.c"     >> gen/histo_mtf.inc
 # the real histogram builders statistics()/entropy() call (previously
 # re-stated in support.c; verbatim is a stronger anchor)
 sed -n '111,150p'  "$REF/gui/histogram.c"      > gen/histo_build.inc
+# the real normalized-value helper + its min/max scan (previously a
+# support.c re-statement)
+sed -n '220,251p'  "$REF/io/single_image.c"     > gen/minmax.inc
+sed -n '454,459p'  "$REF/core/utils.c"         >> gen/minmax.inc
 # photometry.c minus its includes and trailing GTK callback: hampel family,
 # robustmean, phot_alloc, magnitude/error model, getPhotometryData
 sed -n '31,323p'   "$REF/algos/photometry.c"   > gen/photometry.inc
@@ -92,6 +96,9 @@ grep -q 'percentile_clipping' gen/stack_clippers.inc
 grep -q 'remove_pixel' gen/stack_clippers.inc
 head -1 gen/stack_reject.inc | grep -q 'int N = nb_frames'
 tail -3 gen/stack_reject.inc | grep -q 'sum += data->stack\[frame\]'
+head -1 gen/minmax.inc | grep -q '^int image_find_minmax'
+grep -q '^WORD get_normalized_value' gen/minmax.inc
+tail -1 gen/minmax.inc | grep -q '^}'
 head -1 gen/histo_build.inc | grep -q 'computeHisto(fits'
 grep -q 'computeHisto_Selection' gen/histo_build.inc
 tail -1 gen/histo_build.inc | grep -q '^}'

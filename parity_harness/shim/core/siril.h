@@ -198,6 +198,7 @@ typedef struct ffit {
 	long naxes[3];
 	unsigned short maxi;
 	unsigned short mini;
+	WORD min[3], max[3];   /* per-layer extrema (image_find_minmax) */
 	/* optics metadata psf_update_units reads (zero = unknown) */
 	double focal_length;
 	double pixel_size_x, pixel_size_y;

@@ -12,22 +12,7 @@
 cominfo com;
 fits gfit;   /* reget_rawdata (reconstr.c:126-127) stores Nl/Nc here */
 
-WORD get_normalized_value(fits *fit) {
-	/* image_find_minmax over all layers, then UCHAR_MAX if maxi <= 255 */
-	unsigned short maxi = 0;
-	int nlayers = (fit->naxis == 3) ? 3 : 1;
-	long npix = (long) fit->rx * fit->ry;
-	int l;
-	long i;
-	for (l = 0; l < nlayers; l++)
-		for (i = 0; i < npix; i++)
-			if (fit->pdata[l][i] > maxi)
-				maxi = fit->pdata[l][i];
-	fit->maxi = maxi;
-	if (fit->maxi <= UCHAR_MAX)
-		return UCHAR_MAX;
-	return USHRT_MAX;
-}
+#include "gen/minmax.inc"      /* io/single_image.c:220-251, utils.c:454-459 */
 
 #include "gen/histo_build.inc"  /* src/gui/histogram.c:110-149 */
 
