@@ -201,11 +201,15 @@ def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
         buf = f.read()
     t = _Tiff(buf)
     cfa_ifd = None
-    for tags in t.all_ifds():
-        if tags.get(T_PHOTOMETRIC) is not None and \
-                int(np.atleast_1d(tags[T_PHOTOMETRIC])[0]) == PHOTOMETRIC_CFA:
-            cfa_ifd = tags
-            break
+    try:
+        for tags in t.all_ifds():
+            if tags.get(T_PHOTOMETRIC) is not None and \
+                    int(np.atleast_1d(tags[T_PHOTOMETRIC])[0]) == PHOTOMETRIC_CFA:
+                cfa_ifd = tags
+                break
+    except (struct.error, IndexError) as e:
+        # truncated/hostile IFD chain: normalize to the documented error
+        raise ValueError(f"{path}: corrupt TIFF/DNG structure ({e})") from e
     if cfa_ifd is None:
         raise ValueError(f"{path}: no CFA image found (not a raw DNG?)")
     tags = cfa_ifd

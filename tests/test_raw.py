@@ -362,3 +362,29 @@ def test_compressed_dng_through_conversion(tmp_path):
     assert n == 2
     fr = read_fits(str(tmp_path / "lj00001.fit"))
     assert fr.nlayers == 1 and fr.data.shape == (1, 16, 32)
+
+
+def test_malformed_dng_fails_cleanly(tmp_path):
+    """Garbage/truncated/self-looping TIFF structures raise the
+    documented ValueError, never a bare struct/index crash."""
+    import struct
+
+    from siriltpu.io.raw import read_dng_cfa
+
+    cases = {
+        "garbage.dng": b"\x00" * 64,
+        "truncated.dng": b"II*\x00" + b"\x08\x00\x00\x00" + b"\x05",
+        "loop.dng": (b"II*\x00" + struct.pack("<I", 8)
+                     + struct.pack("<H", 1)
+                     + struct.pack("<HHI", 256, 3, 1) + b"\x20\x00\x00\x00"
+                     + struct.pack("<I", 8)),
+        "empty.dng": b"",
+    }
+    for name, payload in cases.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        try:
+            read_dng_cfa(str(p))
+            raise AssertionError(f"{name}: expected ValueError")
+        except ValueError:
+            pass
