@@ -99,6 +99,11 @@ def read_seqfile(path: str) -> "Sequence":
             elif tag == "L":
                 seq.nb_layers = int(line.split()[1])
             elif tag == "I":
+                if len(seq.imgparam) >= seq.number:
+                    # the reference writes imgparam[i] past its allocation
+                    # here (UB); refuse the extra lines instead
+                    raise ValueError(
+                        f"{path}: more I lines than the S line's nb_images")
                 parts = line.split()
                 p = ImgParam(filenum=int(parts[1]), incl=bool(int(parts[2])))
                 if len(parts) >= 13:
@@ -123,6 +128,18 @@ def read_seqfile(path: str) -> "Sequence":
                     rot_centre_x=float(vals[2]), rot_centre_y=float(vals[3]),
                     angle=float(vals[4]), fwhm=float(vals[5]),
                     quality=float(vals[6])))
+    if seq.number <= 0 or not seq.imgparam:
+        # readseqfile: "The file seems to be corrupted" (seqfile.c:249)
+        raise ValueError(f"{path}: corrupted sequence file (no S/I data)")
+    if len(seq.imgparam) != seq.number:
+        raise ValueError(
+            f"{path}: S line declares {seq.number} images, found "
+            f"{len(seq.imgparam)} I lines")
+    nbsel = sum(1 for p_ in seq.imgparam if p_.incl)
+    if nbsel != seq.selnum:
+        # reference fixes the count in memory without saving
+        # (seqfile.c:258-261)
+        seq.selnum = nbsel
     seq.seq_dir = os.path.dirname(os.path.abspath(path))
     seq.needs_saving = False
     return seq

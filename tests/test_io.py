@@ -162,3 +162,28 @@ def test_sequence_frame_part_regular(tmp_path):
     full_topdown = data[0][::-1]
     np.testing.assert_array_equal(
         block, full_topdown[area.y : area.y + area.h, area.x : area.x + area.w])
+
+
+def test_seqfile_corruption_rejected(tmp_path):
+    """readseqfile parity for broken .seq files: no-S/no-I files are
+    'corrupted' (seqfile.c:249), extra I lines are refused (the C would
+    write past its allocation), and a wrong selnum is fixed in memory
+    like the reference does (seqfile.c:258-261)."""
+    from siriltpu.io.seqfile import read_seqfile
+
+    bad = {
+        "noS.seq": "L 1\nI 1 1\n",
+        "toofew.seq": "S 'x' 1 3 1 5 0\nL 1\nI 1 1\n",
+        "toomany.seq": "S 'x' 1 1 1 5 0\nL 1\nI 1 1\nI 2 1\n",
+        "empty.seq": "",
+    }
+    for name, text in bad.items():
+        p = tmp_path / name
+        p.write_text(text)
+        with pytest.raises(ValueError):
+            read_seqfile(str(p))
+    ok = tmp_path / "selfix.seq"
+    ok.write_text("S 'x' 1 2 9 5 0\nL 1\nI 1 1\nI 2 0\n"
+                  "R0 0 0 0 0 0 0 0\nR0 0 0 0 0 0 0 0\n")
+    seq = read_seqfile(str(ok))
+    assert seq.selnum == 1  # fixed from the bogus 9
