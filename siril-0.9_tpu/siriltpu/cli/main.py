@@ -25,7 +25,12 @@ from siriltpu.utils.compcache import enable_compilation_cache
 def make_state(cwd: str = ".", initfile: str = "") -> SirilState:
     state = SirilState()
     if initfile:
-        state.settings = Settings.load(initfile)
+        if initfile.endswith(".cfg"):
+            # a REFERENCE siril.cfg (libconfig): import it directly
+            from siriltpu.core.config import from_siril_cfg
+            state.settings = from_siril_cfg(initfile)
+        else:
+            state.settings = Settings.load(initfile)
     state.cwd = os.path.abspath(cwd)
     return state
 

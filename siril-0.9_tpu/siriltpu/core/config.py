@@ -61,6 +61,100 @@ class Settings:
         return cls(**kw)
 
 
+_SIRIL_PATTERNS = {0: "RGGB", 1: "BGGR", 2: "GBRG", 3: "GRBG"}
+_SIRIL_INTERS = {0: "bilinear", 1: "nearest", 2: "vng", 3: "ahd",
+                 4: "super_pixel"}
+_SIRIL_STACK_METHODS = {0: "sum", 1: "mean", 2: "median", 3: "max", 4: "min"}
+_SIRIL_REJECTIONS = {0: "none", 1: "percentile", 2: "sigma", 3: "sigmedian",
+                     4: "winsorized", 5: "linearfit"}
+_SIRIL_NORMS = {0: "none", 1: "additive", 2: "multiplicative",
+                3: "additive_scaling", 4: "multiplicative_scaling"}
+
+
+def _parse_libconfig(text: str) -> dict:
+    """Minimal libconfig reader for the subset siril.cfg uses: top-level
+    ``key = value;`` plus one level of ``group : { key = value; ... };``
+    (initfile.c:312-420 writes exactly this shape). Values: quoted
+    strings, ints, floats, booleans."""
+    import re
+
+    def conv(v: str):
+        v = v.strip()
+        if v.startswith('"') and v.endswith('"'):
+            return v[1:-1]
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+    out: dict = {}
+    # strip comments
+    text = re.sub(r"//[^\n]*|#[^\n]*|/\*.*?\*/", "", text, flags=re.S)
+    for gm in re.finditer(r"([\w-]+)\s*[:=]\s*\{(.*?)\}\s*;", text, re.S):
+        group = {}
+        for km in re.finditer(r"([\w-]+)\s*[:=]\s*([^;{}]+);", gm.group(2)):
+            group[km.group(1)] = conv(km.group(2))
+        out[gm.group(1)] = group
+    flat = re.sub(r"[\w-]+\s*[:=]\s*\{.*?\}\s*;", "", text, flags=re.S)
+    for km in re.finditer(r"([\w-]+)\s*=\s*([^;{}]+);", flat):
+        out[km.group(1)] = conv(km.group(2))
+    return out
+
+
+def from_siril_cfg(path: str) -> Settings:
+    """Import a REFERENCE ``~/.siril/siril.cfg`` (libconfig format,
+    initfile.c) into Settings — the switch-over path for existing Siril
+    users. Unknown keys are ignored; libraw multipliers have no analog
+    (the built-in DNG path reads calibration from the file)."""
+    with open(path) as f:
+        cfg = _parse_libconfig(f.read())
+    s = Settings()
+    wd = cfg.get("working-directory")
+    if isinstance(wd, str) and wd:
+        s.working_directory = wd
+    bay = cfg.get("debayer-settings", {})
+    if isinstance(bay, dict):
+        s.debayer_use_header = bool(bay.get("ser_use_bayer_header",
+                                            s.debayer_use_header))
+        s.debayer_pattern = _SIRIL_PATTERNS.get(bay.get("pattern"),
+                                                s.debayer_pattern)
+        s.debayer_method = _SIRIL_INTERS.get(bay.get("inter"),
+                                             s.debayer_method)
+    pre = cfg.get("prepro-settings", {})
+    if isinstance(pre, dict):
+        s.prepro_cfa = bool(pre.get("cfa", s.prepro_cfa))
+    stk = cfg.get("stacking-settings", {})
+    if isinstance(stk, dict):
+        s.stack_method = _SIRIL_STACK_METHODS.get(stk.get("method"),
+                                                  s.stack_method)
+        s.stack_rejection = _SIRIL_REJECTIONS.get(stk.get("rejection"),
+                                                  s.stack_rejection)
+        s.stack_normalization = _SIRIL_NORMS.get(stk.get("normalisation"),
+                                                 s.stack_normalization)
+        mem = stk.get("maxmem")
+        if isinstance(mem, (int, float)) and mem > 0.0001:
+            s.stack_memory_percent = float(mem)
+    pho = cfg.get("photometry-settings", {})
+    if isinstance(pho, dict):
+        s.phot_gain = float(pho.get("gain", s.phot_gain))
+        s.phot_inner = float(pho.get("inner-radius", s.phot_inner))
+        s.phot_outer = float(pho.get("outer-radius", s.phot_outer))
+    misc = cfg.get("misc-settings", {})
+    if isinstance(misc, dict):
+        sw = misc.get("swap_directory")
+        if isinstance(sw, str) and sw:
+            s.swap_dir = sw
+        ext = misc.get("extension")
+        if isinstance(ext, str) and ext:
+            s.fits_extension = ext.lstrip(".")
+    return s
+
+
 DEFAULT_CONFIG_PATH = os.path.expanduser("~/.siriltpu/config.json")
 
 

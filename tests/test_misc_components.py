@@ -109,3 +109,34 @@ def test_cli_lightcurve(tmp_path):
     # default photometry radii need a large box; shrink them
     assert process_command(state, "lightcurve") == 0
     assert os.path.exists(os.path.join(state.cwd, "light_curve.dat"))
+
+
+def test_siril_cfg_import(tmp_path):
+    """A reference ~/.siril/siril.cfg (libconfig, initfile.c) imports
+    into Settings — the switch-over path for existing Siril users."""
+    from siriltpu.cli.main import make_state
+    from siriltpu.core.config import from_siril_cfg
+
+    cfg = tmp_path / "siril.cfg"
+    cfg.write_text(
+        'working-directory = "/data/astro";\n'
+        "debayer-settings :\n{\n  ser_use_bayer_header = true;\n"
+        "  pattern = 2;\n  compatibility = false;\n  inter = 2;\n};\n"
+        "prepro-settings :\n{\n  cfa = true;\n};\n"
+        "stacking-settings :\n{\n  method = 1;\n  rejection = 4;\n"
+        "  normalisation = 3;\n  maxmem = 0.75;\n};\n"
+        "photometry-settings :\n{\n  gain = 2.5;\n"
+        "  inner-radius = 15.0;\n  outer-radius = 25.0;\n};\n"
+        "misc-settings :\n{\n  swap_directory = \"/var/tmp\";\n"
+        "  extension = \".fits\";\n};\n")
+    s = from_siril_cfg(str(cfg))
+    assert s.debayer_pattern == "GBRG" and s.debayer_method == "vng"
+    assert s.stack_method == "mean"
+    assert s.stack_rejection == "winsorized"
+    assert s.stack_normalization == "additive_scaling"
+    assert s.stack_memory_percent == 0.75
+    assert (s.phot_gain, s.phot_inner, s.phot_outer) == (2.5, 15.0, 25.0)
+    assert s.fits_extension == "fits" and s.swap_dir == "/var/tmp"
+    # the CLI -i flag routes .cfg files through the importer
+    st = make_state(str(tmp_path), str(cfg))
+    assert st.settings.stack_rejection == "winsorized"
