@@ -123,16 +123,21 @@ def _gather_boxes(real_td: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
 
 def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
            area: Optional[Rect] = None, layer_index: int = 0,
-           norm: Optional[int] = None) -> List[Star]:
+           norm: Optional[int] = None, return_device: bool = False):
     """Find stars on a bottom-up uint16 layer; returns stars sorted by
-    magnitude (brightest first), positions in top-down coords."""
+    magnitude (brightest first), positions in top-down coords.
+
+    With ``return_device`` the result is ``(stars, layer_dev)`` where
+    ``layer_dev`` is the already-uploaded device copy of the layer —
+    registration reuses it for the warp instead of paying a second
+    host→device transfer (the link here runs at ~35 MB/s)."""
     sf = params or StarFinderParams()
     layer_bu = np.asarray(layer_bu)
     h, w = layer_bu.shape
 
     st = statistics(layer_bu, option=STATS_BASIC, nullcheck=True)
     if st is None:
-        return []
+        return ([], None) if return_device else []
     if norm is None:
         norm = int(st.norm_value)
     threshold = int(np.uint16(st.median) + sf.sigma * np.uint16(st.sigma))
@@ -177,7 +182,7 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
     ys = (idx[keep] // w).astype(np.int64)
     xs = (idx[keep] % w).astype(np.int64)
     if ys.size == 0:
-        return []
+        return ([], layer_dev) if return_device else []
     if ys.size > MAX_STARS:
         ys, xs = ys[:MAX_STARS], xs[:MAX_STARS]
 
@@ -229,7 +234,7 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
             A=float(A[k]), B=float(B[k]), sx=float(sx[k]), sy=float(sy[k]),
             layer=layer_index))
     stars.sort(key=lambda s: s.mag)
-    return stars
+    return (stars, layer_dev) if return_device else stars
 
 
 __all__ = ["peaker", "Star", "StarFinderParams", "MAX_STARS"]

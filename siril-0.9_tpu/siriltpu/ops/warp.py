@@ -151,5 +151,28 @@ def warp_frame_bu(data_bu: np.ndarray, H_td: np.ndarray,
     return out
 
 
-__all__ = ["warp_perspective", "warp_frame_bu", "INTER_NEAREST",
-           "INTER_LINEAR", "INTER_CUBIC", "INTER_LANCZOS4"]
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
+def _warp_layer_dev(layer_bu, Hinv, out_shape, interpolation):
+    td = layer_bu[::-1]
+    warped = warp_perspective(td, Hinv, out_shape, interpolation)
+    word = jnp.clip(jnp.rint(warped), 0, 65535).astype(jnp.uint16)
+    return word[::-1]
+
+
+def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
+                   out_shape: Tuple[int, int],
+                   interpolation: int = INTER_LINEAR):
+    """Device-resident single-layer variant of :func:`warp_frame_bu`:
+    the flips, the OpenCV saturate_cast rounding and the uint16 store
+    all stay on device, and the input is an already-uploaded layer —
+    callers that just found stars on the same layer avoid a second
+    host→device pass and read back HALF the bytes (uint16, not the f32
+    intermediate). Returns a device (oh, ow) uint16 array."""
+    Hinv = np.linalg.inv(np.asarray(H_td, dtype=np.float64))
+    return _warp_layer_dev(layer_dev_bu, jnp.asarray(Hinv, jnp.float32),
+                           tuple(out_shape), interpolation)
+
+
+__all__ = ["warp_perspective", "warp_frame_bu", "warp_layer_dev",
+           "INTER_NEAREST", "INTER_LINEAR", "INTER_CUBIC",
+           "INTER_LANCZOS4"]

@@ -30,7 +30,7 @@ import numpy as np
 
 from siriltpu.core.frame import Frame, ImgParam, RegData
 from siriltpu.ops.starfind import StarFinderParams, peaker
-from siriltpu.ops.warp import INTER_LINEAR, warp_frame_bu
+from siriltpu.ops.warp import INTER_LINEAR, warp_frame_bu, warp_layer_dev
 from siriltpu.registration.matching import (AT_MATCH_MINPAIRS,
                                             new_star_match)
 from siriltpu.registration.ransac import find_homography
@@ -117,9 +117,12 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
         if not process_all_frames and not seq.imgparam[frame_idx].incl:
             continue
         frame = seq.read_frame(frame_idx)
+        mono = frame.nlayers == 1
+        layer_dev = None
         H = np.eye(3)
         if frame_idx != ref_image:
-            stars = peaker(frame.layer(layer), params=sf_params)
+            stars, layer_dev = peaker(frame.layer(layer), params=sf_params,
+                                      return_device=True)
             if len(stars) < AT_MATCH_MINPAIRS:
                 report.failed += 1
                 report.homographies.append(None)
@@ -145,6 +148,13 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
 
         if frame_idx == ref_image:
             warped = frame
+        elif mono and layer_dev is not None:
+            # the layer is already on device from star finding: warp it
+            # there and read back uint16 (half the f32 intermediate) —
+            # one host->device pass per frame instead of two
+            wdev = warp_layer_dev(layer_dev, H, (out_h, out_w),
+                                  interpolation)
+            warped = Frame(np.asarray(wdev)[None], dict(frame.meta))
         else:
             warped = Frame(warp_frame_bu(frame.data, H, (out_h, out_w),
                                          interpolation), dict(frame.meta))
