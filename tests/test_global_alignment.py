@@ -187,3 +187,23 @@ def test_register_global_star_end_to_end(tmp_path):
     # aligned stack preserves star sharpness: peak value close to single
     # frame's peak (misalignment would smear it down)
     assert res.data.max() > 0.8 * frames[0].max()
+
+
+def test_warp_layer_dev_matches_host_path():
+    """The device-resident warp (used when the registration loop reuses
+    the star-finder's uploaded layer) is bit-identical to warp_frame_bu."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.warp import (INTER_CUBIC, INTER_LINEAR, warp_frame_bu,
+                                   warp_layer_dev)
+
+    rng = np.random.default_rng(3)
+    layer = rng.integers(0, 65535, (64, 80)).astype(np.uint16)
+    H = np.array([[1.001, 0.002, 1.5],
+                  [-0.003, 0.999, -2.25],
+                  [1e-6, -2e-6, 1.0]])
+    for interp in (INTER_LINEAR, INTER_CUBIC):
+        host = warp_frame_bu(layer[None], H, (64, 80), interp)[0]
+        dev = np.asarray(warp_layer_dev(jnp.asarray(layer), H, (64, 80),
+                                        interp))
+        np.testing.assert_array_equal(dev, host)
