@@ -37,6 +37,19 @@ def synth_frames(seed: int = 0) -> np.ndarray:
         for i in range(F)])
 
 
+def write_test_ser(path: str) -> None:
+    """Persist the shared sequence as a real SER file so workers can
+    exercise the DISK-fed per-host input pipeline (SURVEY §5.8: each
+    process reads only its own shard from shared storage)."""
+    from siriltpu.core.frame import Frame
+    from siriltpu.io.ser import SerFile
+
+    sw = SerFile.create(path, width=W, height=H, color_id=0)
+    for f in synth_frames():
+        sw.write_frame(Frame(f[None]))
+    sw.write_and_close()
+
+
 def singlehost_expected() -> np.ndarray:
     """Single-process result the workers must reproduce exactly."""
     import jax
@@ -69,12 +82,25 @@ def main(port: int, pid: int, nprocs: int, ndev: int, outdir: str) -> None:
     assert len(jax.local_devices()) == ndev
 
     mesh = make_mesh(("frames",))  # spans ALL hosts' devices
-    frames = synth_frames()
     touched = []
+    ser_path = os.path.join(outdir, "mh_input.ser")
+    if os.path.exists(ser_path):
+        # disk-fed mode: every frame this host feeds is a partial read
+        # of the shared SER file (the reference's "each thread reads its
+        # own block through a locked fd" pattern, at host scale)
+        from siriltpu.io.ser import SerFile
 
-    def read_frame(i):
-        touched.append(i)
-        return frames[i]
+        ser = SerFile.open(ser_path)
+
+        def read_frame(i):
+            touched.append(i)
+            return ser.read_frame(i).data[0]
+    else:
+        frames = synth_frames()
+
+        def read_frame(i):
+            touched.append(i)
+            return frames[i]
 
     run = make_multihost_register_stack(mesh, SEL)
     out = run(read_frame, F, (H, W))

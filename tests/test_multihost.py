@@ -27,6 +27,13 @@ def _free_port() -> int:
 
 
 def test_two_process_cluster_matches_single_process(tmp_path):
+    # the workers find mh_input.ser in the outdir and switch to the
+    # DISK-fed per-host pipeline: each process reads only its own frame
+    # shard from the shared SER file
+    sys.path.insert(0, _PKG)
+    from siriltpu.parallel._mh_worker import write_test_ser
+    write_test_ser(str(tmp_path / "mh_input.ser"))
+
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
