@@ -145,7 +145,11 @@ tail -1 gen/imops.inc | grep -q '^}'
 # -fcommon: Def_Wavelet.h:70-78 defines a global VARIABLE (mallat_plan_des)
 # in the header, one tentative definition per TU — 1993-era C that modern
 # gcc's -fno-common default rejects at link time.
-CFLAGS="-O2 -fno-fast-math -ffp-contract=off -fcommon -I shim -I $REF -I ."
+# -Werror=implicit-function-declaration: an implicitly-declared function
+# returning double is read from the WRONG REGISTER (int EAX) — this bit
+# us once with gsl_matrix_max feeding ASLR-dependent garbage into the
+# PSF fit's initial amplitude; never again.
+CFLAGS="-O2 -fno-fast-math -ffp-contract=off -fcommon -Werror=implicit-function-declaration -I shim -I $REF -I ."
 gcc $CFLAGS -c "$REF/algos/statistics.c"  -o build/statistics.o
 gcc $CFLAGS -c "$REF/algos/quantize.c"    -o build/quantize.o
 gcc $CFLAGS -c "$REF/algos/demosaicing.c" -o build/demosaicing.o

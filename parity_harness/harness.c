@@ -17,6 +17,7 @@
 #include <math.h>
 #include <stdint.h>
 #include <stddef.h>     /* offsetof, for the .wave layout facts */
+#include <unistd.h>     /* truncate, for the SER repair fixture */
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>

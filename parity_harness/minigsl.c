@@ -1,3 +1,4 @@
+#include <stdio.h>
 /* Mini-GSL: bit-faithful implementations of the six GSL routines the
  * compiled reference kernels call. Each follows the exact floating-point
  * algorithm of GSL 2.x (documented per function) so that golden outputs
@@ -506,6 +507,15 @@ static int lm_solve(double *A, double *g, double lambda, size_t p,
 int gsl_multifit_fdfsolver_iterate(gsl_multifit_fdfsolver *s) {
 	gsl_multifit_function_fdf *fdf = s->fdf;
 	size_t n = fdf->n, p = fdf->p, i, j, k;
+#ifdef LM_TRACE
+	{
+		static int call;
+		fprintf(stderr, "LM %d x:", call++);
+		for (i = 0; i < p; i++)
+			fprintf(stderr, " %a", s->x->data[i]);
+		fprintf(stderr, " lam=%a\n", s->lambda);
+	}
+#endif
 	double JtJ[16 * 16], Jtf[16], d[16];
 	gsl_vector *ftrial = gsl_vector_alloc(n);
 	gsl_vector *xtrial = gsl_vector_alloc(p);

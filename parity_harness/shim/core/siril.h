@@ -13,6 +13,7 @@
 #include <assert.h>
 #include <limits.h>
 #include <stdint.h>
+#include <stdio.h>    /* several reference TUs call printf without it */
 #include <stdlib.h>
 #include <time.h>     /* struct tm, for ser.c's date conversion */
 

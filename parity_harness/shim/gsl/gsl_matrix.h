@@ -19,5 +19,8 @@ gsl_matrix *gsl_matrix_calloc(size_t n1, size_t n2);
 void gsl_matrix_free(gsl_matrix *m);
 double gsl_matrix_get(const gsl_matrix *m, size_t i, size_t j);
 void gsl_matrix_set(gsl_matrix *m, size_t i, size_t j, double x);
+int gsl_matrix_memcpy(gsl_matrix *dst, const gsl_matrix *src);
+double gsl_matrix_max(const gsl_matrix *m);
+void gsl_matrix_max_index(const gsl_matrix *m, size_t *imax, size_t *jmax);
 
 #endif
