@@ -159,6 +159,23 @@ def _warp_layer_dev(layer_bu, Hinv, out_shape, interpolation):
     return word[::-1]
 
 
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
+def _warp_frame_dev(frame_bu, Hinv, out_shape, interpolation):
+    def one(layer):
+        return _warp_layer_dev(layer, Hinv, out_shape, interpolation)
+    return jax.vmap(one)(frame_bu)
+
+
+def warp_frame_dev(frame_dev_bu, H_td: np.ndarray,
+                   out_shape: Tuple[int, int],
+                   interpolation: int = INTER_LINEAR):
+    """All-channel device warp: (C, H, W) uint16 in, (C, oh, ow) uint16
+    out, one program instead of per-channel host round-trips."""
+    Hinv = np.linalg.inv(np.asarray(H_td, dtype=np.float64))
+    return _warp_frame_dev(frame_dev_bu, jnp.asarray(Hinv, jnp.float32),
+                           tuple(out_shape), interpolation)
+
+
 def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
                    out_shape: Tuple[int, int],
                    interpolation: int = INTER_LINEAR):
@@ -174,5 +191,5 @@ def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
 
 
 __all__ = ["warp_perspective", "warp_frame_bu", "warp_layer_dev",
-           "INTER_NEAREST", "INTER_LINEAR", "INTER_CUBIC",
-           "INTER_LANCZOS4"]
+           "warp_frame_dev", "INTER_NEAREST", "INTER_LINEAR",
+           "INTER_CUBIC", "INTER_LANCZOS4"]

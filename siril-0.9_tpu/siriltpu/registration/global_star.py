@@ -30,7 +30,8 @@ import numpy as np
 
 from siriltpu.core.frame import Frame, ImgParam, RegData
 from siriltpu.ops.starfind import StarFinderParams, peaker
-from siriltpu.ops.warp import INTER_LINEAR, warp_frame_bu, warp_layer_dev
+from siriltpu.ops.warp import (INTER_LINEAR, warp_frame_dev,
+                               warp_layer_dev)
 from siriltpu.registration.matching import (AT_MATCH_MINPAIRS,
                                             new_star_match)
 from siriltpu.registration.ransac import find_homography
@@ -156,8 +157,11 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
                                   interpolation)
             warped = Frame(np.asarray(wdev)[None], dict(frame.meta))
         else:
-            warped = Frame(warp_frame_bu(frame.data, H, (out_h, out_w),
-                                         interpolation), dict(frame.meta))
+            # multi-channel: one batched device program for all layers
+            import jax.numpy as jnp
+            wdev = warp_frame_dev(jnp.asarray(frame.data), H,
+                                  (out_h, out_w), interpolation)
+            warped = Frame(np.asarray(wdev), dict(frame.meta))
         if output_frames is not None:
             output_frames.append(warped)
         if write_output:

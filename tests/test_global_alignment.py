@@ -207,3 +207,21 @@ def test_warp_layer_dev_matches_host_path():
         dev = np.asarray(warp_layer_dev(jnp.asarray(layer), H, (64, 80),
                                         interp))
         np.testing.assert_array_equal(dev, host)
+
+
+def test_warp_frame_dev_matches_host_path():
+    """The batched all-channel device warp equals the per-channel host
+    path bit-for-bit (RGB registration case)."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.warp import INTER_LINEAR, warp_frame_bu, warp_frame_dev
+
+    rng = np.random.default_rng(8)
+    frame = rng.integers(0, 65535, (3, 48, 56)).astype(np.uint16)
+    H = np.array([[0.999, -0.004, 2.0],
+                  [0.005, 1.002, -1.25],
+                  [0.0, 0.0, 1.0]])
+    host = warp_frame_bu(frame, H, (48, 56), INTER_LINEAR)
+    dev = np.asarray(warp_frame_dev(jnp.asarray(frame), H, (48, 56),
+                                    INTER_LINEAR))
+    np.testing.assert_array_equal(dev, host)
