@@ -109,6 +109,33 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
     new_regparam: List[RegData] = []
     new_ser = None
     written = 0
+    pending = None   # (device_warp, host_frame, frame_idx, meta, fwhm)
+
+    def _flush(p):
+        """Materialize a warped frame (overlapped readback) and do its
+        output bookkeeping, preserving frame order."""
+        wdev, warped_host, fidx, meta, fwhm_val = p
+        if warped_host is None:
+            arr = np.asarray(wdev)
+            warped = Frame(arr if arr.ndim == 3 else arr[None], meta)
+        else:
+            warped = warped_host
+        if output_frames is not None:
+            output_frames.append(warped)
+        w = written
+        if write_output:
+            if new_ser is not None:
+                new_ser.write_frame(warped)
+                new_imgparam.append(ImgParam(filenum=w))
+            else:
+                dest = os.path.join(
+                    seq.seq_dir,
+                    f"{prefix}{seq.image_filename(fidx)}")
+                fits_io.write_fits(dest, warped)
+                new_imgparam.append(
+                    ImgParam(filenum=seq.imgparam[fidx].filenum))
+        new_regparam.append(RegData(fwhm=fwhm_val))
+        return w + 1
     if write_output and seq.seqtype == "ser" and not translation_only:
         new_ser = SerFile.create(
             os.path.join(seq.seq_dir, report.new_seqname + ".ser"),
@@ -148,36 +175,36 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
             continue
 
         if frame_idx == ref_image:
-            warped = frame
+            wdev = None
+            warped_host = frame
         elif mono and layer_dev is not None:
             # the layer is already on device from star finding: warp it
             # there and read back uint16 (half the f32 intermediate) —
             # one host->device pass per frame instead of two
             wdev = warp_layer_dev(layer_dev, H, (out_h, out_w),
                                   interpolation)
-            warped = Frame(np.asarray(wdev)[None], dict(frame.meta))
+            warped_host = None
         else:
             # multi-channel: one batched device program for all layers
             import jax.numpy as jnp
             wdev = warp_frame_dev(jnp.asarray(frame.data), H,
                                   (out_h, out_w), interpolation)
-            warped = Frame(np.asarray(wdev), dict(frame.meta))
-        if output_frames is not None:
-            output_frames.append(warped)
-        if write_output:
-            if new_ser is not None:
-                new_ser.write_frame(warped)
-                new_imgparam.append(ImgParam(filenum=written))
-            else:
-                dest = os.path.join(
-                    seq.seq_dir,
-                    f"{prefix}{seq.image_filename(frame_idx)}")
-                fits_io.write_fits(dest, warped)
-                new_imgparam.append(
-                    ImgParam(filenum=seq.imgparam[frame_idx].filenum))
-        new_regparam.append(RegData(fwhm=reg[frame_idx].fwhm))
+            warped_host = None
+        if wdev is not None:
+            # start the host transfer now; it drains while the NEXT
+            # frame's star find runs (the link here is the bottleneck)
+            try:
+                wdev.copy_to_host_async()
+            except AttributeError:
+                pass
+        if pending is not None:
+            written = _flush(pending)
+        pending = (wdev, warped_host, frame_idx, dict(frame.meta),
+                   reg[frame_idx].fwhm)
         report.registered += 1
 
+    if pending is not None:
+        written = _flush(pending)
     if new_ser is not None:
         new_ser.write_and_close()
 
