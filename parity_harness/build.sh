@@ -80,6 +80,8 @@ sed -n '188,333p' "$REF/algos/gradient.c" >> gen/gradient.inc
 sed -n '378,383p' "$REF/algos/gradient.c" >> gen/gradient.inc
 # the FITS row flip ser.c's full-frame reads call (image_format_fits.c)
 sed -n '1143,1161p' "$REF/io/image_format_fits.c" > gen/fits_flip.inc
+# the 8/24/48-bit buffer->fits converters import_pnm_to_fits calls
+sed -n '1065,1139p' "$REF/io/image_format_fits.c" > gen/rgbconv.inc
 # sequence helpers the compiled seqfile.c links against
 sed -n '99,109p'   "$REF/core/utils.c"    > gen/seq_helpers.inc
 sed -n '814,827p'  "$REF/io/sequence.c"  >> gen/seq_helpers.inc
@@ -127,6 +129,10 @@ grep -q '^void initialize_sequence' gen/seq_helpers.inc
 tail -1 gen/seq_helpers.inc | grep -q '^}'
 head -1 gen/fits_flip.inc | grep -q '^void fits_flip_top_to_bottom'
 tail -1 gen/fits_flip.inc | grep -q '^}'
+head -1 gen/rgbconv.inc | grep -q '^void rgb24bit_to_fits48bit'
+grep -q '^void rgb8bit_to_fits16bit' gen/rgbconv.inc
+grep -q '^void rgb48bit_to_fits48bit' gen/rgbconv.inc
+tail -1 gen/rgbconv.inc | grep -q '^}'
 grep -q '^static WORD Compute_threshold' gen/starfind.inc
 grep -q '^fitted_PSF \*\*peaker' gen/starfind.inc
 grep -q '^void sort_stars' gen/starfind.inc
@@ -167,6 +173,9 @@ gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/atpmatch.c" -o build/
 gcc $CFLAGS -DHAVE_OPENCV=1 -c "$REF/registration/matching/match.c"    -o build/match.o
 # SER container I/O (pure POSIX; needs the flip + debayer already built)
 gcc $CFLAGS -c "$REF/io/ser.c" -o build/ser.o
+# internal image formats (BMP/PNM/PIC readers, BMP/PPM/PGM writers) —
+# pure libc TU, compiled whole
+gcc $CFLAGS -c "$REF/io/image_formats_internal.c" -o build/formats.o
 gcc $CFLAGS -c "$REF/io/seqfile.c" -o build/seqfile.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o

@@ -89,6 +89,7 @@ double MTF(double x, double m);
 #include "gen/gradient.inc"       /* src/algos/gradient.c:34-333,378-383 */
 
 #include "gen/fits_flip.inc"      /* src/io/image_format_fits.c:1143-1161 */
+#include "gen/rgbconv.inc"        /* src/io/image_format_fits.c:1065-1139 */
 #include "io/ser.h"               /* reference header: SER container */
 #include "io/sequence.h"          /* shim: sequence decls for seqfile.c */
 #include "gen/seq_helpers.inc"    /* utils.c:99-109, sequence.c:814-827 */
@@ -1627,6 +1628,260 @@ static void suite_ser(const char *dir) {
 
 /* ---------------------------- suite: seqfile ----------------------------- */
 
+/* ---------------------------- suite: formats ----------------------------- */
+/* internal image formats (image_formats_internal.c compiled whole):
+ * readbmp/savebmp, import_pnm_to_fits, saveppm/savepgm, readpic.
+ * Record layout (all little-endian):
+ *   part A (x4): blob(bmp file) | i32 rv | i32 rx | i32 ry | i32 nchan |
+ *                i32 bitpix | u16[rx*ry*nchan] planes
+ *   part B (x2): i32 w | i32 h | i32 nchan | blob(graybuf R) | blob(G) |
+ *                blob(B) | blob(bmp file written)
+ *   part C: i32 w | i32 h | u16[w*h*3] planes | blob(ppm file) then
+ *           i32 w | i32 h | u16[w*h] plane | blob(pgm file)
+ *   part D (x6): blob(pnm file) | i32 rv | if rv>0: i32 rx | i32 ry |
+ *                i32 nchan | i32 bitpix | u16[rx*ry*nchan] planes
+ *   part E (x2): blob(pic file) | i32 rv | i32 rx | i32 ry | i32 binx |
+ *                i32 biny | u16 hi | u16 lo | u16[rx*ry*nchan] planes
+ * blob = i64 length + raw bytes. */
+
+static void w_blob(FILE *f, const void *buf, long n) {
+	w_i64(f, n);
+	fwrite(buf, 1, n, f);
+}
+
+static void write_tmp_file(const char *path, const unsigned char *buf, long n) {
+	FILE *out = fopen(path, "wb");
+	if (!out || fwrite(buf, 1, n, out) != (size_t) n)
+		exit(1);
+	fclose(out);
+}
+
+/* build a BMP byte stream the way readbmp consumes it: dims at header
+ * bytes 18/22 (2 bytes each read), bit depth at 28, data offset at BYTE
+ * 10 only (readbmp:66 reads header[10], not the LE32 field), alpha
+ * position flag at 30. 8-bit files carry a 1024-byte palette at the
+ * offset, pixels after it (readbmp:69-76). */
+static long build_bmp(unsigned char *out, int w, int h, int bpp,
+		int alpha_first) {
+	int nbplane = bpp / 8;
+	int padsize = (4 - (w * nbplane) % 4) % 4;
+	long nbdata = (long) w * h * nbplane + (long) h * padsize;
+	long off = 54 + (nbplane == 1 ? 1024 : 0);
+	long total = off + nbdata, i;
+	memset(out, 0, 54);
+	out[0] = 'B'; out[1] = 'M';
+	out[2] = (unsigned char) total;
+	out[3] = (unsigned char) (total >> 8);
+	out[10] = 54;           /* readbmp seeks here; palette follows for 8-bit */
+	out[14] = 40;
+	out[18] = (unsigned char) w;
+	out[19] = (unsigned char) (w >> 8);
+	out[22] = (unsigned char) h;
+	out[23] = (unsigned char) (h >> 8);
+	out[26] = 1;
+	out[28] = (unsigned char) bpp;
+	out[30] = (unsigned char) (alpha_first ? 3 : 0);
+	for (i = 54; i < off; i++)      /* grayscale palette bytes */
+		out[i] = (unsigned char) (((i - 54) / 4) & 0xFF);
+	for (i = off; i < total; i++)
+		out[i] = (unsigned char) (rnd_u32() & 0xFF);
+	return total;
+}
+
+static void suite_formats(const char *dir) {
+	FILE *f = open_out(dir, "c_formats.bin");
+	const char *tmp = "/tmp/ph_fmt.bin";
+	unsigned char filebuf[65536];
+	fits fit;
+	int c, i;
+
+	/* part A: readbmp on 8/24/32-bit (+32-bit alpha-first) files */
+	{
+		const int cases[4][3] = {     /* w, h, bpp */
+			{ 7, 5, 8 }, { 5, 4, 24 }, { 4, 3, 32 }, { 4, 3, 32 }
+		};
+		for (c = 0; c < 4; c++) {
+			long n = build_bmp(filebuf, cases[c][0], cases[c][1],
+					cases[c][2], c == 3);
+			int rv;
+			write_tmp_file(tmp, filebuf, n);
+			w_blob(f, filebuf, n);
+			memset(&fit, 0, sizeof fit);
+			rv = readbmp(tmp, &fit);
+			w_i32(f, rv);
+			w_i32(f, fit.rx);
+			w_i32(f, fit.ry);
+			w_i32(f, (int) fit.naxes[2]);
+			w_i32(f, fit.bitpix);
+			w_u16s(f, fit.data, (long) fit.rx * fit.ry * fit.naxes[2]);
+			free(fit.data);
+		}
+	}
+
+	/* part B: savebmp serializes the display graybufs (BGR bottom-up,
+	 * 4-byte stride source, pad byte '0'); widths chosen so padsize<=1
+	 * (the reference pads from a 2-byte string literal — padsize>=2
+	 * reads past it, which is not a semantics worth anchoring) */
+	{
+		const int cases[2][3] = { { 4, 3, 1 }, { 9, 2, 3 } }; /* w,h,nchan */
+		for (c = 0; c < 2; c++) {
+			int w = cases[c][0], h = cases[c][1], nchan = cases[c][2];
+			long nbytes = (long) w * h * 4;
+			unsigned char *bufs[3];
+			w_i32(f, w);
+			w_i32(f, h);
+			w_i32(f, nchan);
+			for (i = 0; i < 3; i++) {
+				long k;
+				bufs[i] = malloc(nbytes);
+				for (k = 0; k < nbytes; k++)
+					bufs[i][k] = (unsigned char) (rnd_u32() & 0xFF);
+				com.graybuf[i] = bufs[i];
+				w_blob(f, bufs[i], nbytes);
+			}
+			memset(&fit, 0, sizeof fit);
+			fit.rx = w;
+			fit.ry = h;
+			fit.naxis = nchan == 3 ? 3 : 2;
+			fit.naxes[2] = nchan;
+			if (savebmp(tmp, &fit)) exit(1);
+			{
+				FILE *in = fopen(tmp, "rb");
+				long n = fread(filebuf, 1, sizeof filebuf, in);
+				fclose(in);
+				w_blob(f, filebuf, n);
+			}
+			for (i = 0; i < 3; i++) {
+				free(bufs[i]);
+				com.graybuf[i] = NULL;
+			}
+		}
+	}
+
+	/* part C: saveppm (RGB, big-endian u16, CREATOR comment) and
+	 * savepgm (mono) */
+	{
+		const int w = 4, h = 3;
+		long npix = (long) w * h, k;
+		WORD *img = malloc(npix * 3 * 2);
+		for (k = 0; k < npix * 3; k++)
+			img[k] = rnd_range(0, 65535);
+		make_rgb_fits(&fit, img, w, h);
+		w_i32(f, w);
+		w_i32(f, h);
+		w_u16s(f, img, npix * 3);
+		if (saveppm(tmp, &fit)) exit(1);
+		{
+			FILE *in = fopen(tmp, "rb");
+			long n = fread(filebuf, 1, sizeof filebuf, in);
+			fclose(in);
+			w_blob(f, filebuf, n);
+		}
+		free(img);
+	}
+	{
+		const int w = 5, h = 3;
+		long npix = (long) w * h, k;
+		WORD *img = malloc(npix * 2);
+		for (k = 0; k < npix; k++)
+			img[k] = rnd_range(0, 65535);
+		make_mono_fits(&fit, img, w, h);
+		w_i32(f, w);
+		w_i32(f, h);
+		w_u16s(f, img, npix);
+		if (savepgm(tmp, &fit)) exit(1);
+		{
+			FILE *in = fopen(tmp, "rb");
+			long n = fread(filebuf, 1, sizeof filebuf, in);
+			fclose(in);
+			w_blob(f, filebuf, n);
+		}
+		free(img);
+	}
+
+	/* part D: import_pnm_to_fits across the accepted maxvals (255 /
+	 * 32767 / 65535, import_pnm_to_fits:407-447) plus one rejection */
+	{
+		const struct { const char *magic; int w, h, maxval; } cases[6] = {
+			{ "P5", 6, 4, 255 }, { "P5", 5, 3, 65535 },
+			{ "P5", 4, 2, 32767 }, { "P6", 5, 3, 255 },
+			{ "P6", 4, 4, 65535 }, { "P5", 4, 2, 1000 },
+		};
+		for (c = 0; c < 6; c++) {
+			int w = cases[c].w, h = cases[c].h, chans, depth, rv;
+			long n, k, nvals;
+			chans = cases[c].magic[1] == '6' ? 3 : 1;
+			depth = cases[c].maxval > 255 ? 2 : 1;
+			n = snprintf((char *) filebuf, sizeof filebuf,
+					"%s\n# parity fixture\n%d %d\n%d\n",
+					cases[c].magic, w, h, cases[c].maxval);
+			nvals = (long) w * h * chans;
+			for (k = 0; k < nvals; k++) {
+				WORD v = rnd_range(0, cases[c].maxval > 255 ? 65535 : 255);
+				if (depth == 2) {
+					filebuf[n++] = (unsigned char) (v >> 8); /* big-endian */
+					filebuf[n++] = (unsigned char) (v & 0xFF);
+				} else {
+					filebuf[n++] = (unsigned char) v;
+				}
+			}
+			write_tmp_file(tmp, filebuf, n);
+			w_blob(f, filebuf, n);
+			memset(&fit, 0, sizeof fit);
+			rv = import_pnm_to_fits(tmp, &fit);
+			w_i32(f, rv);
+			if (rv > 0) {
+				w_i32(f, fit.rx);
+				w_i32(f, fit.ry);
+				w_i32(f, (int) fit.naxes[2]);
+				w_i32(f, fit.bitpix);
+				w_u16s(f, fit.data, (long) fit.rx * fit.ry * fit.naxes[2]);
+			}
+			free(fit.data);
+		}
+	}
+
+	/* part E: readpic (IRIS PIC, 290-byte header, LE u16 planes) */
+	{
+		const int cases[2][3] = { { 6, 4, 1 }, { 3, 2, 3 } }; /* w,h,planes */
+		for (c = 0; c < 2; c++) {
+			int w = cases[c][0], h = cases[c][1], planes = cases[c][2], rv;
+			long n = 290, k, nvals = (long) w * h * planes;
+			memset(filebuf, 0, 290);
+			filebuf[0] = 0xfc; filebuf[1] = 0x31;   /* magic LE */
+			filebuf[2] = 0x22; filebuf[3] = 0x01;
+			filebuf[68] = (unsigned char) w;
+			filebuf[70] = (unsigned char) h;
+			for (i = 0; i < 6; i++)                  /* bin[0..5] */
+				filebuf[80 + 2 * i] = (unsigned char) (i + 1);
+			filebuf[92] = (unsigned char) planes;
+			memcpy(filebuf + 94, " 2017-06-1", 10);  /* date, strchug'd */
+			memcpy(filebuf + 104, "23:59:59.00 ", 12);
+			filebuf[118] = 0x10; filebuf[119] = 0x27; /* hi = 10000 */
+			filebuf[120] = 0x64;                      /* lo = 100 */
+			for (k = 0; k < nvals; k++) {
+				WORD v = rnd_range(0, 65535);
+				filebuf[n++] = (unsigned char) (v & 0xFF);
+				filebuf[n++] = (unsigned char) (v >> 8);
+			}
+			write_tmp_file(tmp, filebuf, n);
+			w_blob(f, filebuf, n);
+			memset(&fit, 0, sizeof fit);
+			rv = readpic(tmp, &fit);
+			w_i32(f, rv);
+			w_i32(f, fit.rx);
+			w_i32(f, fit.ry);
+			w_i32(f, fit.binning_x);
+			w_i32(f, fit.binning_y);
+			w_u16(f, fit.hi);
+			w_u16(f, fit.lo);
+			w_u16s(f, fit.data, nvals);
+			free(fit.data);
+		}
+	}
+	fclose(f);
+}
+
 static void suite_seqfile(const char *dir) {
 	FILE *f = open_out(dir, "c_seqfile.bin");
 	const char *base = "/tmp/ph_seqtest";
@@ -1971,6 +2226,8 @@ int main(int argc, char **argv) {
 	rng_state = 0x5E55E55E55E55E55ULL;
 	suite_ser(dir);
 	suite_seqfile(dir);   /* fully deterministic, no rng */
+	rng_state = 0xF0FA7A11F0FA7A11ULL;
+	suite_formats(dir);
 	printf("goldens written to %s\n", dir);
 	return 0;
 }

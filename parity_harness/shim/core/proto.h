@@ -60,6 +60,43 @@ int shift(int sx, int sy);
  * glib string/list shims, and the date parser stub (support.c) */
 void fits_flip_top_to_bottom(fits *fit);
 gchar *g_strndup(const char *s, size_t n);
+
+/* ---- internal image formats TU (image_formats_internal.c), compiled
+ * whole; pic_struct copied from the reference proto.h:56-69 ---- */
+struct pic_struct {
+	unsigned short magic[2];
+	unsigned short width;
+	unsigned short height;
+	unsigned short bin[6];
+	unsigned short nbplane;
+	unsigned short hi;
+	unsigned short lo;
+	char *date;
+	char *time;
+	int fd;
+};
+int readbmp(const char *name, fits *fit);
+int savebmp(const char *name, fits *fit);
+int bmp8tofits(unsigned char *rgb, int rx, int ry, fits *fit);
+int bmp24tofits48(unsigned char *rvb, int rx, int ry, fits *fit);
+int bmp32tofits48(unsigned char *rvb, int rx, int ry, fits *fit,
+		gboolean inverted);
+int import_pnm_to_fits(const char *filename, fits *fit);
+int saveppm(const char *name, fits *fit);
+int savepgm(const char *name, fits *fit);
+int readpic(const char *name, fits *fit);
+int pictofit(WORD *buf, fits *fit);
+int pictofitrgb(WORD *buf, fits *fit);
+/* 8/24/48-bit buffer converters (image_format_fits.c:1065-1139,
+ * extracted to gen/rgbconv.inc) */
+void rgb24bit_to_fits48bit(unsigned char *rgbbuf, fits *fit, gboolean inverted);
+void rgb8bit_to_fits16bit(unsigned char *graybuf, fits *fit);
+void rgb48bit_to_fits48bit(WORD *rgbbuf, fits *fit, gboolean inverted,
+		gboolean change_endian);
+/* GUI/glib helpers the formats TU calls (stubs in support.c) */
+void show_dialog(const char *text, const char *title, const char *icon);
+gchar *g_path_get_basename(const char *file_name);
+gchar *g_strchug(gchar *string);
 int stat_file(const char *filename, image_type *type, char **realname);
 void get_possible_image_filename(sequence *seq, int image_number,
 		char *name_buffer);

@@ -28,6 +28,7 @@
 #define DOUBLE_IMG (-64)
 
 typedef unsigned char BYTE;
+typedef unsigned char guchar;
 typedef unsigned short WORD;
 typedef int gboolean;
 typedef char gchar;
@@ -131,6 +132,7 @@ typedef struct {
 #define RLAYER 0
 #define GLAYER 1
 #define BLAYER 2
+#define BW_LAYER 0
 
 /* image-op constants for the extracted core/siril.c blocks
  * (siril.h:58-62,146-152,166-169,180-181) */
@@ -186,6 +188,8 @@ typedef struct {
 	int grad_nb_boxes, grad_size_boxes;
 	double magOffset;      /* psf_display_result */
 	int max_thread;
+	/* display buffers savebmp serializes (siril.h:509, 4 bytes/px) */
+	guchar *graybuf[3];
 } cominfo;
 extern cominfo com;
 
@@ -199,6 +203,7 @@ typedef struct ffit {
 	long naxes[3];
 	unsigned short maxi;
 	unsigned short mini;
+	WORD hi, lo;           /* display cutoffs readpic restores (siril.h:404) */
 	WORD min[3], max[3];   /* per-layer extrema (image_find_minmax) */
 	/* optics metadata psf_update_units reads (zero = unknown) */
 	double focal_length;

@@ -151,6 +151,30 @@ gchar *g_strndup(const char *s, size_t n) {
 void update_used_memory(void) {
 }
 
+/* GTK dialog stub for the compiled image_formats_internal.c */
+void show_dialog(const char *text, const char *title, const char *icon) {
+	(void) text;
+	(void) title;
+	(void) icon;
+}
+
+/* glib basename (last '/' component, dup'd) for the formats TU's logs */
+gchar *g_path_get_basename(const char *file_name) {
+	const char *slash = strrchr(file_name, '/');
+	return g_strndup(slash ? slash + 1 : file_name,
+			strlen(slash ? slash + 1 : file_name));
+}
+
+/* glib left-trim-in-place (g_strchug moves the string down) */
+gchar *g_strchug(gchar *string) {
+	char *start = string;
+	while (*start == ' ' || *start == '\t' || *start == '\n'
+			|| *start == '\r' || *start == '\f' || *start == '\v')
+		start++;
+	memmove(string, start, strlen(start) + 1);
+	return string;
+}
+
 /* linkage stubs for the compiled seqfile.c's buildseqfile path (the
  * harness goldens exercise read/writeseqfile only) */
 int stat_file(const char *filename, image_type *type, char **realname) {

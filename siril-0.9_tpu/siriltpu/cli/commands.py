@@ -98,7 +98,8 @@ def process_save(state, args):
 @command("savebmp", 1, "savebmp filename")
 def process_savebmp(state, args):
     from siriltpu.io.formats import save_bmp
-    save_bmp(state.path(args[0]), state.require_image())
+    # the reference appends ".bmp" unconditionally (command.c:246)
+    save_bmp(state.path(args[0]) + ".bmp", state.require_image())
 
 
 @command("savejpg", 1, "savejpg filename [quality]")

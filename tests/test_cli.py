@@ -161,7 +161,9 @@ def test_convert_command(state):
 
 def test_save_formats(state):
     put_image(state, noise_frame(8, 8, seed=10, nlayers=3))
-    for cmd, fname in [("savebmp out.bmp", "out.bmp"),
+    # savebmp appends ".bmp" unconditionally like the reference
+    # (command.c:246)
+    for cmd, fname in [("savebmp out", "out.bmp"),
                        ("savejpg outj 90", "outj.jpg"),
                        ("savepnm outp", "outp.ppm"),
                        ("savetif outt", "outt.tif")]:
