@@ -47,6 +47,15 @@ from siriltpu.ops.wavelets import TO_PAVE_BSPLINE, atrous_transform
 MAX_STARS = 50000
 WAVELET_SCALE = 3
 
+# opt-in stage timing (SIRILTPU_PROF=1): peaker appends
+# (stats, detect_sync, fit_sync, host_loop) seconds per call
+PROF_TIMES: List[tuple] = []
+
+
+def _prof_enabled() -> bool:
+    import os
+    return bool(os.environ.get("SIRILTPU_PROF"))
+
 
 @dataclass
 class StarFinderParams:
@@ -123,19 +132,28 @@ def _gather_boxes(real_td: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
 
 def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
            area: Optional[Rect] = None, layer_index: int = 0,
-           norm: Optional[int] = None, return_device: bool = False):
+           norm: Optional[int] = None, return_device: bool = False,
+           layer_dev=None):
     """Find stars on a bottom-up uint16 layer; returns stars sorted by
     magnitude (brightest first), positions in top-down coords.
 
     With ``return_device`` the result is ``(stars, layer_dev)`` where
     ``layer_dev`` is the already-uploaded device copy of the layer —
     registration reuses it for the warp instead of paying a second
-    host→device transfer (the link here runs at ~35 MB/s)."""
+    host→device transfer (the link here runs at ~35 MB/s). Callers that
+    prefetched the upload (``jax.device_put`` is async) pass it via
+    ``layer_dev``; the transfer then drains under the previous frame's
+    host work instead of serializing here."""
     sf = params or StarFinderParams()
     layer_bu = np.asarray(layer_bu)
     h, w = layer_bu.shape
 
-    st = statistics(layer_bu, option=STATS_BASIC, nullcheck=True)
+    prof = _prof_enabled()
+    if prof:
+        import time
+        t0 = time.perf_counter()
+    st = statistics(layer_bu, option=STATS_BASIC, nullcheck=True,
+                    skip_noise=True)
     if st is None:
         return ([], None) if return_device else []
     if norm is None:
@@ -145,7 +163,8 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
 
     # single host->device upload (the tunnel here is ~35 MB/s; the layer
     # is reused by both the wavelet transform and the fit-box gather)
-    layer_dev = jnp.asarray(layer_bu)
+    if layer_dev is None:
+        layer_dev = jnp.asarray(layer_bu)
     # wavelet smooth (plane 2 of 3) on device, then flip to top-down
     tr = atrous_transform(layer_dev, WAVELET_SCALE, TO_PAVE_BSPLINE)
     from siriltpu.utils.rounding import round_to_word
@@ -163,12 +182,12 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
                          jnp.int32(norm), sf.radius, bounds)
     # keep the peak COORDINATES device-side via top-k on the wavelet
     # value (transfers K indices, not an H*W mask — the host link here
-    # is slow); brightness-capped rather than scan-order-capped
+    # is slow); brightness-capped rather than scan-order-capped.
+    # Measured on a 2048x3072 layer: the two-stage row top_k runs in
+    # ~39 ms on device vs ~89 ms for a sized-nonzero cumsum compress.
     score = jnp.where(mask, wave_td.astype(jnp.int32), -1)
-    # two-stage top-k: a single top_k over the flattened H*W image with
-    # k=8192 compiles ~30s and runs slowly on TPU; peaks are 3x3 local
-    # maxima, so a row holds well under 256 of them -> rank per row
-    # first, then globally over the h*256 survivors.
+    if prof:
+        t1 = time.perf_counter()
     krow = min(256, w)
     kmax = min(8192, h * krow)
     rv, ri = jax.lax.top_k(score, krow)                      # (h, krow)
@@ -176,8 +195,10 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
                 + ri.astype(jnp.int32))
     vals, sel = jax.lax.top_k(rv.reshape(-1), kmax)
     idx = flat_idx.reshape(-1)[sel]
-    vals = np.asarray(vals)
-    idx = np.asarray(idx)
+    # one transfer for both vectors — every device->host fetch pays a
+    # full round trip on this link
+    vi = np.asarray(jnp.stack([vals, idx]))
+    vals, idx = vi[0], vi[1]
     keep = vals >= 0
     ys = (idx[keep] // w).astype(np.int64)
     xs = (idx[keep] % w).astype(np.int64)
@@ -192,22 +213,23 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
     ys_p = np.concatenate([ys, np.full(nmax - n, sf.radius)]).astype(np.int32)
     xs_p = np.concatenate([xs, np.full(nmax - n, sf.radius)]).astype(np.int32)
 
+    if prof:
+        t2 = time.perf_counter()
     boxes = _gather_boxes(real_td, jnp.asarray(ys_p), jnp.asarray(xs_p),
                           sf.radius, nmax)
     fit = fit_psf_batch(boxes, jnp.full((nmax,), bg, jnp.float32),
                         fit_angle=False, norm=float(norm))
 
     stars: List[Star] = []
-    A = np.asarray(fit.A)
-    B = np.asarray(fit.B)
-    x0 = np.asarray(fit.x0)
-    y0 = np.asarray(fit.y0)
-    sx = np.asarray(fit.sx)
-    sy = np.asarray(fit.sy)
-    fwx = np.asarray(fit.fwhmx)
-    fwy = np.asarray(fit.fwhmy)
-    mag = np.asarray(fit.mag)
-    okv = np.asarray(fit.ok)
+    # fetch all fit fields in ONE device->host transfer (was 10 separate
+    # np.asarray round trips)
+    packed = np.asarray(jnp.stack([
+        fit.A, fit.B, fit.x0, fit.y0, fit.sx, fit.sy,
+        fit.fwhmx, fit.fwhmy, fit.mag, fit.ok.astype(jnp.float32)]))
+    A, B, x0, y0, sx, sy, fwx, fwy, mag, okv = packed
+    okv = okv != 0.0
+    if prof:
+        t3 = time.perf_counter()
     for k in range(n):
         # is_star checks (star_finder.c:59-78)
         if not okv[k]:
@@ -234,6 +256,9 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
             A=float(A[k]), B=float(B[k]), sx=float(sx[k]), sy=float(sy[k]),
             layer=layer_index))
     stars.sort(key=lambda s: s.mag)
+    if prof:
+        t4 = time.perf_counter()
+        PROF_TIMES.append((t1 - t0, t2 - t1, t3 - t2, t4 - t3))
     return (stars, layer_dev) if return_device else stars
 
 

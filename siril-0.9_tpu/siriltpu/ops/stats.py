@@ -326,9 +326,14 @@ def ikss_from_histogram(counts: np.ndarray, norm: float):
 # -------------------------------------------------------------------- entry
 
 def statistics(frame, layer: int = 0, selection: Optional[Rect] = None,
-               option: int = STATS_MAIN, nullcheck: bool = False) -> Optional[ImStats]:
+               option: int = STATS_MAIN, nullcheck: bool = False,
+               skip_noise: bool = False) -> Optional[ImStats]:
     """Compute per-layer statistics (reference ``statistics()``,
-    src/algos/statistics.c:207-326). Returns None if no good pixels."""
+    src/algos/statistics.c:207-326). Returns None if no good pixels.
+
+    ``skip_noise`` leaves ``bgnoise`` at 0 — the FnNoise1 row scan is
+    ~0.2 s on a 6 Mpx layer and the star finder's threshold
+    (Compute_threshold, star_finder.c:39-57) reads only median/sigma."""
     if isinstance(frame, Frame):
         data = frame.layer(layer)
         nlayers = frame.nlayers
@@ -375,7 +380,8 @@ def statistics(frame, layer: int = 0, selection: Optional[Rect] = None,
             sigma = float(np.sqrt(max(s2 / ngoodpix - mean * mean, 0.0)))
         elif ngoodpix == 1:
             mean, sigma = s1, 0.0
-        noise = fn_noise1(data, nullcheck)
+        if not skip_noise:
+            noise = fn_noise1(data, nullcheck)
 
     median = 0.0
     if option & (STATS_BASIC | STATS_AVGDEV | STATS_MAD | STATS_BWMV):

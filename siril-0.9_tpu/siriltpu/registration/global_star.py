@@ -141,16 +141,37 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
             os.path.join(seq.seq_dir, report.new_seqname + ".ser"),
             width=out_w, height=out_h)
 
-    for frame_idx in range(seq.number):
-        if not process_all_frames and not seq.imgparam[frame_idx].incl:
-            continue
-        frame = seq.read_frame(frame_idx)
+    todo = [i for i in range(seq.number)
+            if process_all_frames or seq.imgparam[i].incl]
+    # one-frame read-ahead with an async device_put of the star-find
+    # layer: jax.device_put returns in ~10 ms and the transfer drains
+    # while THIS frame's matching/flush runs, keeping the (serializing)
+    # host link busy continuously
+    prefetched = {}   # frame_idx -> (Frame, device layer)
+
+    def _read(idx):
+        if idx in prefetched:
+            return prefetched.pop(idx)
+        fr = seq.read_frame(idx)
+        return fr, None
+
+    for pos, frame_idx in enumerate(todo):
+        frame, pre_dev = _read(frame_idx)
+        if pos + 1 < len(todo):
+            nidx = todo[pos + 1]
+            nframe = seq.read_frame(nidx)
+            ndev = None
+            if nidx != ref_image:
+                import jax
+                ndev = jax.device_put(nframe.layer(layer))
+            prefetched[nidx] = (nframe, ndev)
         mono = frame.nlayers == 1
         layer_dev = None
         H = np.eye(3)
         if frame_idx != ref_image:
             stars, layer_dev = peaker(frame.layer(layer), params=sf_params,
-                                      return_device=True)
+                                      return_device=True,
+                                      layer_dev=pre_dev)
             if len(stars) < AT_MATCH_MINPAIRS:
                 report.failed += 1
                 report.homographies.append(None)
