@@ -220,18 +220,28 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
     fit = fit_psf_batch(boxes, jnp.full((nmax,), bg, jnp.float32),
                         fit_angle=False, norm=float(norm))
 
-    stars: List[Star] = []
     # fetch all fit fields in ONE device->host transfer (was 10 separate
     # np.asarray round trips)
     packed = np.asarray(jnp.stack([
         fit.A, fit.B, fit.x0, fit.y0, fit.sx, fit.sy,
         fit.fwhmx, fit.fwhmy, fit.mag, fit.ok.astype(jnp.float32)]))
-    A, B, x0, y0, sx, sy, fwx, fwy, mag, okv = packed
-    okv = okv != 0.0
     if prof:
         t3 = time.perf_counter()
+    stars = _build_stars(packed, ys, xs, n, sf, layer_index)
+    if prof:
+        t4 = time.perf_counter()
+        PROF_TIMES.append((t1 - t0, t2 - t1, t3 - t2, t4 - t3))
+    return (stars, layer_dev) if return_device else stars
+
+
+def _build_stars(packed: np.ndarray, ys, xs, n: int, sf: StarFinderParams,
+                 layer_index: int) -> List[Star]:
+    """is_star filtering (star_finder.c:59-78) + Star construction from a
+    (10, N) packed fit-field array; sorted by magnitude."""
+    A, B, x0, y0, sx, sy, fwx, fwy, mag, okv = packed
+    okv = okv != 0.0
+    stars: List[Star] = []
     for k in range(n):
-        # is_star checks (star_finder.c:59-78)
         if not okv[k]:
             continue
         if not (np.isfinite(fwx[k]) and np.isfinite(fwy[k])):
@@ -256,10 +266,109 @@ def peaker(layer_bu: np.ndarray, *, params: Optional[StarFinderParams] = None,
             A=float(A[k]), B=float(B[k]), sx=float(sx[k]), sy=float(sy[k]),
             layer=layer_index))
     stars.sort(key=lambda s: s.mag)
-    if prof:
-        t4 = time.perf_counter()
-        PROF_TIMES.append((t1 - t0, t2 - t1, t3 - t2, t4 - t3))
-    return (stars, layer_dev) if return_device else stars
+    return stars
 
 
-__all__ = ["peaker", "Star", "StarFinderParams", "MAX_STARS"]
+# ------------------------------------------------------- batched star find
+
+@functools.partial(jax.jit, static_argnames=("radius", "kmax", "nmax"))
+def _star_find_batch_dev(layers_bu, thresholds, norms, bgs, *, radius: int,
+                         kmax: int, nmax: int):
+    """One device program: detect + box-gather + PSF-fit for a BATCH of
+    frames (F, H, W). Returns (F, 12, nmax): the 10 packed fit fields of
+    :func:`peaker` plus candidate ys/xs rows (invalid slots have
+    valid<0). vmapped per frame, so sharding the leading axis over a
+    ``frames`` mesh runs each chip on its own frame subset (the
+    reference's OpenMP-over-frames registration loop, SURVEY P2)."""
+    f, h, w = layers_bu.shape
+
+    def one(layer_bu, threshold, norm, bg):
+        tr = atrous_transform(layer_bu, WAVELET_SCALE, TO_PAVE_BSPLINE)
+        from siriltpu.utils.rounding import round_to_word
+        wave_td = round_to_word(tr[WAVELET_SCALE - 1])[::-1]
+        real_td = layer_bu[::-1]
+        bounds = jnp.asarray([0, 0, w, h], jnp.int32)
+        mask = _detect_peaks(wave_td, threshold.astype(jnp.int32),
+                             norm.astype(jnp.int32), radius, bounds)
+        score = jnp.where(mask, wave_td.astype(jnp.int32), -1)
+        krow = min(256, w)
+        rv, ri = jax.lax.top_k(score, krow)
+        flat_idx = (jnp.arange(h, dtype=jnp.int32)[:, None] * w
+                    + ri.astype(jnp.int32))
+        vals, sel = jax.lax.top_k(rv.reshape(-1), min(kmax, h * krow))
+        idx = flat_idx.reshape(-1)[sel]
+        vals_n = vals[:nmax]
+        idx_n = idx[:nmax]
+        valid = vals_n >= 0
+        ys = jnp.where(valid, idx_n // w, radius).astype(jnp.int32)
+        xs = jnp.where(valid, idx_n % w, radius).astype(jnp.int32)
+        boxes = _gather_boxes(real_td, ys, xs, radius, nmax)
+        fit = fit_psf_batch(boxes, jnp.full((nmax,), bg, jnp.float32),
+                            fit_angle=False, norm=norm.astype(jnp.float32))
+        ok = fit.ok & valid
+        return jnp.stack([fit.A, fit.B, fit.x0, fit.y0, fit.sx, fit.sy,
+                          fit.fwhmx, fit.fwhmy, fit.mag,
+                          ok.astype(jnp.float32),
+                          ys.astype(jnp.float32), xs.astype(jnp.float32)])
+
+    return jax.vmap(one)(layers_bu, thresholds, norms, bgs)
+
+
+def peaker_batch(layers_bu: np.ndarray, *,
+                 params: Optional[StarFinderParams] = None,
+                 layer_index: int = 0, nmax: int = 1024,
+                 mesh=None) -> List[List[Star]]:
+    """Star-find a BATCH of bottom-up uint16 layers (F, H, W) in one
+    device program; returns one sorted star list per frame.
+
+    Same per-star math as :func:`peaker` (identical device kernels,
+    vmapped), with one difference: candidates are capped at the ``nmax``
+    BRIGHTEST wavelet peaks per frame instead of the per-frame path's
+    full padded list. With ``mesh`` (a Mesh with a ``frames`` axis) the
+    batch is sharded so each device star-finds its own frames — the
+    TPU mapping of the reference's OpenMP-over-frames registration
+    (registration.c:276-279)."""
+    sf = params or StarFinderParams()
+    layers_bu = np.asarray(layers_bu)
+    f, h, w = layers_bu.shape
+
+    thresholds = np.empty(f, np.int32)
+    norms = np.empty(f, np.int32)
+    bgs = np.empty(f, np.float32)
+    good = np.ones(f, bool)
+    for i in range(f):
+        st = statistics(layers_bu[i], option=STATS_BASIC, nullcheck=True,
+                        skip_noise=True)
+        if st is None:
+            good[i] = False
+            thresholds[i] = norms[i] = 0
+            bgs[i] = 0.0
+            continue
+        norms[i] = int(st.norm_value)
+        thresholds[i] = int(np.uint16(st.median)
+                            + sf.sigma * np.uint16(st.sigma))
+        bgs[i] = st.median
+
+    dev = jnp.asarray(layers_bu)
+    targs = (jnp.asarray(thresholds), jnp.asarray(norms), jnp.asarray(bgs))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("frames"))
+        dev = jax.device_put(dev, sh)
+        targs = tuple(jax.device_put(a, sh) for a in targs)
+    out = np.asarray(_star_find_batch_dev(
+        dev, *targs, radius=sf.radius, kmax=8192, nmax=nmax))
+
+    result: List[List[Star]] = []
+    for i in range(f):
+        if not good[i]:
+            result.append([])
+            continue
+        packed = out[i, :10]
+        ys = out[i, 10].astype(np.int64)
+        xs = out[i, 11].astype(np.int64)
+        result.append(_build_stars(packed, ys, xs, nmax, sf, layer_index))
+    return result
+
+
+__all__ = ["peaker", "peaker_batch", "Star", "StarFinderParams", "MAX_STARS"]

@@ -243,3 +243,48 @@ def test_register_onestar():
         # shift is (-dx, -dy)
         assert got[i, 0] == -dx, f"frame {i} shiftx {got[i]}"
         assert got[i, 1] == -dy, f"frame {i} shifty {got[i]}"
+
+
+def test_peaker_batch_matches_per_frame():
+    """peaker_batch (one vmapped device program over frames) finds the
+    same stars as per-frame peaker on every frame."""
+    from siriltpu.ops.starfind import peaker_batch
+
+    rng = np.random.default_rng(21)
+    layers = []
+    for i in range(4):
+        data, _ = starfield(192, 160, 12, seed=100 + i, background=800,
+                            noise_sigma=5.0)
+        layers.append(data[0])
+    layers = np.stack(layers)
+    batch = peaker_batch(layers, nmax=256)
+    for i in range(4):
+        single = peaker(layers[i])
+        assert len(batch[i]) == len(single)
+        for a, b in zip(batch[i], single):
+            assert a.xpos == pytest.approx(b.xpos, abs=1e-4)
+            assert a.ypos == pytest.approx(b.ypos, abs=1e-4)
+            assert a.mag == pytest.approx(b.mag, abs=1e-5)
+
+
+def test_peaker_batch_sharded_over_frames_mesh():
+    """The batch shards over a frames mesh (8 virtual devices): results
+    identical to the unsharded batch — the reference's OpenMP-over-
+    frames registration at chip scale (registration.c:276-279)."""
+    from siriltpu.ops.starfind import peaker_batch
+    from siriltpu.parallel.mesh import make_mesh
+
+    layers = []
+    for i in range(8):
+        data, _ = starfield(128, 128, 8, seed=300 + i, background=900,
+                            noise_sigma=4.0)
+        layers.append(data[0])
+    layers = np.stack(layers)
+    mesh = make_mesh()
+    plain = peaker_batch(layers, nmax=128)
+    sharded = peaker_batch(layers, nmax=128, mesh=mesh)
+    assert [len(s) for s in sharded] == [len(s) for s in plain]
+    for ps, ss in zip(plain, sharded):
+        for a, b in zip(ps, ss):
+            assert a.xpos == pytest.approx(b.xpos, abs=1e-4)
+            assert a.mag == pytest.approx(b.mag, abs=1e-5)
