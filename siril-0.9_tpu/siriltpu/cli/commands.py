@@ -1043,6 +1043,20 @@ def process_lightcurve(state, args):
     state.log(f"Light curve with {n} points -> {out}")
 
 
+@command("regplot", 0, "regplot [outfile.dat] [layer] (quality/FWHM curve)")
+def process_regplot(state, args):
+    """Export the registration quality/FWHM-vs-frame data the reference
+    plots in gui/plot.c (kplot); gnuplot-ready columns."""
+    from siriltpu.pipelines.plots import export_registration_dat
+    seq = state.require_seq()
+    out = state.path(args[0] if args else "registration.dat")
+    layer = int(args[1]) if len(args) > 1 else 0
+    if not seq.regparam.get(layer):
+        raise CommandError("No registration data for this layer")
+    export_registration_dat(seq, out, layer)
+    state.log(f"Registration curve ({seq.number} frames) -> {out}")
+
+
 @command("align_rgb", 0, "align_rgb (align the 3 channels of the image)")
 def process_align_rgb(state, args):
     from siriltpu.pipelines.compositing import align_rgb

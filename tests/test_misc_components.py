@@ -111,6 +111,26 @@ def test_cli_lightcurve(tmp_path):
     assert os.path.exists(os.path.join(state.cwd, "light_curve.dat"))
 
 
+def test_cli_regplot(tmp_path):
+    """regplot exports the quality/FWHM curve (gui/plot.c data)."""
+    from siriltpu.testing.synth import make_sequence_frames
+    state = make_state(str(tmp_path))
+    frames, _, _ = make_sequence_frames(3, 64, 64, seed=9)
+    for i, f in enumerate(frames):
+        fits_io.write_fits(os.path.join(state.cwd, f"rp{i+1:02d}.fit"),
+                           Frame(f))
+    from siriltpu.io.sequence import check_seq
+    check_seq(state.cwd)
+    assert process_command(state, "seqload rp") == 0
+    assert process_command(state, "boxselect 8 8 48 48") == 0
+    assert process_command(state, "register dft") == 0
+    assert process_command(state, "regplot") == 0
+    out = os.path.join(state.cwd, "registration.dat")
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].startswith("# frame quality fwhm")
+    assert len(lines) == 4  # header + 3 frames
+
+
 def test_siril_cfg_import(tmp_path):
     """A reference ~/.siril/siril.cfg (libconfig, initfile.c) imports
     into Settings — the switch-over path for existing Siril users."""
