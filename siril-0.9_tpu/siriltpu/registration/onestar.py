@@ -49,7 +49,18 @@ class SeqPsfResult:
 def seqpsf(seq, layer: int, area: Rect, *, for_registration: bool = True,
            follow_star: bool = False,
            phot_config: Optional[PhotConfig] = None) -> List[SeqPsfResult]:
-    """Run the PSF fit over the selection on every included frame."""
+    """Run the PSF fit over the selection on every included frame.
+
+    With a fixed box (no FOLLOW_STAR) every frame's fit is independent,
+    so all boxes go to the device as ONE batched LM program with one
+    result fetch — a 1000-frame planetary seqpsf pays one round trip
+    instead of one per frame. FOLLOW_STAR re-centers the box on the
+    previous result (sequence.c:1657-1660), a genuine serial
+    dependency, and keeps the per-frame loop."""
+    if not follow_star:
+        return _seqpsf_batched(seq, layer, area,
+                               for_registration=for_registration,
+                               phot_config=phot_config)
     results: List[SeqPsfResult] = []
     cur = Rect(area.x, area.y, area.w, area.h)
     for i in range(seq.number):
@@ -76,15 +87,68 @@ def seqpsf(seq, layer: int, area: Rect, *, for_registration: bool = True,
             res.mag = fit["mag"]
             res.rmse = fit["rmse"]
             res.exposure = frame.exposure
-            if follow_star:
-                cur = Rect(int(np_round_to_int(res.xpos)) - area.w // 2,
-                           int(np_round_to_int(res.ypos)) - area.h // 2,
-                           area.w, area.h)
+            cur = Rect(int(np_round_to_int(res.xpos)) - area.w // 2,
+                       int(np_round_to_int(res.ypos)) - area.h // 2,
+                       area.w, area.h)
             if not for_registration:
                 res.photometry = get_photometry(
                     np.asarray(z, np.float64), fit["x0"], fit["y0"],
                     fit["sx"], phot_config)
         results.append(res)
+    return results
+
+
+def _seqpsf_batched(seq, layer: int, area: Rect, *, for_registration: bool,
+                    phot_config: Optional[PhotConfig]) -> List[SeqPsfResult]:
+    """Fixed-box seqpsf: gather every frame's box, one vmapped LM fit.
+    Identical per-frame math to fit_psf_single (same vmapped kernel)."""
+    import jax.numpy as jnp
+    from siriltpu.ops.psf import fit_psf_batch
+
+    results = [SeqPsfResult(image_index=i) for i in range(seq.number)]
+    entries = []   # (frame_idx, z, norm, exposure)
+    bgs = []
+    for i in range(seq.number):
+        if not seq.imgparam[i].incl:
+            continue
+        frame = seq.read_frame(i)
+        x = min(max(area.x, 0), frame.rx - area.w)
+        y = min(max(area.y, 0), frame.ry - area.h)
+        box_rect = Rect(x, y, area.w, area.h)
+        z = select_area(frame.layer(layer), box_rect)
+        st = statistics(z, option=STATS_BASIC, nullcheck=True)
+        bgs.append(st.median if st else 0.0)
+        norm = 255.0 if int(frame.data.max()) <= 255 else 65535.0
+        entries.append((i, z, box_rect, norm, frame.exposure))
+    if not entries or entries[0][1].size <= 7:
+        return results
+
+    boxes = np.stack([e[1] for e in entries]).astype(np.float32)
+    fit = fit_psf_batch(jnp.asarray(boxes),
+                        jnp.asarray(np.asarray(bgs, np.float32)),
+                        fit_angle=True, norm=1.0)
+    packed = np.asarray(jnp.stack([
+        fit.B, fit.A, fit.x0, fit.y0, fit.sx, fit.sy, fit.fwhmx, fit.fwhmy,
+        fit.rmse, fit.mag, fit.ok.astype(jnp.float32)]))
+    B, A, x0, y0, sx, sy, fwx, fwy, rmse, mag, okv = packed
+    for j, (i, z, box_rect, norm, expo) in enumerate(entries):
+        if okv[j] == 0.0:
+            continue
+        res = results[i]
+        res.ok = True
+        res.xpos = float(x0[j]) + box_rect.x
+        res.ypos = box_rect.y + box_rect.h - float(y0[j])
+        res.fwhmx = float(fwx[j])
+        res.fwhmy = float(fwy[j])
+        # B/A/rmse are norm-relative (psf_global_minimisation :647-650);
+        # the batch ran with norm=1, divide per frame in f32 like the jit
+        res.mag = float(mag[j])
+        res.rmse = float(np.float32(rmse[j]) / np.float32(norm))
+        res.exposure = expo
+        if not for_registration:
+            res.photometry = get_photometry(
+                np.asarray(z, np.float64), float(x0[j]), float(y0[j]),
+                float(sx[j]), phot_config)
     return results
 
 
