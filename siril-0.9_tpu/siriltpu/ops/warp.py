@@ -176,6 +176,25 @@ def warp_frame_dev(frame_dev_bu, H_td: np.ndarray,
                            tuple(out_shape), interpolation)
 
 
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
+def _warp_batch_dev(layers_bu, Hinvs, out_shape, interpolation):
+    def one(layer, Hinv):
+        return _warp_layer_dev(layer, Hinv, out_shape, interpolation)
+    return jax.vmap(one)(layers_bu, Hinvs)
+
+
+def warp_batch_dev(layers_bu, Hs_td: np.ndarray,
+                   out_shape: Tuple[int, int],
+                   interpolation: int = INTER_LINEAR):
+    """Frame-batched device warp: (F, H, W) layers with per-frame 3x3
+    homographies (F, 3, 3) -> (F, oh, ow) uint16, one vmapped program.
+    Sharding the frames axis over a mesh warps each chip's frames
+    locally (no collectives — the warp is frame-local)."""
+    Hinvs = np.linalg.inv(np.asarray(Hs_td, dtype=np.float64))
+    return _warp_batch_dev(layers_bu, jnp.asarray(Hinvs, jnp.float32),
+                           tuple(out_shape), interpolation)
+
+
 def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
                    out_shape: Tuple[int, int],
                    interpolation: int = INTER_LINEAR):
@@ -191,5 +210,5 @@ def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
 
 
 __all__ = ["warp_perspective", "warp_frame_bu", "warp_layer_dev",
-           "warp_frame_dev", "INTER_NEAREST", "INTER_LINEAR",
-           "INTER_CUBIC", "INTER_LANCZOS4"]
+           "warp_frame_dev", "warp_batch_dev", "INTER_NEAREST",
+           "INTER_LINEAR", "INTER_CUBIC", "INTER_LANCZOS4"]

@@ -244,5 +244,71 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
     return report
 
 
-__all__ = ["register_global_star", "compute_homography", "GlobalRegReport",
-           "MAX_STARS_FITTED"]
+def global_align_batch(layers_bu: np.ndarray, ref_index: int = 0, *,
+                       interpolation: int = INTER_LINEAR,
+                       sf_params: Optional[StarFinderParams] = None,
+                       nmax: int = 1024, mesh=None):
+    """Multi-chip global star alignment of an in-memory frame batch.
+
+    The fully batched form of :func:`register_global_star`'s device
+    work: ONE vmapped star-find program over all frames
+    (:func:`siriltpu.ops.starfind.peaker_batch`), host triangle
+    matching + RANSAC per frame, then ONE vmapped warp program — both
+    device stages shard over a ``frames`` mesh axis so each chip
+    processes its own frame subset (the reference's OpenMP-over-frames
+    registration, registration.c:276-279, at chip scale; the warp and
+    star find are frame-local so no collectives are needed).
+
+    Returns ``(aligned, report)``: aligned (F, H, W) uint16 frames in
+    reference geometry (failed frames pass through unwarped and are
+    recorded in the report), and a GlobalRegReport with per-frame
+    homographies (None on failure).
+    """
+    from siriltpu.ops.starfind import peaker_batch
+    from siriltpu.ops.warp import warp_batch_dev
+
+    layers_bu = np.asarray(layers_bu)
+    f, h, w = layers_bu.shape
+    report = GlobalRegReport()
+
+    star_lists = peaker_batch(layers_bu, params=sf_params, nmax=nmax,
+                              mesh=mesh)
+    refstars = star_lists[ref_index]
+    if len(refstars) < AT_MATCH_MINPAIRS:
+        raise ValueError(
+            "There are not enough stars in reference image to perform alignment")
+    fitted_stars = min(len(refstars), MAX_STARS_FITTED)
+
+    Hs = np.tile(np.eye(3), (f, 1, 1))
+    for i in range(f):
+        if i == ref_index:
+            report.homographies.append(np.eye(3))
+            report.registered += 1
+            continue
+        stars = star_lists[i]
+        if len(stars) < AT_MATCH_MINPAIRS:
+            report.failed += 1
+            report.homographies.append(None)
+            continue
+        nbpoints = min(len(stars), fitted_stars)
+        H = compute_homography(stars, refstars, nbpoints)
+        if H is None:
+            report.failed += 1
+            report.homographies.append(None)
+            continue
+        Hs[i] = H
+        report.homographies.append(H)
+        report.registered += 1
+
+    import jax
+    import jax.numpy as jnp
+    dev = jnp.asarray(layers_bu)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dev = jax.device_put(dev, NamedSharding(mesh, P("frames")))
+    aligned = np.asarray(warp_batch_dev(dev, Hs, (h, w), interpolation))
+    return aligned, report
+
+
+__all__ = ["register_global_star", "global_align_batch",
+           "compute_homography", "GlobalRegReport", "MAX_STARS_FITTED"]

@@ -225,3 +225,75 @@ def test_warp_frame_dev_matches_host_path():
     dev = np.asarray(warp_frame_dev(jnp.asarray(frame), H, (48, 56),
                                     INTER_LINEAR))
     np.testing.assert_array_equal(dev, host)
+
+
+def test_global_align_batch_matches_loop(tmp_path):
+    """global_align_batch (one star-find program + one warp program)
+    produces the same aligned frames as the per-frame loop."""
+    import numpy as np
+    from siriltpu.io.sequence import internal_sequence
+    from siriltpu.registration.global_star import (global_align_batch,
+                                                   register_global_star)
+    from siriltpu.testing.synth import starfield
+
+    h = w = 192
+    rng = np.random.default_rng(31)
+    base = np.column_stack([
+        rng.uniform(25, w - 25, 20), rng.uniform(25, h - 25, 20),
+        rng.uniform(9000, 30000, 20), rng.uniform(4, 6, 20)])
+    frames = []
+    for i, (tx, ty) in enumerate([(0, 0), (3, -2), (-4, 5)]):
+        st = base.copy()
+        st[:, 0] += tx
+        st[:, 1] += ty
+        data, _ = starfield(h, w, 20, seed=31, background=850,
+                            noise_sigma=5.0, stars=st)
+        frames.append(data[0])
+    layers = np.stack(frames)
+
+    aligned, rep = global_align_batch(layers, 0, nmax=128)
+    assert rep.failed == 0 and rep.registered == 3
+
+    seq = internal_sequence([Frame(l[None]) for l in layers])
+    out = []
+    rep2 = register_global_star(seq, 0, write_output=False,
+                                output_frames=out)
+    assert rep2.failed == 0
+    for i in range(3):
+        # same homography -> same warp program -> identical pixels
+        np.testing.assert_allclose(rep.homographies[i], rep2.homographies[i],
+                                   atol=1e-9)
+        np.testing.assert_array_equal(aligned[i], out[i].data[0])
+
+
+def test_global_align_batch_sharded(tmp_path):
+    """Sharded over the 8-device frames mesh == unsharded."""
+    import numpy as np
+    from siriltpu.parallel.mesh import make_mesh
+    from siriltpu.registration.global_star import global_align_batch
+    from siriltpu.testing.synth import starfield
+
+    h = w = 128
+    rng = np.random.default_rng(77)
+    base = np.column_stack([
+        rng.uniform(20, w - 20, 15), rng.uniform(20, h - 20, 15),
+        rng.uniform(9000, 28000, 15), rng.uniform(4, 6, 15)])
+    layers = []
+    for i in range(8):
+        st = base.copy()
+        st[:, 0] += rng.uniform(-4, 4)
+        st[:, 1] += rng.uniform(-4, 4)
+        data, _ = starfield(h, w, 15, seed=77, background=900,
+                            noise_sigma=4.0, stars=st)
+        layers.append(data[0])
+    layers = np.stack(layers)
+    a1, r1 = global_align_batch(layers, 0, nmax=64)
+    a2, r2 = global_align_batch(layers, 0, nmax=64, mesh=make_mesh())
+    assert r1.registered == r2.registered
+    for h1, h2 in zip(r1.homographies, r2.homographies):
+        np.testing.assert_allclose(h1, h2, atol=1e-9)
+    # different GSPMD partitionings fuse the f32 interpolation
+    # differently; rint can flip on exact-.5 boundaries -> <=1 LSB
+    diff = np.abs(a1.astype(np.int32) - a2.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01
