@@ -310,8 +310,10 @@ def process_resample(state, args):
     factor = float(args[0])
     if not 0.1 <= factor <= 5.0:
         raise CommandError("The ratio must be in the [0.1, 5.0] range")
+    from siriltpu.utils.rounding import np_round_to_int
     state.set_image(img.with_data(imops.resize(
-        img.data, int(img.rx * factor), int(img.ry * factor))))
+        img.data, int(np_round_to_int(img.rx * factor)),
+        int(np_round_to_int(img.ry * factor)))))
 
 
 @command("shift", 2, "shift sx sy")

@@ -226,13 +226,49 @@ def unsharp(data: np.ndarray, sigma: float, amount: float) -> np.ndarray:
     return out
 
 
+def _area_weights(src: int, dst: int) -> np.ndarray:
+    """Fractional-coverage row weights for INTER_AREA downscale: dst
+    cell i averages src cells overlapping [i·s, (i+1)·s), each weighted
+    by its overlap length (cv::resize area path semantics)."""
+    s = src / dst
+    W = np.zeros((dst, src), np.float64)
+    for i in range(dst):
+        a, b = i * s, (i + 1) * s
+        k0, k1 = int(np.floor(a)), min(int(np.ceil(b)), src)
+        for k in range(k0, k1):
+            W[i, k] = min(b, k + 1.0) - max(a, float(k))
+        W[i] /= W[i].sum()
+    return W
+
+
+def _resize_area(data: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """True box-average area resampling (downscale): two MXU matmuls
+    Wy · img · Wxᵀ per channel — the TPU-native form of cv::resize
+    INTER_AREA's per-cell coverage accumulation."""
+    c, h, w = data.shape
+    Wy = jnp.asarray(_area_weights(h, new_h), jnp.float32)
+    Wx = jnp.asarray(_area_weights(w, new_w), jnp.float32)
+    out = np.empty((c, new_h, new_w), dtype=np.uint16)
+    for ch in range(c):
+        r = Wy @ jnp.asarray(data[ch]).astype(jnp.float32) @ Wx.T
+        out[ch] = np.clip(np.rint(np.asarray(r)), 0, 65535).astype(np.uint16)
+    return out
+
+
 def resize(data: np.ndarray, new_w: int, new_h: int,
            interpolation: int = 1) -> np.ndarray:
     """cvResizeGaussian (opencv.cpp:80-130): cv::resize with the chosen
-    interpolation. Implemented via the warp sampler (scale transform)."""
-    from siriltpu.ops.warp import warp_perspective
+    interpolation (the reference's opencv_interpolation VALUES 0-4,
+    siril.h:257-264). INTER_AREA (2) downscale is a true box average;
+    on upscale OpenCV's area path degenerates to bilinear, matched
+    here. Other modes go through the warp sampler (scale transform)."""
+    from siriltpu.ops.warp import INTER_AREA, INTER_LINEAR, warp_perspective
 
     c, h, w = data.shape
+    if interpolation == INTER_AREA:
+        if new_w <= w and new_h <= h:
+            return _resize_area(data, new_w, new_h)
+        interpolation = INTER_LINEAR
     sx = w / new_w
     sy = h / new_h
     # OpenCV resize samples at (x + 0.5) * scale - 0.5

@@ -207,7 +207,13 @@ def _lm_fit(resid_jac, params0: Array, args, max_iter: int = MAX_ITER):
         _, _, it, done = state
         return (it < max_iter) & ~done
 
-    state = (params0, jnp.float32(1e-3), jnp.int32(0), jnp.bool_(False))
+    # anchor the literal carries to the input data: under shard_map a
+    # plain-constant carry is "unvarying" over the mesh axis while the
+    # body's data-dependent update is "varying", which while_loop
+    # rejects (scan-vma). Adding a data-derived zero keeps the value
+    # and inherits the right varyingness in both contexts.
+    vzero = params0.reshape(-1)[0] * 0
+    state = (params0, jnp.float32(1e-3) + vzero, jnp.int32(0), vzero > 0)
     p, _, _, _ = jax.lax.while_loop(cond, body, state)
     r, _ = resid_jac(tuple(p), *args)
     return p, jnp.sqrt(jnp.mean(r * r))
@@ -257,7 +263,7 @@ def _fit_one(z: Array, bg: Array, fit_angle: bool):
     return B, A, x0, y0, sx, sy, angle, rmse, mag
 
 
-@functools.partial(jax.jit, static_argnames=("fit_angle", "norm"))
+@functools.partial(jax.jit, static_argnames=("fit_angle",))
 def fit_psf_batch(boxes: Array, bgs: Array, fit_angle: bool = False,
                   norm: float = 65535.0) -> PSFFit:
     """Fit a batch of star boxes (N, h, w) with backgrounds (N,).

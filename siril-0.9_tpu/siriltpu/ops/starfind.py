@@ -277,9 +277,12 @@ def _star_find_batch_dev(layers_bu, thresholds, norms, bgs, *, radius: int,
     """One device program: detect + box-gather + PSF-fit for a BATCH of
     frames (F, H, W). Returns (F, 12, nmax): the 10 packed fit fields of
     :func:`peaker` plus candidate ys/xs rows (invalid slots have
-    valid<0). vmapped per frame, so sharding the leading axis over a
-    ``frames`` mesh runs each chip on its own frame subset (the
-    reference's OpenMP-over-frames registration loop, SURVEY P2)."""
+    valid<0). The frame axis is a ``lax.map`` (NOT vmap): every frame
+    runs the identical single-frame program, so sharding the leading
+    axis over a ``frames`` mesh (run_frames_sharded) is
+    partition-invariant — sharded == unsharded bit-for-bit, matching
+    the reference's frame-independent OpenMP registration loop
+    (registration.c:276-279)."""
     f, h, w = layers_bu.shape
 
     def one(layer_bu, threshold, norm, bg):
@@ -311,7 +314,16 @@ def _star_find_batch_dev(layers_bu, thresholds, norms, bgs, *, radius: int,
                           ok.astype(jnp.float32),
                           ys.astype(jnp.float32), xs.astype(jnp.float32)])
 
-    return jax.vmap(one)(layers_bu, thresholds, norms, bgs)
+    return jax.lax.map(lambda t: one(*t),
+                       (layers_bu, thresholds, norms, bgs))
+
+
+@functools.lru_cache(maxsize=None)
+def _star_find_batch_fn(radius: int, kmax: int, nmax: int):
+    """Stable partial of the batched star find (cached so
+    run_frames_sharded can memoize its compiled shard_map wrapper)."""
+    return functools.partial(_star_find_batch_dev, radius=radius,
+                             kmax=kmax, nmax=nmax)
 
 
 def peaker_batch(layers_bu: np.ndarray, *,
@@ -349,15 +361,14 @@ def peaker_batch(layers_bu: np.ndarray, *,
                             + sf.sigma * np.uint16(st.sigma))
         bgs[i] = st.median
 
-    dev = jnp.asarray(layers_bu)
-    targs = (jnp.asarray(thresholds), jnp.asarray(norms), jnp.asarray(bgs))
+    fn = _star_find_batch_fn(sf.radius, 8192, nmax)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(mesh, P("frames"))
-        dev = jax.device_put(dev, sh)
-        targs = tuple(jax.device_put(a, sh) for a in targs)
-    out = np.asarray(_star_find_batch_dev(
-        dev, *targs, radius=sf.radius, kmax=8192, nmax=nmax))
+        from siriltpu.parallel.mesh import run_frames_sharded
+        out = np.asarray(run_frames_sharded(
+            fn, mesh, layers_bu, thresholds, norms, bgs))
+    else:
+        out = np.asarray(fn(jnp.asarray(layers_bu), jnp.asarray(thresholds),
+                            jnp.asarray(norms), jnp.asarray(bgs)))
 
     result: List[List[Star]] = []
     for i in range(f):

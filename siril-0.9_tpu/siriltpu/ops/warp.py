@@ -28,10 +28,15 @@ import numpy as np
 
 Array = jnp.ndarray
 
-INTER_NEAREST = 0
-INTER_LINEAR = 1
-INTER_CUBIC = 2
-INTER_LANCZOS4 = 4
+# the reference's opencv_interpolation enum, passed verbatim from
+# config/GUI into cv::resize / warpAffine / warpPerspective
+# (src/core/siril.h:257-264): these VALUES are API surface — a migrated
+# siril.cfg stores them as integers.
+INTER_NEAREST = 0   # OPENCV_NEAREST
+INTER_LINEAR = 1    # OPENCV_LINEAR
+INTER_AREA = 2      # OPENCV_AREA — box-average in resize; warps treat as linear
+INTER_CUBIC = 3     # OPENCV_CUBIC
+INTER_LANCZOS4 = 4  # OPENCV_LANCZOS4
 
 _CUBIC_A = -0.75
 
@@ -81,6 +86,11 @@ def _tap(img: Array, yi: Array, xi: Array) -> Array:
 
 
 def _interp(img: Array, xs: Array, ys: Array, interpolation: int) -> Array:
+    if interpolation == INTER_AREA:
+        # cv::warpPerspective / warpAffine have no AREA path and fall
+        # back to INTER_LINEAR (OpenCV remap semantics); same here so a
+        # migrated cfg value 2 registers instead of crashing.
+        interpolation = INTER_LINEAR
     if interpolation == INTER_NEAREST:
         xi = jnp.floor(xs + 0.5).astype(jnp.int32)
         yi = jnp.floor(ys + 0.5).astype(jnp.int32)
@@ -178,21 +188,35 @@ def warp_frame_dev(frame_dev_bu, H_td: np.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
 def _warp_batch_dev(layers_bu, Hinvs, out_shape, interpolation):
-    def one(layer, Hinv):
+    # lax.map (not vmap): every frame runs the identical single-frame
+    # warp program, so sharding the frame axis is partition-invariant.
+    def one(t):
+        layer, Hinv = t
         return _warp_layer_dev(layer, Hinv, out_shape, interpolation)
-    return jax.vmap(one)(layers_bu, Hinvs)
+    return jax.lax.map(one, (layers_bu, Hinvs))
+
+
+@functools.lru_cache(maxsize=None)
+def _warp_batch_fn(out_shape: Tuple[int, int], interpolation: int):
+    """Stable partial for run_frames_sharded's compile cache."""
+    return functools.partial(_warp_batch_dev, out_shape=out_shape,
+                             interpolation=interpolation)
 
 
 def warp_batch_dev(layers_bu, Hs_td: np.ndarray,
                    out_shape: Tuple[int, int],
-                   interpolation: int = INTER_LINEAR):
+                   interpolation: int = INTER_LINEAR, mesh=None):
     """Frame-batched device warp: (F, H, W) layers with per-frame 3x3
-    homographies (F, 3, 3) -> (F, oh, ow) uint16, one vmapped program.
-    Sharding the frames axis over a mesh warps each chip's frames
-    locally (no collectives — the warp is frame-local)."""
+    homographies (F, 3, 3) -> (F, oh, ow) uint16, one device program.
+    With ``mesh`` the frame axis shards over it (shard_map with the
+    same per-frame body — no collectives, bit-identical to unsharded)."""
     Hinvs = np.linalg.inv(np.asarray(Hs_td, dtype=np.float64))
-    return _warp_batch_dev(layers_bu, jnp.asarray(Hinvs, jnp.float32),
-                           tuple(out_shape), interpolation)
+    fn = _warp_batch_fn(tuple(out_shape), interpolation)
+    if mesh is not None:
+        from siriltpu.parallel.mesh import run_frames_sharded
+        return run_frames_sharded(fn, mesh, np.asarray(layers_bu),
+                                  Hinvs.astype(np.float32))
+    return fn(layers_bu, jnp.asarray(Hinvs, jnp.float32))
 
 
 def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
@@ -211,4 +235,4 @@ def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
 
 __all__ = ["warp_perspective", "warp_frame_bu", "warp_layer_dev",
            "warp_frame_dev", "warp_batch_dev", "INTER_NEAREST",
-           "INTER_LINEAR", "INTER_CUBIC", "INTER_LANCZOS4"]
+           "INTER_LINEAR", "INTER_AREA", "INTER_CUBIC", "INTER_LANCZOS4"]

@@ -65,5 +65,48 @@ def pad_frames_to_mesh(nframes: int, mesh: Mesh,
     return ((nframes + n - 1) // n) * n
 
 
+_SHARDED_FN_CACHE: dict = {}
+
+
+def run_frames_sharded(fn, mesh: Mesh, *arrays):
+    """Run ``fn(*arrays)`` with every array's leading (frames) axis
+    sharded over ``mesh``, partition-invariantly.
+
+    ``fn`` must be frame-local with a per-frame body (``lax.map`` over
+    the leading axis, no cross-frame math): then each device executes
+    the identical single-frame program on its local shard and sharded
+    == unsharded bit-for-bit — the TPU analog of the reference's
+    frame-independent OpenMP registration loop
+    (registration.c:276-279). The frame axis is zero-padded to a
+    multiple of the mesh axis size; the output is trimmed back.
+
+    ``fn`` must be a stable (cached) callable — the compiled shard_map
+    wrapper is memoized on ``(fn, mesh, nargs)``.
+    """
+    from jax import shard_map
+
+    f = int(np.asarray(arrays[0]).shape[0])
+    fp = pad_frames_to_mesh(f, mesh)
+    pad = fp - f
+    spec = P("frames")
+    key = (fn, mesh, len(arrays))
+    wrapped = _SHARDED_FN_CACHE.get(key)
+    if wrapped is None:
+        wrapped = jax.jit(shard_map(
+            fn, mesh=mesh, in_specs=(spec,) * len(arrays),
+            out_specs=spec))
+        _SHARDED_FN_CACHE[key] = wrapped
+    put = []
+    for a in arrays:
+        a = np.asarray(a)
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        put.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    out = wrapped(*put)
+    return jax.tree_util.tree_map(lambda o: o[:f], out)
+
+
 __all__ = ["make_mesh", "frames_sharding", "rows_sharding", "replicated",
-           "pad_frames_to_mesh", "Mesh", "NamedSharding", "P"]
+           "pad_frames_to_mesh", "run_frames_sharded", "Mesh",
+           "NamedSharding", "P"]

@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from siriltpu.ops.fftreg import phase_correlate
@@ -149,11 +149,11 @@ def make_rows_sigma_stack(mesh: Mesh, rejection: str = "sigma",
                                     sig)
         return out.reshape(hs, w)
 
-    # check_rep off: the slab kernel is collective-free, and the
+    # check_vma off: the slab kernel is collective-free, and the
     # rejection while_loop seeds carries from non-varying constants.
     fn = jax.jit(shard_map(slab_stack, mesh=mesh,
                            in_specs=P(None, axis, None),
-                           out_specs=P(axis, None), check_rep=False))
+                           out_specs=P(axis, None), check_vma=False))
 
     def run(aligned: np.ndarray):
         n = mesh.shape[axis]

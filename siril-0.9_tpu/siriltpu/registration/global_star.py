@@ -30,8 +30,7 @@ import numpy as np
 
 from siriltpu.core.frame import Frame, ImgParam, RegData
 from siriltpu.ops.starfind import StarFinderParams, peaker
-from siriltpu.ops.warp import (INTER_LINEAR, warp_frame_dev,
-                               warp_layer_dev)
+from siriltpu.ops.warp import INTER_LINEAR, warp_batch_dev
 from siriltpu.registration.matching import (AT_MATCH_MINPAIRS,
                                             new_star_match)
 from siriltpu.registration.ransac import find_homography
@@ -77,19 +76,40 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
                          process_all_frames: bool = True,
                          sf_params: Optional[StarFinderParams] = None,
                          write_output: bool = True,
-                         output_frames: Optional[list] = None
+                         output_frames: Optional[list] = None,
+                         mesh=None,
+                         chunk_frames: Optional[int] = None
                          ) -> GlobalRegReport:
-    """Run global star alignment over a Sequence.
+    """Run global star alignment over a Sequence
+    (``register_star_alignment``, registration.c:525-784).
+
+    TPU-chunked engine: a loader thread reads frames ahead while the
+    device works; each chunk of frames is star-found by ONE batched
+    device program (:func:`siriltpu.ops.starfind.peaker_batch`,
+    shardable over a ``frames`` mesh), matched + RANSAC'd on the host,
+    then warped by ONE batched program; the aligned chunk is written
+    back while the loader fills the next chunk. Chunk size comes from
+    the device HBM budget (:func:`siriltpu.core.memory.starfind_chunk_frames`)
+    so sequences larger than device memory stream through. The
+    reference processes one frame at a time in a serial loop
+    (registration.c:655-749); per-frame results here are identical
+    regardless of chunking or mesh partitioning (per-frame lax.map
+    bodies — see parallel/mesh.run_frames_sharded).
 
     When ``write_output`` the aligned frames are written as a new
     sequence (``<prefix><seqname>``, FITS files or SER matching the
     input type); ``output_frames`` (a list) collects aligned Frames
     in-memory instead/additionally.
     """
+    import queue
+    import threading
+
+    from siriltpu.core.memory import starfind_chunk_frames
     from siriltpu.io import fits as fits_io
     from siriltpu.io.seqfile import write_seqfile
     from siriltpu.io.sequence import Sequence
     from siriltpu.io.ser import SerFile
+    from siriltpu.ops.starfind import peaker_batch
 
     report = GlobalRegReport(new_seqname=f"{prefix}{seq.seqname}")
     reg = seq.ensure_regparam(layer)
@@ -101,77 +121,77 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
         raise ValueError(
             "There are not enough stars in reference image to perform alignment")
     fitted_stars = min(len(refstars), MAX_STARS_FITTED)
-    fx, fy = _fwhm_average(refstars, fitted_stars)
-    reg[ref_image].fwhm = fx
+    fx_ref, fy_ref = _fwhm_average(refstars, fitted_stars)
+    reg[ref_image].fwhm = fx_ref
     out_h, out_w = ref_frame.ry, ref_frame.rx
+
+    todo = [i for i in range(seq.number)
+            if process_all_frames or seq.imgparam[i].incl]
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if chunk_frames is None:
+        chunk_frames = starfind_chunk_frames(out_h, out_w, n_dev)
+    chunks = [todo[i:i + chunk_frames]
+              for i in range(0, len(todo), chunk_frames)]
+
+    # loader thread: reads the NEXT chunk from disk while the device
+    # star-finds/warps the current one (the reference reads serially
+    # inside its loop, registration.c:666; here IO and device overlap)
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def _loader():
+        for ck in chunks:
+            frames = [seq.read_frame(i) for i in ck]
+            layers = np.stack([f.layer(layer) for f in frames])
+            q.put((ck, frames, layers))
+        q.put(None)
+
+    loader = threading.Thread(target=_loader, daemon=True)
+    loader.start()
 
     new_imgparam: List[ImgParam] = []
     new_regparam: List[RegData] = []
     new_ser = None
-    written = 0
-    pending = None   # (device_warp, host_frame, frame_idx, meta, fwhm)
-
-    def _flush(p):
-        """Materialize a warped frame (overlapped readback) and do its
-        output bookkeeping, preserving frame order."""
-        wdev, warped_host, fidx, meta, fwhm_val = p
-        if warped_host is None:
-            arr = np.asarray(wdev)
-            warped = Frame(arr if arr.ndim == 3 else arr[None], meta)
-        else:
-            warped = warped_host
-        if output_frames is not None:
-            output_frames.append(warped)
-        w = written
-        if write_output:
-            if new_ser is not None:
-                new_ser.write_frame(warped)
-                new_imgparam.append(ImgParam(filenum=w))
-            else:
-                dest = os.path.join(
-                    seq.seq_dir,
-                    f"{prefix}{seq.image_filename(fidx)}")
-                fits_io.write_fits(dest, warped)
-                new_imgparam.append(
-                    ImgParam(filenum=seq.imgparam[fidx].filenum))
-        new_regparam.append(RegData(fwhm=fwhm_val))
-        return w + 1
     if write_output and seq.seqtype == "ser" and not translation_only:
         new_ser = SerFile.create(
             os.path.join(seq.seq_dir, report.new_seqname + ".ser"),
             width=out_w, height=out_h)
 
-    todo = [i for i in range(seq.number)
-            if process_all_frames or seq.imgparam[i].incl]
-    # one-frame read-ahead with an async device_put of the star-find
-    # layer: jax.device_put returns in ~10 ms and the transfer drains
-    # while THIS frame's matching/flush runs, keeping the (serializing)
-    # host link busy continuously
-    prefetched = {}   # frame_idx -> (Frame, device layer)
+    def _emit(warped: Frame, fidx: int, fwhm_val: float):
+        if output_frames is not None:
+            output_frames.append(warped)
+        if write_output and not translation_only:
+            if new_ser is not None:
+                new_ser.write_frame(warped)
+                new_imgparam.append(ImgParam(filenum=len(new_imgparam)))
+            else:
+                dest = os.path.join(
+                    seq.seq_dir, f"{prefix}{seq.image_filename(fidx)}")
+                fits_io.write_fits(dest, warped)
+                new_imgparam.append(
+                    ImgParam(filenum=seq.imgparam[fidx].filenum))
+        new_regparam.append(RegData(fwhm=fwhm_val))
 
-    def _read(idx):
-        if idx in prefetched:
-            return prefetched.pop(idx)
-        fr = seq.read_frame(idx)
-        return fr, None
-
-    for pos, frame_idx in enumerate(todo):
-        frame, pre_dev = _read(frame_idx)
-        if pos + 1 < len(todo):
-            nidx = todo[pos + 1]
-            nframe = seq.read_frame(nidx)
-            ndev = None
-            if nidx != ref_image:
-                import jax
-                ndev = jax.device_put(nframe.layer(layer))
-            prefetched[nidx] = (nframe, ndev)
-        mono = frame.nlayers == 1
-        layer_dev = None
-        H = np.eye(3)
-        if frame_idx != ref_image:
-            stars, layer_dev = peaker(frame.layer(layer), params=sf_params,
-                                      return_device=True,
-                                      layer_dev=pre_dev)
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        ck, frames, layers = item
+        star_lists = peaker_batch(layers, params=sf_params, nmax=2048,
+                                  mesh=mesh)
+        # host stage: triangle match + RANSAC per frame (match.c:125)
+        good: List[int] = []         # positions within the chunk
+        Hs: List[np.ndarray] = []
+        fwhms: List[float] = []
+        for j, fidx in enumerate(ck):
+            if fidx == ref_image:
+                report.homographies.append(np.eye(3))
+                report.fwhm.append(fx_ref)
+                good.append(j)
+                Hs.append(np.eye(3))
+                fwhms.append(fx_ref)
+                report.registered += 1
+                continue
+            stars = star_lists[j]
             if len(stars) < AT_MATCH_MINPAIRS:
                 report.failed += 1
                 report.homographies.append(None)
@@ -183,49 +203,60 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
                 report.homographies.append(None)
                 continue
             fx, fy = _fwhm_average(stars, nbpoints)
-            reg[frame_idx].fwhm = fx
-
-        report.homographies.append(H)
-        report.fwhm.append(fx)
+            reg[fidx].fwhm = fx
+            report.homographies.append(H)
+            report.fwhm.append(fx)
+            good.append(j)
+            Hs.append(H)
+            fwhms.append(fx)
+            report.registered += 1
 
         if translation_only:
-            reg[frame_idx].shiftx = int(round(H[0, 2]))
-            reg[frame_idx].shifty = int(round(-H[1, 2]))
-            seq.imgparam[frame_idx].incl = True
-            report.registered += 1
+            for j, H, fw in zip(good, Hs, fwhms):
+                fidx = ck[j]
+                if fidx != ref_image:
+                    reg[fidx].shiftx = int(round(H[0, 2]))
+                    reg[fidx].shifty = int(round(-H[1, 2]))
+                seq.imgparam[fidx].incl = True
+            continue
+        if not good:
             continue
 
-        if frame_idx == ref_image:
-            wdev = None
-            warped_host = frame
-        elif mono and layer_dev is not None:
-            # the layer is already on device from star finding: warp it
-            # there and read back uint16 (half the f32 intermediate) —
-            # one host->device pass per frame instead of two
-            wdev = warp_layer_dev(layer_dev, H, (out_h, out_w),
-                                  interpolation)
-            warped_host = None
-        else:
-            # multi-channel: one batched device program for all layers
-            import jax.numpy as jnp
-            wdev = warp_frame_dev(jnp.asarray(frame.data), H,
-                                  (out_h, out_w), interpolation)
-            warped_host = None
-        if wdev is not None:
-            # start the host transfer now; it drains while the NEXT
-            # frame's star find runs (the link here is the bottleneck)
-            try:
-                wdev.copy_to_host_async()
-            except AttributeError:
-                pass
-        if pending is not None:
-            written = _flush(pending)
-        pending = (wdev, warped_host, frame_idx, dict(frame.meta),
-                   reg[frame_idx].fwhm)
-        report.registered += 1
+        # device stage 2: ONE batched warp for the chunk's good frames.
+        # The reference frame passes through unwarped (it IS the target
+        # geometry, registration.c:720-722 warps every OTHER frame).
+        warp_pos = [j for j in good if ck[j] != ref_image]
+        warped_np = None
+        if warp_pos:
+            Hmap = {j: H for j, H in zip(good, Hs)}
+            nlayers = frames[0].nlayers
+            if nlayers == 1:
+                stack = layers[warp_pos]
+                Hsel = np.stack([Hmap[j] for j in warp_pos])
+            else:
+                stack = np.concatenate(
+                    [frames[j].data for j in warp_pos])
+                Hsel = np.stack([Hmap[j] for j in warp_pos
+                                 for _ in range(nlayers)])
+            warped_np = np.asarray(warp_batch_dev(
+                stack, Hsel, (out_h, out_w), interpolation, mesh=mesh))
+            if nlayers > 1:
+                warped_np = warped_np.reshape(
+                    len(warp_pos), nlayers, out_h, out_w)
 
-    if pending is not None:
-        written = _flush(pending)
+        wi = 0
+        for j, H, fw in zip(good, Hs, fwhms):
+            fidx = ck[j]
+            if fidx == ref_image:
+                _emit(frames[j], fidx, fw)
+                continue
+            arr = warped_np[wi]
+            wi += 1
+            if arr.ndim == 2:
+                arr = arr[None]
+            _emit(Frame(arr, dict(frames[j].meta)), fidx, fw)
+
+    loader.join()
     if new_ser is not None:
         new_ser.write_and_close()
 
@@ -242,6 +273,7 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
         write_seqfile(new_seq, seq.seq_dir)
     seq.needs_saving = True
     return report
+
 
 
 def global_align_batch(layers_bu: np.ndarray, ref_index: int = 0, *,
@@ -300,13 +332,8 @@ def global_align_batch(layers_bu: np.ndarray, ref_index: int = 0, *,
         report.homographies.append(H)
         report.registered += 1
 
-    import jax
-    import jax.numpy as jnp
-    dev = jnp.asarray(layers_bu)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        dev = jax.device_put(dev, NamedSharding(mesh, P("frames")))
-    aligned = np.asarray(warp_batch_dev(dev, Hs, (h, w), interpolation))
+    aligned = np.asarray(warp_batch_dev(layers_bu, Hs, (h, w),
+                                        interpolation, mesh=mesh))
     return aligned, report
 
 

@@ -12,9 +12,37 @@ it is TPU/XLA hygiene.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _ENABLED = False
+
+
+def _host_key() -> str:
+    """Short hash identifying this host's CPU feature set.
+
+    XLA:CPU AOT-compiles with the *compiling* machine's CPU features
+    baked in; loading such an artifact on a host with different
+    features (e.g. ``+prefer-no-scatter`` vs not) silently changes
+    numerics or errors in ``cpu_aot_loader``. Keying the cache
+    directory on (machine, flags-from-/proc/cpuinfo) guarantees a
+    cross-machine cache is simply a different directory, never a
+    poisoned one. TPU artifacts are keyed the same way for free —
+    harmless, since one host maps to one key.
+    """
+    parts = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+                if line.startswith("model name"):
+                    parts.append(line.split(":", 1)[1].strip())
+    except OSError:
+        parts.append(platform.processor())
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
@@ -41,9 +69,23 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         cache_dir = env if env and env.lower() not in ("1", "on", "true") \
             else os.path.join(os.path.expanduser("~"), ".cache",
                               "siriltpu", "jax")
+    cache_dir = os.path.join(cache_dir, _host_key())
     if _ENABLED:
         return cache_dir
     os.makedirs(cache_dir, exist_ok=True)
+
+    # XLA:CPU with AVX-512 available compiles with +prefer-no-scatter /
+    # +prefer-no-gather tuning flags baked into the serialized AOT
+    # executable; the loader's host-feature check does not know those
+    # pseudo-features, so EVERY warm-cache load logs a cpu_aot_loader
+    # feature-mismatch error — even on the machine that compiled it.
+    # Capping CPU codegen at AVX2 produces feature sets the loader
+    # accepts cleanly (verified: 0 errors warm at AVX2, 8 at AVX512).
+    # TPU executables don't go through this path; the flag only affects
+    # the CPU backend used by tests and virtual-mesh dryruns.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
 
     import jax
 

@@ -290,10 +290,70 @@ def test_global_align_batch_sharded(tmp_path):
     a1, r1 = global_align_batch(layers, 0, nmax=64)
     a2, r2 = global_align_batch(layers, 0, nmax=64, mesh=make_mesh())
     assert r1.registered == r2.registered
+    # partition-invariant by construction: the star find and the warp
+    # run a per-frame lax.map body, so every frame executes the
+    # identical single-frame program under ANY frames-mesh partitioning
+    # (the reference's frame-independent OpenMP loop,
+    # registration.c:276-279) — sharded == unsharded bit-for-bit.
     for h1, h2 in zip(r1.homographies, r2.homographies):
-        np.testing.assert_allclose(h1, h2, atol=1e-9)
-    # different GSPMD partitionings fuse the f32 interpolation
-    # differently; rint can flip on exact-.5 boundaries -> <=1 LSB
-    diff = np.abs(a1.astype(np.int32) - a2.astype(np.int32))
+        np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(a1, a2)
+
+
+# ------------------------------------------------- interpolation enum parity
+
+def test_interpolation_enum_matches_reference():
+    """The constants ARE the reference's opencv_interpolation values
+    (src/core/siril.h:257-264) — a migrated siril.cfg stores these
+    integers and they must mean the same thing."""
+    from siriltpu.ops import warp
+    assert warp.INTER_NEAREST == 0
+    assert warp.INTER_LINEAR == 1
+    assert warp.INTER_AREA == 2
+    assert warp.INTER_CUBIC == 3
+    assert warp.INTER_LANCZOS4 == 4
+
+
+@pytest.mark.parametrize("interp", [0, 1, 2, 3, 4])
+def test_every_cfg_interpolation_value_warps(interp):
+    """All reference cfg values 0-4 execute in warps, rotate and resize
+    (AREA falls back to linear in warps, like cv::warpPerspective)."""
+    from siriltpu.ops import imops
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 60000, size=(1, 24, 28)).astype(np.uint16)
+    H = make_affine(angle_deg=4.0, tx=1.0, ty=-1.5)
+    out = warp_frame_bu(img, H, (24, 28), interp)
+    assert out.shape == (1, 24, 28)
+    rot = imops.rotate(img, 7.0, interpolation=interp)
+    assert rot.shape == (1, 24, 28)
+    up = imops.resize(img, 41, 35, interpolation=interp)
+    assert up.shape == (1, 35, 41)
+    down = imops.resize(img, 14, 12, interpolation=interp)
+    assert down.shape == (1, 12, 14)
+
+
+def test_area_resize_integer_factor_is_block_mean():
+    """INTER_AREA at an integer factor == exact block average."""
+    from siriltpu.ops import imops
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 65535, size=(1, 32, 48)).astype(np.uint16)
+    out = imops.resize(img, 12, 8, interpolation=2)
+    blocks = img[0].reshape(8, 4, 12, 4).astype(np.float64)
+    expect = np.clip(np.rint(blocks.mean(axis=(1, 3))), 0, 65535)
+    np.testing.assert_array_equal(out[0], expect.astype(np.uint16))
+
+
+def test_area_resize_fractional_factor_oracle():
+    """Fractional INTER_AREA downscale matches a float64 coverage
+    oracle within 1 LSB (device path computes in f32)."""
+    from siriltpu.ops import imops
+    from siriltpu.ops.imops import _area_weights
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 65535, size=(1, 37, 53)).astype(np.uint16)
+    out = imops.resize(img, 21, 15, interpolation=2)
+    Wy = _area_weights(37, 15)
+    Wx = _area_weights(53, 21)
+    expect = Wy @ img[0].astype(np.float64) @ Wx.T
+    diff = np.abs(out[0].astype(np.int64)
+                  - np.clip(np.rint(expect), 0, 65535).astype(np.int64))
     assert diff.max() <= 1
-    assert (diff != 0).mean() < 0.01
