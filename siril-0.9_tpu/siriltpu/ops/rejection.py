@@ -360,10 +360,24 @@ def reject_winsorized(vals: Array, siglow: float, sighigh: float):
     return valid, sv_orig, rejl, rejh
 
 
+#: residual/sigma ratios closer than this to the clip threshold are
+#: knife-edges the f32 kernel cannot decide reliably against the C's
+#: f64 math; such pixels are flagged for the exact host re-run
+#: (linearfit_hybrid_block). The f32 relative error of the fit+ratio
+#: chain is ~F·2⁻²⁴ ≈ 1e-5 at F=100; 1e-4 leaves a 10× guard band
+#: while flagging ~nothing on real (continuous-noise) data.
+LINEARFIT_KNIFE_EPS = 1e-4
+
+
 @functools.partial(jax.jit, static_argnames=("siglow", "sighigh"))
 def reject_linearfit(vals: Array, siglow: float, sighigh: float):
     """LINEARFIT rejection (stacking.c:1750-1783): least-squares line over
-    (rank, sorted value), sigma = mean |residual|, clip by residual."""
+    (rank, sorted value), sigma = mean |residual|, clip by residual.
+
+    Returns ``(valid, sorted_vals, rejlow, rejhigh, knife)`` — ``knife``
+    marks pixels whose clip decision came within LINEARFIT_KNIFE_EPS of
+    the threshold at any iteration (re-run those via the f64 oracle for
+    bit-exactness, see linearfit_hybrid_block)."""
     f, p = vals.shape
     sv_orig = sort_axis0(vals)
     # f32 guard (as in reject_winsorized): the fit and its residual test
@@ -374,11 +388,11 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
     valid0 = jnp.ones((f, p), dtype=bool)
 
     def cond(state):
-        _, _, _, done, _, _, it = state
+        _, _, _, done, _, _, _, it = state
         return (~jnp.all(done)) & (it < MAX_ITERS)
 
     def body(state):
-        valid, r, buf, done, rejl, rejh, it = state
+        valid, r, buf, done, rejl, rejh, knife, it = state
         n = jnp.sum(valid, axis=0).astype(jnp.int32)
         nf = n.astype(jnp.float32)
         cum = jnp.cumsum(valid.astype(jnp.int32), axis=0)
@@ -397,11 +411,21 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
         resid = jnp.where(valid, jnp.abs(sv - fitv), 0.0)
         sigma = jnp.sum(resid, axis=0) / jnp.maximum(nf, 1.0)
         safe_sig = jnp.maximum(sigma, 1e-30)
-        low = ((fitv - sv) / safe_sig[None, :] > siglow) & valid
-        high = ((sv - fitv) / safe_sig[None, :] > sighigh) & valid
+        ratio_lo = (fitv - sv) / safe_sig[None, :]
+        ratio_hi = (sv - fitv) / safe_sig[None, :]
+        low = (ratio_lo > siglow) & valid
+        high = (ratio_hi > sighigh) & valid
         sig_pos = (sigma > 0)[None, :]
         low = low & sig_pos
         high = high & sig_pos
+        # knife-edge detection: any frame's clip ratio within EPS of its
+        # threshold on an active pixel means f32 may disagree with the
+        # C's f64 decision — flag the pixel for the exact re-run
+        m = jnp.where(valid & sig_pos,
+                      jnp.minimum(jnp.abs(ratio_lo - siglow),
+                                  jnp.abs(ratio_hi - sighigh)),
+                      jnp.inf)
+        knife = knife | (~done & (jnp.min(m, axis=0) < LINEARFIT_KNIFE_EPS))
         new_valid, new_buf, r_new, removed, cnt_l, cnt_h = _stale_pass(
             valid, buf, r, low, high, n)
         n_new = n - removed
@@ -412,13 +436,14 @@ def reject_linearfit(vals: Array, siglow: float, sighigh: float):
         rejh = rejh + jnp.where(upd, cnt_h, 0)
         r = jnp.where(upd, r_new, r)
         done = done | (removed == 0) | (n_new <= 3)
-        return valid, r, buf, done, rejl, rejh, it + 1
+        return valid, r, buf, done, rejl, rejh, knife, it + 1
 
     state = (valid0, jnp.zeros(p, jnp.int32), jnp.zeros((f, p), jnp.int8),
              jnp.zeros(p, bool), jnp.zeros(p, jnp.int32),
-             jnp.zeros(p, jnp.int32), jnp.int32(0))
-    valid, r, buf, done, rejl, rejh, _ = jax.lax.while_loop(cond, body, state)
-    return valid, sv_orig, rejl, rejh
+             jnp.zeros(p, jnp.int32), jnp.zeros(p, bool), jnp.int32(0))
+    valid, r, buf, done, rejl, rejh, knife, _ = jax.lax.while_loop(
+        cond, body, state)
+    return valid, sv_orig, rejl, rejh, knife
 
 
 @functools.partial(jax.jit, static_argnames=("plow", "phigh"))
@@ -594,9 +619,47 @@ def reject_and_mean(vals: Array, rejection: str, sig=(3.0, 3.0)):
         valid, v, rejl, rejh = reject_none(vals)
     elif rejection == "sigma_masked":
         valid, v, rejl, rejh = reject_sigma(vals, float(sig[0]), float(sig[1]))
+    elif rejection == "linearfit":
+        valid, v, rejl, rejh, _knife = reject_linearfit(
+            vals, float(sig[0]), float(sig[1]))
     else:
         valid, v, rejl, rejh = _ALGOS[rejection](vals, float(sig[0]), float(sig[1]))
     return _mean_of_survivors(v, valid), rejl, rejh
+
+
+def linearfit_hybrid_block(flat, sig=(3.0, 3.0)):
+    """LINEARFIT hybrid, host level (the linearfit analog of sigma's
+    hybrid): the f32 device kernel decides every pixel, and the rare
+    pixels whose residual/sigma ratio came within LINEARFIT_KNIFE_EPS
+    of the clip threshold — where f32 can flip the C's f64 decision,
+    PARITY.md 7a — are re-run through the literal f64 oracle
+    (verify/oracle.c_reject_block, stacking.c:1750-1783 semantics).
+
+    ``flat``: (F, P) WORD-valued array. Returns numpy
+    ``(mean uint16 (P,), rejlow (P,), rejhigh (P,))``, bit-exact vs the
+    compiled C including counters.
+    """
+    import numpy as np
+
+    flat_np = np.asarray(flat)
+    valid, v, rejl, rejh, knife = reject_linearfit(
+        jnp.asarray(flat_np, jnp.float32), float(sig[0]), float(sig[1]))
+    mean = np.asarray(_mean_of_survivors(v, valid)).copy()
+    rejl = np.asarray(rejl).copy()
+    rejh = np.asarray(rejh).copy()
+    kidx = np.nonzero(np.asarray(knife))[0]
+    if kidx.size:
+        from siriltpu.utils.rounding import np_round_to_word
+        from siriltpu.verify.oracle import c_reject_block
+        for pidx in kidx:
+            surv, crej = c_reject_block(
+                flat_np[:, pidx].astype(np.uint16), "linearfit", sig)
+            mean[pidx] = (np_round_to_word(
+                surv.astype(np.float64).sum() / surv.size)
+                if surv.size else 0)
+            rejl[pidx] = crej[0]
+            rejh[pidx] = crej[1]
+    return mean, rejl, rejh
 
 
 def masked_median(vals: Array) -> Array:
@@ -612,4 +675,5 @@ def masked_median(vals: Array) -> Array:
 
 __all__ = ["reject_and_mean", "masked_median", "reject_sigma",
            "reject_sigmedian", "reject_winsorized", "reject_linearfit",
-           "reject_percentile", "MAX_ITERS"]
+           "reject_percentile", "linearfit_hybrid_block",
+           "LINEARFIT_KNIFE_EPS", "MAX_ITERS"]

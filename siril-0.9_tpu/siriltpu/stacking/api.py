@@ -160,6 +160,27 @@ def _xshift_block(vals: jnp.ndarray, shiftx: jnp.ndarray,
 
 @functools.lru_cache(maxsize=None)
 def _make_block_kernel(mode: str, rejection: str, sig: Tuple[float, float]):
+    if rejection == "linearfit":
+        # linearfit is a HYBRID (like sigma): the kernel also returns
+        # per-pixel counters and the knife-edge mask so the host can
+        # re-run flagged pixels through the f64 oracle (PARITY.md 7a)
+        from siriltpu.ops.rejection import (_mean_of_survivors,
+                                            reject_linearfit)
+
+        @jax.jit
+        def lf_kernel(block_u16, coeffs, shiftx):
+            norm = _normalize_block(block_u16, coeffs, mode)
+            shifted = _xshift_block(block_u16, shiftx, norm)
+            f, bh, w = shifted.shape
+            flat = shifted.reshape(f, bh * w)
+            valid, v, rl, rh, knife = reject_linearfit(
+                flat, float(sig[0]), float(sig[1]))
+            out = _mean_of_survivors(v, valid)
+            return (out.reshape(bh, w), rl.reshape(bh, w),
+                    rh.reshape(bh, w), knife.reshape(bh, w))
+
+        return lf_kernel
+
     @jax.jit
     def kernel(block_u16, coeffs, shiftx):
         norm = _normalize_block(block_u16, coeffs, mode)
@@ -172,6 +193,34 @@ def _make_block_kernel(mode: str, rejection: str, sig: Tuple[float, float]):
                 jnp.sum(rejh, dtype=jnp.int32))
 
     return kernel
+
+
+def _linearfit_fixup(host_block: np.ndarray, off, mul, scale,
+                     shifts_x: np.ndarray, knife: np.ndarray,
+                     out_rows: np.ndarray, rl_map: np.ndarray,
+                     rh_map: np.ndarray, sig, mode: str) -> None:
+    """Re-run knife-edge pixels of one block through the literal f64
+    oracle (normalization stacking.c:1635-1651 + linearfit rejection
+    :1750-1783), in place. ``host_block`` is the y-shifted uint16
+    (F, Bh, W) block the kernel consumed."""
+    from siriltpu.utils.rounding import np_round_to_word
+    from siriltpu.verify.oracle import (c_reject_block,
+                                        normalize_pixel_vector)
+
+    f, bh, w = host_block.shape
+    ys, xs = np.nonzero(knife)
+    for y, x in zip(ys, xs):
+        vec = np.zeros(f, np.uint16)
+        for i in range(f):
+            ix = x - int(shifts_x[i])
+            if 0 <= ix < w:
+                vec[i] = normalize_pixel_vector(
+                    host_block[i, y, ix], mode, scale[i], off[i], mul[i])
+        surv, crej = c_reject_block(vec, "linearfit", sig)
+        out_rows[y, x] = (np_round_to_word(
+            surv.astype(np.float64).sum() / surv.size) if surv.size else 0)
+        rl_map[y, x] = crej[0]
+        rh_map[y, x] = crej[1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -362,10 +411,23 @@ def stack_frames(frames: np.ndarray, *, method: str = "mean",
         for r0 in range(0, h, block_rows):
             r1 = min(r0 + block_rows, h)
             block = _gather_block_rows(frames, ch, r0, r1, shifts[:, 1])
-            o, rl, rh = kernel(jnp.asarray(block), coeff_arr, sx)
-            out[ch, r0:r1] = np.asarray(o)
-            rejl[ch] += int(rl)
-            rejh[ch] += int(rh)
+            if rejection == "linearfit":
+                o, rlm, rhm, km = kernel(jnp.asarray(block), coeff_arr, sx)
+                o = np.asarray(o).copy()
+                rlm = np.asarray(rlm).copy()
+                rhm = np.asarray(rhm).copy()
+                km = np.asarray(km)
+                if km.any():
+                    _linearfit_fixup(block, off, mul, scale, shifts[:, 0],
+                                     km, o, rlm, rhm, sig, normalize)
+                out[ch, r0:r1] = o
+                rejl[ch] += int(rlm.sum())
+                rejh[ch] += int(rhm.sum())
+            else:
+                o, rl, rh = kernel(jnp.asarray(block), coeff_arr, sx)
+                out[ch, r0:r1] = np.asarray(o)
+                rejl[ch] += int(rl)
+                rejh[ch] += int(rh)
     return StackResult(out, rejl, rejh, f * c * h * w)
 
 
@@ -442,21 +504,37 @@ def _stack_sequence_streaming(seq, indices, shifts, *, method: str,
               for ch in range(c) for r0 in range(0, h, block_rows)]
     sy_med = np.zeros(f, np.int32)
 
+    keep_host = method == "mean" and rejection == "linearfit"
+
     def load(task):
         ch, r0, r1 = task
         sy = sy_med if method == "median" else shifts[:, 1]
         host = _gather_block_rows_from_seq(seq, ch, r0, r1, indices, sy)
-        return jax.device_put(host)  # async H2D; returns immediately
+        # async H2D; returns immediately (host kept for the linearfit
+        # oracle fixup, which reads flagged pixels back off the block)
+        return host if keep_host else None, jax.device_put(host)
 
     import concurrent.futures as cf
     with cf.ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(load, blocks[0])
         for bi, (ch, r0, r1) in enumerate(blocks):
-            dev = fut.result()
+            host, dev = fut.result()
             if bi + 1 < len(blocks):
                 fut = pool.submit(load, blocks[bi + 1])
             if method == "median":
                 out[ch, r0:r1] = np.asarray(median_kernel(dev, coeff_arr))
+            elif rejection == "linearfit":
+                o, rlm, rhm, km = mean_kernel(dev, coeff_arr, sx)
+                o = np.asarray(o).copy()
+                rlm = np.asarray(rlm).copy()
+                rhm = np.asarray(rhm).copy()
+                km = np.asarray(km)
+                if km.any():
+                    _linearfit_fixup(host, off, mul, scale, shifts[:, 0],
+                                     km, o, rlm, rhm, sig, normalize)
+                out[ch, r0:r1] = o
+                rejl[ch] += int(rlm.sum())
+                rejh[ch] += int(rhm.sum())
             else:
                 o, rl, rh = mean_kernel(dev, coeff_arr, sx)
                 out[ch, r0:r1] = np.asarray(o)

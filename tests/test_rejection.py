@@ -303,3 +303,34 @@ def test_linearfit_only_ties_deviate():
             real_bugs.append((pidx, flat[:, pidx].tolist(), mmin))
     assert not real_bugs, \
         f"non-tie linearfit mismatches (real bugs): {real_bugs[:3]}"
+
+
+def test_linearfit_stack_hybrid_hard_values():
+    """stack_frames with linearfit runs the hybrid fixup: pathological
+    near-saturated stacks (PARITY.md 7a's 8-LSB flip territory) come out
+    exact vs the f64 oracle, counters included."""
+    import numpy as np
+    from siriltpu.stacking.api import stack_frames
+    from siriltpu.verify import oracle
+    from siriltpu.utils.rounding import np_round_to_word
+
+    rng = np.random.default_rng(8)
+    F, h, w = 10, 8, 24
+    frames = np.where(rng.random((F, 1, h, w)) < 0.3, 65535,
+                      np.clip(65535 - rng.exponential(20, (F, 1, h, w)),
+                              65400, 65535)).astype(np.uint16)
+    sig = (3.0, 3.0)
+    res = stack_frames(frames, method="mean", rejection="linearfit", sig=sig)
+    want_rl = want_rh = 0
+    for y in range(h):
+        for x in range(w):
+            surv, crej = oracle.c_reject_block(
+                frames[:, 0, y, x], "linearfit", sig)
+            want = (np_round_to_word(
+                surv.astype(np.float64).sum() / surv.size)
+                if surv.size else 0)
+            assert int(res.data[0, y, x]) == int(want), (y, x)
+            want_rl += crej[0]
+            want_rh += crej[1]
+    assert int(res.rejection_low[0]) == want_rl
+    assert int(res.rejection_high[0]) == want_rh
