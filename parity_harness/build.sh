@@ -184,3 +184,20 @@ gcc build/*.o -lm -o build/gen_goldens
 
 ./build/gen_goldens "$OUT"
 ls -la "$OUT"
+
+# --- suite 20: the bundled OpenCV-2 RANSAC findHomography, verbatim
+# (fundam.cpp homography path + modelest.cpp RANSAC machinery + the
+# CvLevMarq refine solver from calibration.cpp) against the cvcore shim
+# (shim/opencv/cvcore.hpp: exact MWC RNG; symmetric Jacobi eigen/SVD)
+FH=$REF/opencv/findHomography
+sed -n '51,81p'   "$FH/_modelest.h"    > gen/modelest_decl.inc
+sed -n '376,410p' "$FH/calib3d.hpp"    > gen/levmarq_decl.inc
+sed -n '54,361p'  "$FH/modelest.cpp"   > gen/modelest_body.inc
+sed -n '61,300p'  "$FH/calibration.cpp" > gen/levmarq_body.inc
+sed -n '48,291p'  "$FH/fundam.cpp"     > gen/fundam_homography.inc
+grep -q 'runRANSAC' gen/modelest_body.inc
+grep -q 'cvFindHomography' gen/fundam_homography.inc
+grep -q 'CvLevMarq::step' gen/levmarq_body.inc
+g++ -O2 -std=c++14 -fno-fast-math -ffp-contract=off -I. \
+    harness_homography.cpp -o build/harness_homography
+./build/harness_homography "$OUT/c_homography.bin"
