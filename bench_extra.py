@@ -207,6 +207,43 @@ def main():
     report(f"global star alignment {Fg}x{Wg}x{Hg} (frames/s)", Fg / dt,
            unit="frames/s")
 
+    # config 5 END-TO-END: the full chain as ONE pipeline call
+    # (pipelines/full.py): SER convert -> per-frame bgextract ->
+    # register -> rejection stack -> autostretch -> FITS, on a 6Kx4K
+    # RGB SER on disk. Reported as whole-chain frames/s incl. ALL I/O.
+    from siriltpu.io.ser import SER_RGB, SerFile
+    from siriltpu.pipelines.full import config5_pipeline
+    H5, W5 = dim(4096), dim(6144)
+    F5 = max(4, int(8 * max(SCALE, 0.1)))
+    t5dir = tempfile.mkdtemp()
+    path5 = os.path.join(t5dir, "lights.ser")
+    ser5 = SerFile.create(path5, width=W5, height=H5, color_id=SER_RGB)
+    sbase = np.column_stack([
+        rng.uniform(40, W5 - 40, 400), rng.uniform(40, H5 - 40, 400),
+        rng.uniform(9000, 30000, 400), rng.uniform(3.5, 6.0, 400)])
+    yy5, xx5 = np.mgrid[0:H5, 0:W5]
+    grad5 = (0.04 * (xx5 * 65535.0 / W5) + 0.02 * (yy5 * 65535.0 / H5))
+    from siriltpu.testing.synth import starfield
+    for i in range(F5):
+        st = sbase.copy()
+        st[:, 0] += rng.uniform(-5, 5)
+        st[:, 1] += rng.uniform(-5, 5)
+        mono5, _ = starfield(H5, W5, 400, seed=11, background=800,
+                             noise_sigma=6.0, stars=st)
+        fr5 = np.clip(np.repeat(mono5.astype(np.float32), 3, axis=0)
+                      + grad5[None], 0, 65535).astype(np.uint16)
+        ser5.write_frame(Frame(fr5))
+    ser5.write_and_close()
+    t0 = time.perf_counter()
+    rep5 = config5_pipeline(path5, layer=1, rejection="winsorized")
+    dt = time.perf_counter() - t0
+    assert rep5.failed == 0, rep5
+    stages = {k: round(v, 2) for k, v in rep5.stage_seconds.items()}
+    print(json.dumps({"metric": f"config5 FULL CHAIN {F5}x{W5}x{H5} RGB "
+                                "(frames/s incl. I/O)",
+                      "value": round(F5 / dt, 4), "unit": "frames/s",
+                      "stages_s": stages}))
+
 
 if __name__ == "__main__":
     main()

@@ -152,9 +152,11 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
     new_regparam: List[RegData] = []
     new_ser = None
     if write_output and seq.seqtype == "ser" and not translation_only:
+        from siriltpu.io.ser import SER_MONO, SER_RGB
         new_ser = SerFile.create(
             os.path.join(seq.seq_dir, report.new_seqname + ".ser"),
-            width=out_w, height=out_h)
+            width=out_w, height=out_h,
+            color_id=SER_RGB if ref_frame.nlayers == 3 else SER_MONO)
 
     def _emit(warped: Frame, fidx: int, fwhm_val: float):
         if output_frames is not None:

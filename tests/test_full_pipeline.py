@@ -94,3 +94,86 @@ def test_config5_full_pipeline(tmp_path):
     one = fits_io.read_fits(os.path.join(d, "bkg_001.fit")).data[1]
     patch = np.s_[5:60, 5:60]
     assert g[patch].std() < one.astype(np.float64)[patch].std()
+
+
+def test_config5_chain_end_to_end(tmp_path):
+    """The BASELINE config-5 chain as ONE call (pipelines/full.py):
+    SER convert -> per-frame bgextract -> global-star register ->
+    rejection stack -> autostretch -> FITS. Reduced scale; every stage's
+    effect is asserted, and the final image equals composing the SAME
+    anchored stage functions by hand (the pipeline adds wiring, not
+    math)."""
+    import numpy as np
+    from siriltpu.core.frame import Frame
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.ser import SER_RGB, SerFile
+    from siriltpu.io.sequence import ser_sequence
+    from siriltpu.ops.background import subtract_background
+    from siriltpu.ops.histogram_ops import autostretch
+    from siriltpu.pipelines.full import config5_pipeline
+    from siriltpu.stacking.api import stack_frames
+    from siriltpu.testing.synth import starfield
+
+    h, w, nframes = 128, 160, 4
+    rng = np.random.default_rng(42)
+    base = np.column_stack([
+        rng.uniform(20, w - 20, 18), rng.uniform(20, h - 20, 18),
+        rng.uniform(9000, 30000, 18), rng.uniform(3.5, 5.5, 18)])
+    yy, xx = np.mgrid[0:h, 0:w]
+    gradient = 0.06 * (xx * 65535 / w) + 0.03 * (yy * 65535 / h)
+
+    d = str(tmp_path)
+    path = f"{d}/lights.ser"
+    ser = SerFile.create(path, width=w, height=h, color_id=SER_RGB)
+    for i in range(nframes):
+        st = base.copy()
+        st[:, 0] += [0, 3, -2, 4][i]
+        st[:, 1] += [0, -2, 3, 1][i]
+        mono, _ = starfield(h, w, 18, seed=42, background=700,
+                            noise_sigma=5.0, stars=st)
+        frame = np.clip(
+            np.repeat(mono.astype(np.float64), 3, axis=0) + gradient[None],
+            0, 65535).astype(np.uint16)
+        ser.write_frame(Frame(frame))
+    ser.write_and_close()
+
+    # order 2: a quartic surface is ill-posed on a 128x160 test image
+    # (10x10 overlapping 20-px boxes); real 6K frames use the default 4
+    rep = config5_pipeline(path, layer=1, rejection="winsorized",
+                           bg_order=2)
+    assert rep.frames == nframes
+    assert rep.failed == 0 and rep.registered == nframes
+    assert set(rep.stage_seconds) == {"convert", "bgextract", "register",
+                                      "stack", "autostretch", "save"}
+    out = fits_io.read_fits(rep.output_path)
+    assert out.data.shape == (3, h, w)
+
+    # autostretch target: background lands near 0.25 * 65535
+    # (TARGET_BACKGROUND, histogram.c:33-34)
+    med = np.median(out.data)
+    assert 0.15 * 65535 < med < 0.40 * 65535
+
+    # the chain == hand-composed stages (same functions the verbs run)
+    seq = ser_sequence(path)
+    from siriltpu.ops.background import BackgroundParams
+    bg_frames = [subtract_background(seq.read_frame(i).data,
+                                     BackgroundParams(order=2))
+                 for i in range(nframes)]
+    rseq = ser_sequence(f"{d}/r_bkg_lights.ser")
+    regged = np.stack([rseq.read_frame(i).data for i in range(nframes)])
+    res = stack_frames(regged, method="mean", rejection="winsorized")
+    want = autostretch(res.data)
+    np.testing.assert_array_equal(out.data, want)
+
+    # background gradient actually removed before stacking: the bkg_
+    # intermediate's corner-to-corner spread collapses
+    bseq = ser_sequence(f"{d}/bkg_lights.ser")
+    b0 = bseq.read_frame(0).data[0].astype(np.float64)
+    raw0 = seq.read_frame(0).data[0].astype(np.float64)
+    def spread(img):
+        return abs(np.median(img[:20, :20]) - np.median(img[-20:, -20:]))
+    assert spread(b0) < 0.1 * spread(raw0)
+
+    # alignment: stars stay sharp through the stack (the registered
+    # stack's peak is close to a single frame's peak)
+    assert res.data[1].max() > 0.7 * bg_frames[0][1].max()
