@@ -273,6 +273,118 @@ def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
     return cfa, pattern
 
 
+# Canon CR2 container tags
+T_EXIF_IFD = 0x8769
+T_MAKERNOTE = 0x927C
+T_CR2_SLICES = 0xC640       # [count, slice_width, last_slice_width]
+T_CANON_SENSORINFO = 0x00E0  # shorts: [n, W, H, ?, ?, left, top, right, bottom]
+
+
+def read_cr2_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a Canon CR2 raw natively: TIFF container + lossless-JPEG
+    (SOF3) strip through native/lj92.cpp, then the CR2 column-slice
+    reassembly and the Canon SensorInfo active-area crop.
+
+    The reference decodes CR2 via libraw (``readraw_in_cfa``,
+    image_formats_libraries.c:830); without libraw this reproduces the
+    documented dcraw CR2 layout: the raw lives in the LAST chained IFD
+    (compression = 6, old-JPEG) as one lossless-JPEG strip whose decoded
+    rows, W_jpeg x ncomp samples wide, fill the sensor raster in
+    VERTICAL SLICES given by tag 0xc640 ([count, width, last_width]);
+    the active area is cut by the Canon MakerNote SensorInfo borders
+    (tag 0xe0: left/top/right/bottom, inclusive). The Bayer pattern is
+    the reference's per-vendor table value for cr2: RGGB
+    (conversion.c:53).
+
+    Returns (cfa uint16 (H, W) top-down, "RGGB").
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    if buf[8:10] != b"CR":
+        raise ValueError(f"{path}: not a CR2 (missing CR magic)")
+
+    raw_tags = None
+    exif_off = None
+    try:
+        for tags in t.all_ifds():
+            if T_EXIF_IFD in tags and exif_off is None:
+                exif_off = int(np.atleast_1d(tags[T_EXIF_IFD])[0])
+            comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [0]))[0])
+            if comp == 6 and T_STRIP_OFFSETS in tags:
+                raw_tags = tags
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"{path}: corrupt CR2 structure ({e})") from e
+    if raw_tags is None:
+        raise ValueError(f"{path}: no lossless-JPEG raw IFD found")
+
+    off = int(np.atleast_1d(raw_tags[T_STRIP_OFFSETS])[0])
+    cnt = int(np.atleast_1d(raw_tags[T_STRIP_COUNTS])[0])
+    blob = buf[off: off + cnt]
+    # size the output from the SOF3 frame header (FFC3: P, H, W, Nf)
+    sof = blob.find(b"\xff\xc3")
+    if sof < 0 or sof + 10 > len(blob):
+        raise ValueError(f"{path}: raw strip has no SOF3 frame")
+    _, jph, jpw, jpn = struct.unpack_from(">BHHB", blob, sof + 4)
+    dec, ncomp = decode_lossless_jpeg(blob, jph * jpw * jpn)
+    jh, jw = dec.shape  # jw = jpeg width * ncomp = sensor row samples
+    flat = dec.ravel()
+
+    slices = np.atleast_1d(raw_tags.get(T_CR2_SLICES, np.array([], np.uint16)))
+    if slices.size >= 3 and int(slices[0]) > 0:
+        n_sl, w_sl, w_last = int(slices[0]), int(slices[1]), int(slices[2])
+        if n_sl * w_sl + w_last != jw:
+            raise ValueError(
+                f"{path}: slice table {n_sl}x{w_sl}+{w_last} != row "
+                f"width {jw}")
+        raster = np.empty((jh, jw), np.uint16)
+        pos = 0
+        col = 0
+        for k in range(n_sl + 1):
+            wk = w_sl if k < n_sl else w_last
+            raster[:, col: col + wk] = \
+                flat[pos: pos + jh * wk].reshape(jh, wk)
+            pos += jh * wk
+            col += wk
+    else:
+        raster = flat.reshape(jh, jw)
+
+    # Canon SensorInfo crop (EXIF IFD -> MakerNote, an IFD with
+    # absolute offsets; borders inclusive)
+    if exif_off:
+        try:
+            exif_tags, _ = t.read_ifd(exif_off)
+            mn = exif_tags.get(T_MAKERNOTE)
+            if mn is not None:
+                # locate the makernote bytes to get their file offset:
+                # re-read the EXIF IFD entries raw to find the pointer
+                n = struct.unpack_from(t.e + "H", buf, exif_off)[0]
+                mn_off = None
+                for i in range(n):
+                    base = exif_off + 2 + 12 * i
+                    tag, typ, count = struct.unpack_from(
+                        t.e + "HHI", buf, base)
+                    if tag == T_MAKERNOTE:
+                        mn_off = struct.unpack_from(
+                            t.e + "I", buf, base + 8)[0]
+                        break
+                if mn_off:
+                    mk_tags, _ = t.read_ifd(mn_off)
+                    si = np.atleast_1d(
+                        mk_tags.get(T_CANON_SENSORINFO, np.array([])))
+                    if si.size >= 9:
+                        left, top = int(si[5]), int(si[6])
+                        right, bottom = int(si[7]), int(si[8])
+                        if 0 <= left < right < jw and 0 <= top < bottom < jh:
+                            raster = raster[top: bottom + 1,
+                                            left: right + 1]
+        except (struct.error, IndexError):
+            pass  # no/foreign makernote: keep the full raster
+
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return np.ascontiguousarray(raster), RAW_EXTENSIONS["cr2"]
+
+
 def _rawpy_cfa(path: str) -> Tuple[np.ndarray, str]:
     """readraw_in_cfa semantics through rawpy/libraw: visible-area crop,
     pattern from the filter descriptor."""
@@ -301,12 +413,16 @@ def read_raw_cfa(path: str) -> Frame:
         import rawpy  # noqa: F401
         cfa, pattern = _rawpy_cfa(path)
     except ImportError:
-        if not path.lower().endswith(".dng"):
+        low = path.lower()
+        if low.endswith(".dng"):
+            cfa, pattern = read_dng_cfa(path)
+        elif low.endswith(".cr2"):
+            cfa, pattern = read_cr2_cfa(path)
+        else:
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
-                f"requires rawpy/libraw (absent); only DNG (uncompressed "
-                f"or lossless-JPEG) has a built-in decoder")
-        cfa, pattern = read_dng_cfa(path)
+                f"requires rawpy/libraw (absent); built-in decoders "
+                f"cover DNG (uncompressed or lossless-JPEG) and CR2")
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern
     return frame

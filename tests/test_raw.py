@@ -388,3 +388,81 @@ def test_malformed_dng_fails_cleanly(tmp_path):
             raise AssertionError(f"{name}: expected ValueError")
         except ValueError:
             pass
+
+
+# --------------------------------------------------------------- CR2 native
+
+def test_cr2_roundtrip_plain(tmp_path):
+    """Synthetic CR2 (one slice) -> native decode == planted CFA."""
+    from siriltpu.io.raw import read_cr2_cfa
+    from siriltpu.testing.cr2 import write_cr2
+
+    rng = np.random.default_rng(10)
+    cfa = rng.integers(0, 1 << 14, (64, 96)).astype(np.uint16)
+    p = str(tmp_path / "synth.cr2")
+    write_cr2(p, cfa)
+    got, pattern = read_cr2_cfa(p)
+    assert pattern == "RGGB"  # conversion.c:53 vendor table
+    np.testing.assert_array_equal(got, cfa)
+
+
+def test_cr2_roundtrip_sliced(tmp_path):
+    """The dcraw CR2 vertical-slice layout (tag 0xc640): decoded scan
+    order fills column slices; reassembly must restore the raster."""
+    from siriltpu.io.raw import read_cr2_cfa
+    from siriltpu.testing.cr2 import write_cr2
+
+    rng = np.random.default_rng(11)
+    h, w = 48, 120  # 2 slices of 48 + last of 24
+    cfa = rng.integers(0, 1 << 14, (h, w)).astype(np.uint16)
+    p = str(tmp_path / "sliced.cr2")
+    write_cr2(p, cfa, slices=(2, 48, 24))
+    got, _ = read_cr2_cfa(p)
+    np.testing.assert_array_equal(got, cfa)
+
+
+def test_cr2_sensorinfo_crop(tmp_path):
+    """Canon MakerNote SensorInfo borders crop the active area."""
+    from siriltpu.io.raw import read_cr2_cfa
+    from siriltpu.testing.cr2 import write_cr2
+
+    rng = np.random.default_rng(12)
+    h, w = 72, 104
+    full = rng.integers(0, 1 << 14, (h, w)).astype(np.uint16)
+    left, top, right, bottom = 8, 6, 95, 65  # even offsets keep phase
+    p = str(tmp_path / "crop.cr2")
+    write_cr2(p, full, borders=(left, top, right, bottom))
+    got, _ = read_cr2_cfa(p)
+    np.testing.assert_array_equal(got, full[top: bottom + 1,
+                                            left: right + 1])
+
+
+def test_cr2_through_conversion(tmp_path):
+    """`convert` ingests .CR2: read_raw_cfa falls back to the native
+    decoder (rawpy absent), bayer pattern from the vendor table, frame
+    flipped bottom-up like open_raw_files
+    (image_formats_libraries.c:989)."""
+    from siriltpu.io.raw import read_raw_cfa
+    from siriltpu.testing.cr2 import write_cr2
+
+    rng = np.random.default_rng(13)
+    cfa = rng.integers(0, 1 << 14, (32, 64)).astype(np.uint16)
+    p = str(tmp_path / "ingest.cr2")
+    write_cr2(p, cfa)
+    frame = read_raw_cfa(p)
+    assert frame.meta["bayer_pattern"] == "RGGB"
+    np.testing.assert_array_equal(frame.data[0], cfa[::-1])
+
+
+def test_cr2_extreme_diffs(tmp_path):
+    """Full 16-bit swings incl. the SSSS=16 escape (diff == +-32768)."""
+    from siriltpu.io.raw import read_cr2_cfa
+    from siriltpu.testing.cr2 import write_cr2
+
+    cfa = np.zeros((8, 16), np.uint16)
+    cfa[::2, ::2] = 65535
+    cfa[1::2, 1::2] = 32768
+    p = str(tmp_path / "extreme.cr2")
+    write_cr2(p, cfa, precision=16)
+    got, _ = read_cr2_cfa(p)
+    np.testing.assert_array_equal(got, cfa)
