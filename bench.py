@@ -41,10 +41,19 @@ def main():
         # congestion), with min/max alongside for spread visibility
         nruns = int(os.environ.get("BENCH_RUNS", "3"))
         reps = int(os.environ.get("BENCH_REPEATS", "10"))
-        runs = sorted(bench.run(repeats=reps) for _ in range(max(nruns, 1)))
+        runs = []
+        drain = None
+        for i in range(max(nruns, 1)):
+            if i == 0:
+                fps_i, drain = bench.run(repeats=reps, with_drain_stats=True)
+            else:
+                fps_i = bench.run(repeats=reps)
+            runs.append(fps_i)
+        runs.sort()
         fps = runs[len(runs) // 2]
         extra = {"runs_min": round(runs[0], 2),
-                 "runs_max": round(runs[-1], 2), "n_runs": len(runs)}
+                 "runs_max": round(runs[-1], 2), "n_runs": len(runs),
+                 **(drain or {})}
         metric = "register+sigma-clip-stack 4Kx4K mono"
     except ImportError:
         # fallback: sum-stack throughput (pre-M2/M3 milestone)

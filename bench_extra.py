@@ -207,6 +207,52 @@ def main():
     report(f"global star alignment {Fg}x{Wg}x{Hg} (frames/s)", Fg / dt,
            unit="frames/s")
 
+    # config 4 FILE-BACKED: the chunked register path end-to-end from a
+    # SER on disk (loader thread -> batched star find -> host match ->
+    # batched warp -> SER write-back). Every frame crosses the host link
+    # twice (upload for star-find+warp, download of the warped frame),
+    # so on this ~35 MB/s tunnel the ceiling is link-bound; the link-
+    # saturation proof compares achieved payload MB/s against the RAW
+    # link rate measured with a bare device_put of the same buffer.
+    from siriltpu.io.sequence import ser_sequence as _ser_seq
+    Fc4, Hc4, Wc4 = int(12 * max(SCALE, 0.1)), dim(2048), dim(3072)
+    c4dir = tempfile.mkdtemp()
+    c4path = os.path.join(c4dir, "dslr.ser")
+    ser4 = SerFile.create(c4path, width=Wc4, height=Hc4)
+    c4base = np.column_stack([
+        rng.uniform(40, Wc4 - 40, 150), rng.uniform(40, Hc4 - 40, 150),
+        rng.uniform(9000, 30000, 150), rng.uniform(3.5, 6.0, 150)])
+    from siriltpu.testing.synth import starfield as _sf
+    for i in range(Fc4):
+        st = c4base.copy()
+        st[:, 0] += rng.uniform(-6, 6)
+        st[:, 1] += rng.uniform(-6, 6)
+        m4, _ = _sf(Hc4, Wc4, 150, seed=21, background=850,
+                    noise_sigma=6.0, stars=st)
+        ser4.write_frame(Frame(m4))
+    ser4.write_and_close()
+    # raw link rate: one frame-sized buffer, device_put + scalar sync
+    buf = np.zeros((Hc4, Wc4), np.uint16)
+    dev = jax.device_put(buf); _ = float(dev[0, 0])
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf); _ = float(dev[0, 0])
+    raw_mbps = buf.nbytes / (time.perf_counter() - t0) / 1e6
+    seq4 = _ser_seq(c4path)
+    from siriltpu.registration.global_star import register_global_star as _rgs
+    t0 = time.perf_counter()
+    rep4 = _rgs(seq4, 0)
+    dt = time.perf_counter() - t0
+    assert rep4.failed == 0, rep4
+    payload = 2 * Fc4 * Hc4 * Wc4 * 2  # up + down, uint16
+    ach_mbps = payload / dt / 1e6
+    print(json.dumps({
+        "metric": f"config4 FILE-BACKED global alignment {Fc4}x{Wc4}x{Hc4} "
+                  "SER->register->SER (frames/s)",
+        "value": round(Fc4 / dt, 3), "unit": "frames/s",
+        "payload_mbps": round(ach_mbps, 1),
+        "raw_link_mbps": round(raw_mbps, 1),
+        "link_saturation": round(ach_mbps / raw_mbps, 3)}))
+
     # config 5 END-TO-END: the full chain as ONE pipeline call
     # (pipelines/full.py): SER convert -> per-frame bgextract ->
     # register -> rejection stack -> autostretch -> FITS, on a 6Kx4K

@@ -273,6 +273,62 @@ def read_dng_cfa(path: str) -> Tuple[np.ndarray, str]:
     return cfa, pattern
 
 
+def read_tiffraw_cfa(path: str, ext: str) -> Tuple[np.ndarray, str]:
+    """Generic TIFF-container raw with UNCOMPRESSED packed strips — the
+    layout of uncompressed NEF/ARW/PEF/ORF variants (vendors offering a
+    "14-bit uncompressed" mode store plain TIFF strips of MSB-packed
+    samples in a SubIFD). The raw IFD is the largest strip-based IFD
+    with compression 1 and 10/12/14/16-bit samples; the Bayer pattern
+    comes from the reference's per-vendor table (conversion.c:51-74 —
+    the reference trusts that table too, use_bayer_header semantics).
+
+    Compressed vendor formats (NEF lossy/lossless trees, Sony ARW
+    cRAW) still need libraw/rawpy — raised as a clear error.
+    """
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+
+    pattern = RAW_EXTENSIONS.get(ext)
+    if not pattern:
+        raise ValueError(f"{path}: no Bayer pattern known for .{ext}")
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    best = None
+    best_px = 0
+    try:
+        for tags in t.all_ifds():
+            if T_STRIP_OFFSETS not in tags or T_WIDTH not in tags:
+                continue
+            comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [1]))[0])
+            bits = int(np.atleast_1d(tags.get(T_BITS, [0]))[0])
+            w = int(np.atleast_1d(tags[T_WIDTH])[0])
+            h = int(np.atleast_1d(tags[T_HEIGHT])[0])
+            if comp == 1 and bits in (10, 12, 14, 16) and w * h > best_px:
+                best, best_px = tags, w * h
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"{path}: corrupt TIFF structure ({e})") from e
+    if best is None:
+        raise ValueError(
+            f"{path}: no uncompressed raw IFD found — this .{ext} uses a "
+            f"vendor compression that needs rawpy/libraw")
+    tags = best
+    w = int(np.atleast_1d(tags[T_WIDTH])[0])
+    h = int(np.atleast_1d(tags[T_HEIGHT])[0])
+    bits = int(np.atleast_1d(tags[T_BITS])[0])
+    offs = np.atleast_1d(tags[T_STRIP_OFFSETS]).astype(np.int64)
+    cnts = np.atleast_1d(tags[T_STRIP_COUNTS]).astype(np.int64)
+    rps = int(np.atleast_1d(tags.get(T_ROWS_PER_STRIP, [h]))[0])
+    out = np.zeros(h * w, dtype=np.uint16)
+    pos = 0
+    for si in range(len(offs)):
+        rows = min(rps, h - si * rps)
+        data = np.frombuffer(buf, np.uint8, int(cnts[si]), int(offs[si]))
+        out[pos: pos + rows * w] = _unpack_bits(
+            data, bits, rows * w, t.e == "<").ravel()
+        pos += rows * w
+    return out.reshape(h, w), pattern
+
+
 # Canon CR2 container tags
 T_EXIF_IFD = 0x8769
 T_MAKERNOTE = 0x927C
@@ -414,15 +470,20 @@ def read_raw_cfa(path: str) -> Frame:
         cfa, pattern = _rawpy_cfa(path)
     except ImportError:
         low = path.lower()
-        if low.endswith(".dng"):
+        ext = low.rsplit(".", 1)[-1] if "." in low else ""
+        if ext == "dng":
             cfa, pattern = read_dng_cfa(path)
-        elif low.endswith(".cr2"):
+        elif ext == "cr2":
             cfa, pattern = read_cr2_cfa(path)
+        elif ext in ("nef", "nrw", "arw", "pef", "orf", "srw", "erf",
+                     "mef", "mrw", "raw"):
+            cfa, pattern = read_tiffraw_cfa(path, ext)
         else:
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
                 f"requires rawpy/libraw (absent); built-in decoders "
-                f"cover DNG (uncompressed or lossless-JPEG) and CR2")
+                f"cover DNG (uncompressed or lossless-JPEG), CR2, and "
+                f"uncompressed TIFF-strip raws (NEF/ARW/PEF/...)")
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern
     return frame

@@ -466,3 +466,115 @@ def test_cr2_extreme_diffs(tmp_path):
     write_cr2(p, cfa, precision=16)
     got, _ = read_cr2_cfa(p)
     np.testing.assert_array_equal(got, cfa)
+
+
+# ---------------------------------------------- uncompressed TIFF raws
+
+def _write_tiff_raw(path, cfa, bits=14, strips=2):
+    """Minimal NEF-style TIFF: IFD0 chains to a raw IFD with
+    uncompressed MSB-packed strips."""
+    import struct
+    h, w = cfa.shape
+    e = "<"
+    # pack samples MSB-first at `bits` per sample, per strip
+    rows_per = (h + strips - 1) // strips
+    strip_bytes = []
+    for s in range(strips):
+        rows = min(rows_per, h - s * rows_per)
+        if rows <= 0:
+            break
+        vals = cfa[s * rows_per: s * rows_per + rows].ravel().astype(np.uint32)
+        bitstream = np.zeros(len(vals) * bits, np.uint8)
+        for b in range(bits):
+            bitstream[b::bits] = (vals >> (bits - 1 - b)) & 1
+        pad = (-len(bitstream)) % 8
+        if pad:
+            bitstream = np.concatenate([bitstream, np.zeros(pad, np.uint8)])
+        strip_bytes.append(np.packbits(bitstream).tobytes())
+
+    nstrip = len(strip_bytes)
+    def ifd(entries, nxt):
+        out = struct.pack(e + "H", len(entries))
+        for tag, typ, count, value in sorted(entries):
+            out += struct.pack(e + "HHI", tag, typ, count) + value
+        return out + struct.pack(e + "I", nxt)
+
+    header = b"II*\0" + struct.pack(e + "I", 8)
+    ifd0_off = 8
+    ifd0_size = 2 + 1 * 12 + 4
+    raw_off = ifd0_off + ifd0_size
+    nentry = 7
+    raw_size = 2 + nentry * 12 + 4
+    arr_off = raw_off + raw_size
+    offs_arr = b""
+    cnts_arr = b""
+    data_off = arr_off + (8 * nstrip if nstrip > 1 else 0)
+    cur = data_off
+    offs, cnts = [], []
+    for sb in strip_bytes:
+        offs.append(cur)
+        cnts.append(len(sb))
+        cur += len(sb)
+    if nstrip > 1:
+        offs_arr = b"".join(struct.pack(e + "I", o) for o in offs)
+        cnts_arr = b"".join(struct.pack(e + "I", c) for c in cnts)
+        off_val = struct.pack(e + "I", arr_off)
+        cnt_val = struct.pack(e + "I", arr_off + 4 * nstrip)
+    else:
+        off_val = struct.pack(e + "I", offs[0])
+        cnt_val = struct.pack(e + "I", cnts[0])
+    ifd0 = ifd([(0x010F, 2, 4, b"NIK\0")], raw_off)
+    raw = ifd([
+        (0x0100, 4, 1, struct.pack(e + "I", w)),
+        (0x0101, 4, 1, struct.pack(e + "I", h)),
+        (0x0102, 3, 1, struct.pack(e + "HH", bits, 0)),
+        (0x0103, 3, 1, struct.pack(e + "HH", 1, 0)),
+        (0x0116, 4, 1, struct.pack(e + "I", rows_per)),
+        (0x0111, 4, nstrip, off_val),
+        (0x0117, 4, nstrip, cnt_val),
+    ], 0)
+    with open(path, "wb") as f:
+        f.write(header + ifd0 + raw + offs_arr + cnts_arr)
+        for sb in strip_bytes:
+            f.write(sb)
+
+
+def test_uncompressed_nef_roundtrip(tmp_path):
+    """Uncompressed 14-bit packed TIFF-strip raw (.nef) decodes to the
+    planted CFA with the vendor-table pattern (conversion.c:63)."""
+    from siriltpu.io.raw import read_raw_cfa
+    rng = np.random.default_rng(20)
+    cfa = rng.integers(0, 1 << 14, (40, 64)).astype(np.uint16)
+    p = str(tmp_path / "shot.nef")
+    _write_tiff_raw(p, cfa, bits=14, strips=3)
+    frame = read_raw_cfa(p)
+    assert frame.meta["bayer_pattern"] == "RGGB"
+    np.testing.assert_array_equal(frame.data[0], cfa[::-1])
+
+
+def test_uncompressed_arw_12bit(tmp_path):
+    from siriltpu.io.raw import read_tiffraw_cfa
+    rng = np.random.default_rng(21)
+    cfa = rng.integers(0, 1 << 12, (24, 32)).astype(np.uint16)
+    p = str(tmp_path / "shot.arw")
+    _write_tiff_raw(p, cfa, bits=12, strips=1)
+    got, pattern = read_tiffraw_cfa(p, "arw")
+    assert pattern == "RGGB"
+    np.testing.assert_array_equal(got, cfa)
+
+
+def test_compressed_vendor_raw_clear_error(tmp_path):
+    """A vendor-compressed raw (no uncompressed IFD) raises the
+    documented actionable error instead of garbage."""
+    import struct
+    from siriltpu.io.raw import read_tiffraw_cfa
+    e = "<"
+    hdr = b"II*\0" + struct.pack(e + "I", 8)
+    ifd = struct.pack(e + "H", 2)
+    ifd += struct.pack(e + "HHI", 0x0100, 4, 1) + struct.pack(e + "I", 64)
+    ifd += struct.pack(e + "HHI", 0x0103, 3, 1) + struct.pack(e + "HH", 34713, 0)
+    ifd += struct.pack(e + "I", 0)
+    p = str(tmp_path / "comp.nef")
+    open(p, "wb").write(hdr + ifd)
+    with pytest.raises(ValueError, match="rawpy|libraw|no uncompressed"):
+        read_tiffraw_cfa(p, "nef")
