@@ -226,3 +226,65 @@ def test_every_command_fails_cleanly_without_state(tmp_path):
         # process_command catches CommandError and returns nonzero;
         # anything else propagating is a failure
         process_command(state, verb)
+
+
+def test_convert_cr2_directory(tmp_path):
+    """`convert` ingests .CR2 files (native decoder, no rawpy) into a
+    Bayer FITS sequence with the vendor pattern in the header."""
+    import numpy as np
+    from siriltpu.cli.main import make_state
+    from siriltpu.cli.commands import process_command
+    from siriltpu.io import fits as fits_io
+    from siriltpu.testing.cr2 import write_cr2
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(30)
+    planted = []
+    for i in range(3):
+        cfa = rng.integers(0, 1 << 14, (32, 48)).astype(np.uint16)
+        planted.append(cfa)
+        write_cr2(f"{d}/IMG_{i:04d}.CR2", cfa)
+    state = make_state(d)
+    assert process_command(state, "convert lights") == 0
+    import glob
+    outs = sorted(glob.glob(f"{d}/lights*.fit*"))
+    assert len(outs) == 3
+    img = fits_io.read_fits(outs[0])
+    assert img.data.shape[0] == 1  # CFA mono
+    np.testing.assert_array_equal(img.data[0], planted[0][::-1])
+
+
+def test_register_global_verb_rgb_ser(tmp_path):
+    """The `register global` verb drives the chunked engine on an RGB
+    SER and produces the aligned r_ SER."""
+    import numpy as np
+    from siriltpu.cli.main import make_state
+    from siriltpu.cli.commands import process_command
+    from siriltpu.core.frame import Frame
+    from siriltpu.io.ser import SER_RGB, SerFile
+    from siriltpu.io.sequence import ser_sequence
+    from siriltpu.testing.synth import starfield
+
+    d = str(tmp_path)
+    h = w = 128
+    rng = np.random.default_rng(31)
+    base = np.column_stack([
+        rng.uniform(20, w - 20, 15), rng.uniform(20, h - 20, 15),
+        rng.uniform(9000, 28000, 15), rng.uniform(4, 6, 15)])
+    ser = SerFile.create(f"{d}/rgbl.ser", width=w, height=h,
+                         color_id=SER_RGB)
+    for i in range(4):
+        st = base.copy()
+        st[:, 0] += [0, 3, -4, 2][i]
+        st[:, 1] += [0, -2, 3, -1][i]
+        mono, _ = starfield(h, w, 15, seed=31, background=880,
+                            noise_sigma=4.0, stars=st)
+        ser.write_frame(Frame(np.repeat(mono, 3, axis=0)))
+    ser.write_and_close()
+    state = make_state(d)
+    assert process_command(state, "seqload rgbl") == 0
+    assert process_command(state, "register global") == 0
+    rseq = ser_sequence(f"{d}/r_rgbl.ser")
+    assert rseq.number == 4
+    fr = rseq.read_frame(1)
+    assert fr.data.shape == (3, h, w)
