@@ -357,3 +357,44 @@ def test_area_resize_fractional_factor_oracle():
     diff = np.abs(out[0].astype(np.int64)
                   - np.clip(np.rint(expect), 0, 65535).astype(np.int64))
     assert diff.max() <= 1
+
+
+def test_register_global_translation_only(tmp_path):
+    """translation_only mode: regdata gets shiftx=+h02, shifty=-h12
+    (registration.c:746-747), no warped sequence is written."""
+    import glob
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.sequence import check_seq
+    from siriltpu.registration.global_star import register_global_star
+    from siriltpu.testing.synth import starfield
+
+    h = w = 128
+    rng = np.random.default_rng(90)
+    base = np.column_stack([
+        rng.uniform(20, w - 20, 15), rng.uniform(20, h - 20, 15),
+        rng.uniform(9000, 28000, 15), rng.uniform(4, 6, 15)])
+    d = str(tmp_path)
+    shifts = [(0, 0), (5, -3), (-4, 2)]
+    for i, (tx, ty) in enumerate(shifts):
+        st = base.copy()
+        st[:, 0] += tx
+        st[:, 1] += ty
+        data, _ = starfield(h, w, 15, seed=90, background=900,
+                            noise_sigma=4.0, stars=st)
+        fits_io.write_fits(f"{d}/tr{i+1:03d}.fit", Frame(data))
+    seq = check_seq(d)[0]
+    rep = register_global_star(seq, 0, translation_only=True)
+    assert rep.failed == 0 and rep.registered == 3
+    reg = seq.regparam[0]
+    # star coords are top-down; frame stars at +tx bottom-up means the
+    # homography frame->ref carries h02 ~ -tx, h12 ~ -(-ty)... assert
+    # the recovered translations undo the planted ones
+    for i, (tx, ty) in enumerate(shifts):
+        H = rep.homographies[i]
+        assert H is not None
+        assert abs(H[0, 2] - (-tx)) < 0.5, (i, H[0, 2], tx)
+        assert abs(H[1, 2] - ty) < 0.5, (i, H[1, 2], ty)  # top-down y
+        assert reg[i].shiftx == int(round(H[0, 2]))
+        assert reg[i].shifty == int(round(-H[1, 2]))
+    # no r_ output in translation mode
+    assert not glob.glob(f"{d}/r_*")
