@@ -201,3 +201,11 @@ grep -q 'CvLevMarq::step' gen/levmarq_body.inc
 g++ -O2 -std=c++14 -fno-fast-math -ffp-contract=off -I. \
     harness_homography.cpp -o build/harness_homography
 ./build/harness_homography "$OUT/c_homography.bin"
+
+# --- suite 21: the bundled ECC aligner, whole TU verbatim, against the
+# mini cv::Mat shim (shim/opencv2/core/core.hpp) — Evangelidis-Psarakis
+# iteration incl. the saturating 16->8-bit convert and translation mode
+g++ -O2 -std=c++14 -fno-fast-math -ffp-contract=off -I shim -I "$REF" \
+    -DHAVE_OPENCV=1 harness_ecc.cpp "$REF/opencv/ecc/ecc.cpp" \
+    -o build/harness_ecc
+./build/harness_ecc "$OUT/c_ecc.bin"
