@@ -139,11 +139,14 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
     q: "queue.Queue" = queue.Queue(maxsize=1)
 
     def _loader():
-        for ck in chunks:
-            frames = [seq.read_frame(i) for i in ck]
-            layers = np.stack([f.layer(layer) for f in frames])
-            q.put((ck, frames, layers))
-        q.put(None)
+        try:
+            for ck in chunks:
+                frames = [seq.read_frame(i) for i in ck]
+                layers = np.stack([f.layer(layer) for f in frames])
+                q.put((ck, frames, layers))
+            q.put(None)
+        except BaseException as e:  # surface read errors in the main loop
+            q.put(e)
 
     loader = threading.Thread(target=_loader, daemon=True)
     loader.start()
@@ -177,6 +180,10 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            if new_ser is not None:
+                new_ser.write_and_close()
+            raise item
         ck, frames, layers = item
         star_lists = peaker_batch(layers, params=sf_params, nmax=2048,
                                   mesh=mesh)

@@ -398,3 +398,25 @@ def test_register_global_translation_only(tmp_path):
         assert reg[i].shifty == int(round(-H[1, 2]))
     # no r_ output in translation mode
     assert not glob.glob(f"{d}/r_*")
+
+
+def test_register_global_read_error_surfaces(tmp_path):
+    """A frame-read failure in the loader thread surfaces as an
+    exception in the caller instead of hanging the chunk loop."""
+    from siriltpu.io import fits as fits_io
+    from siriltpu.io.sequence import check_seq
+    from siriltpu.registration.global_star import register_global_star
+    from siriltpu.testing.synth import starfield
+
+    h = w = 128
+    d = str(tmp_path)
+    for i in range(3):
+        data, _ = starfield(h, w, 15, seed=91, background=900,
+                            noise_sigma=4.0)
+        fits_io.write_fits(f"{d}/er{i+1:03d}.fit", Frame(data))
+    seq = check_seq(d)[0]
+    seq.read_frame(0)  # populate geometry + let the ref frame load
+    import os
+    os.truncate(f"{d}/er003.fit", 100)  # corrupt a later frame
+    with pytest.raises(Exception):
+        register_global_star(seq, 0, write_output=False)
