@@ -34,11 +34,17 @@ def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
     ks = [k for k, _, _ in stages]
 
     def kernel(masks_ref, x_ref, out_ref):
-        # (n_pad, tile); pad rows equal the max value 65535, so after the
-        # sort the prefix of length f_real is multiset-equal to the real
-        # data (even when real data itself contains 65535 -- ties between
-        # real and pad values can only swap equal values).
+        # (f_real, tile) block; pad rows (constant 65535) are appended
+        # IN VMEM so the (n_pad, P) padded copy never exists in HBM —
+        # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
+        # batch. Pad rows equal the max value, so after the sort the
+        # prefix of length f_real is multiset-equal to the real data
+        # (ties between real and pad values can only swap equal values).
         x = x_ref[:].astype(jnp.int32)
+        if n_pad != f_real:
+            x = jnp.concatenate(
+                [x, jnp.full((n_pad - f_real, tile), 65535, jnp.int32)],
+                axis=0)
         for si, k in enumerate(ks):
             lom = masks_ref[2 * si, :][:, None] != 0
             him = masks_ref[2 * si + 1, :][:, None] != 0
@@ -125,9 +131,6 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
     f, p = vals.shape
     assert p % tile == 0, f"P={p} not a multiple of tile={tile}"
     n_pad = 1 << (f - 1).bit_length()
-    if n_pad != f:
-        pad = jnp.full((n_pad - f, p), 65535, vals.dtype)
-        vals = jnp.concatenate([vals, pad], axis=0)
 
     kernel = _make_kernel(f, n_pad, tile, float(siglow), float(sighigh))
     stages = stage_offsets(n_pad)
@@ -142,7 +145,7 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
         in_specs=[
             pl.BlockSpec((2 * len(stages), n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, tile), lambda i: (0, i),
+            pl.BlockSpec((f, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
