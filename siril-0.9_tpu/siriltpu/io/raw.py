@@ -329,6 +329,145 @@ def read_tiffraw_cfa(path: str, ext: str) -> Tuple[np.ndarray, str]:
     return out.reshape(h, w), pattern
 
 
+# Sony ARW (compressed "cRAW"/ARW2) support
+T_SONY_CURVE = 0x7010       # SR2 tone-curve breakpoints (4 shorts)
+SONY_ARW2_COMPRESSION = 32767
+
+
+def sony_tone_curve(breaks=None) -> np.ndarray:
+    """The Sony cRAW decompression tone curve.
+
+    Piecewise-linear with slopes 1,2,4,8,16 between breakpoints taken
+    from the SR2 private tag 0x7010 (stored raw; consumers apply
+    ``>>2 & 0xfff``), defaulting to [0,0,0,0,0,4095] (all-16 slope)
+    when the tag is absent — the documented dcraw/libraw semantics for
+    ``sony_arw2_load_raw``'s ``curve[]``.
+    """
+    sc = [0, 0, 0, 0, 0, 4095]
+    if breaks is not None:
+        vals = [int(b) >> 2 & 0xFFF for b in np.atleast_1d(breaks)[:4]]
+        sc = [0] + vals + [4095]
+    idx = np.arange(0x1000)
+    slope = np.zeros(0x1000, np.uint32)
+    for i in range(5):
+        slope[(idx > sc[i]) & (idx <= sc[i + 1])] = 1 << i
+    slope[idx > sc[5]] = 0  # beyond the last breakpoint: flat (unused)
+    return np.cumsum(slope, dtype=np.uint32)
+
+
+def decode_arw2(strip: bytes, h: int, w: int,
+                curve: np.ndarray) -> np.ndarray:
+    """Decode Sony ARW2 ("cRAW") compressed sensor data, vectorized.
+
+    Layout (the documented dcraw ``sony_arw2_load_raw`` bitstream): one
+    byte per pixel on average; each 16-byte little-endian block encodes
+    16 pixels of ONE Bayer column parity spanning 32 raster columns —
+    an 11-bit max, 11-bit min, their 4-bit indices, and fourteen 7-bit
+    deltas ``(pix-min)>>sh`` where ``sh`` is the smallest shift in 0..4
+    with ``0x80<<sh > max-min``. Even blocks fill even columns of the
+    32-column span, odd blocks the odd columns. Output pixel =
+    ``curve[pix<<1] >> 2``.
+
+    Trailing columns of a row that don't complete a 32-column pair are
+    left 0, matching the reference loop bound (``col < raw_width-30``).
+    """
+    npix = h * w
+    data = np.frombuffer(strip, np.uint8, min(len(strip), npix))
+    if data.size < npix:
+        raise ValueError(f"ARW2 strip too short: {data.size} < {npix}")
+    rows = data.reshape(h, w)
+    nb = (w // 32) * 2          # decoded blocks per row (full pairs)
+    if nb == 0:
+        return np.zeros((h, w), np.uint16)
+    # 18-byte windows per block: the 7-bit fields start at bit 30 and the
+    # byte-wise reads may touch up to 2 bytes past the block (the
+    # reference over-reads into the next block / its +1 padding byte).
+    padded = np.concatenate(
+        [rows, np.zeros((h, 2), np.uint8)], axis=1)
+    starts = np.arange(nb) * 16
+    win = padded[:, starts[:, None] + np.arange(18)[None, :]]
+    blk = win.reshape(h * nb, 18).astype(np.uint32)
+
+    val = blk[:, 0] | blk[:, 1] << 8 | blk[:, 2] << 16 | blk[:, 3] << 24
+    mx = val & 0x7FF
+    mn = (val >> 11) & 0x7FF
+    imax = (val >> 22) & 0xF
+    imin = (val >> 26) & 0xF
+    d = mx.astype(np.int64) - mn.astype(np.int64)
+    sh = np.zeros(blk.shape[0], np.uint32)
+    for s in range(4):
+        sh += ((0x80 << s) <= d)
+
+    # fifteen possible 7-bit fields (the 15th only consumed when
+    # imax == imin, exactly like the reference's bit counter)
+    fields = np.empty((blk.shape[0], 15), np.uint32)
+    for k in range(15):
+        bit = 30 + 7 * k
+        b, s = bit >> 3, bit & 7
+        fields[:, k] = ((blk[:, b] | blk[:, b + 1] << 8) >> s) & 0x7F
+
+    i_idx = np.arange(16)[None, :]
+    is_max = i_idx == imax[:, None]
+    is_min = (i_idx == imin[:, None]) & ~is_max
+    special = is_max | is_min
+    k_for_i = np.cumsum(~special, axis=1) - 1
+    packed = np.take_along_axis(fields, np.maximum(k_for_i, 0), axis=1)
+    pix = np.minimum((packed << sh[:, None]) + mn[:, None], 0x7FF)
+    pix = np.where(is_max, mx[:, None],
+                   np.where(is_min, mn[:, None], pix)).astype(np.int64)
+
+    out = (curve[np.minimum(pix << 1, 0xFFF)] >> 2).astype(np.uint16)
+    img = np.zeros((h, w), np.uint16)
+    pairs = nb // 2
+    g = out.reshape(h, pairs, 2, 16)
+    cols = (32 * np.arange(pairs)[:, None] +
+            2 * np.arange(16)[None, :]).ravel()
+    img[:, cols] = g[:, :, 0, :].reshape(h, -1)       # even blocks
+    img[:, cols + 1] = g[:, :, 1, :].reshape(h, -1)   # odd blocks
+    return img
+
+
+def read_arw2_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a compressed Sony ARW ("cRAW"/ARW2, compression 32767,
+    one byte per pixel) natively. The reference reaches these through
+    libraw (``readraw_in_cfa``, image_formats_libraries.c:830); this
+    reproduces the documented dcraw bitstream + SR2 tone curve (see
+    ``decode_arw2``/``sony_tone_curve``). Pattern: RGGB from the
+    per-vendor table (conversion.c:70)."""
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    raw_tags = None
+    curve_breaks = None
+    try:
+        for tags in t.all_ifds():
+            if T_SONY_CURVE in tags and curve_breaks is None:
+                curve_breaks = tags[T_SONY_CURVE]
+            comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [0]))[0])
+            if comp != SONY_ARW2_COMPRESSION or T_STRIP_OFFSETS not in tags:
+                continue
+            w = int(np.atleast_1d(tags[T_WIDTH])[0])
+            h = int(np.atleast_1d(tags[T_HEIGHT])[0])
+            cnt = int(np.atleast_1d(tags[T_STRIP_COUNTS]).sum())
+            if cnt >= w * h:  # ARW2 signature: one byte per pixel
+                raw_tags = tags
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"{path}: corrupt ARW structure ({e})") from e
+    if raw_tags is None:
+        raise ValueError(
+            f"{path}: no ARW2 raw IFD (compression 32767, 1 byte/px) "
+            f"found — other Sony compressions need rawpy/libraw")
+    w = int(np.atleast_1d(raw_tags[T_WIDTH])[0])
+    h = int(np.atleast_1d(raw_tags[T_HEIGHT])[0])
+    off = int(np.atleast_1d(raw_tags[T_STRIP_OFFSETS])[0])
+    cnt = int(np.atleast_1d(raw_tags[T_STRIP_COUNTS]).sum())
+    cfa = decode_arw2(buf[off: off + cnt], h, w,
+                      sony_tone_curve(curve_breaks))
+    return cfa, RAW_EXTENSIONS["arw"]
+
+
 # Canon CR2 container tags
 T_EXIF_IFD = 0x8769
 T_MAKERNOTE = 0x927C
@@ -475,15 +614,20 @@ def read_raw_cfa(path: str) -> Frame:
             cfa, pattern = read_dng_cfa(path)
         elif ext == "cr2":
             cfa, pattern = read_cr2_cfa(path)
-        elif ext in ("nef", "nrw", "arw", "pef", "orf", "srw", "erf",
+        elif ext in ("arw", "sr2"):
+            try:
+                cfa, pattern = read_tiffraw_cfa(path, "arw")
+            except ValueError:
+                cfa, pattern = read_arw2_cfa(path)
+        elif ext in ("nef", "nrw", "pef", "orf", "srw", "erf",
                      "mef", "mrw", "raw"):
             cfa, pattern = read_tiffraw_cfa(path, ext)
         else:
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
                 f"requires rawpy/libraw (absent); built-in decoders "
-                f"cover DNG (uncompressed or lossless-JPEG), CR2, and "
-                f"uncompressed TIFF-strip raws (NEF/ARW/PEF/...)")
+                f"cover DNG (uncompressed or lossless-JPEG), CR2, Sony "
+                f"ARW2, and uncompressed TIFF-strip raws (NEF/PEF/...)")
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern
     return frame
@@ -505,4 +649,5 @@ def read_raw(path: str, *, cfa: bool = False, method: str = "vng") -> Frame:
     return out
 
 
-__all__ = ["read_raw", "read_raw_cfa", "read_dng_cfa"]
+__all__ = ["read_raw", "read_raw_cfa", "read_dng_cfa", "read_arw2_cfa",
+           "decode_arw2", "sony_tone_curve"]

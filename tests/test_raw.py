@@ -578,3 +578,104 @@ def test_compressed_vendor_raw_clear_error(tmp_path):
     open(p, "wb").write(hdr + ifd)
     with pytest.raises(ValueError, match="rawpy|libraw|no uncompressed"):
         read_tiffraw_cfa(p, "nef")
+
+
+# ----------------------------------------------------- Sony ARW2 (cRAW)
+
+class TestArw2:
+    """Compressed Sony ARW (dcraw sony_arw2_load_raw bitstream + SR2
+    tone curve). The vectorized decoder (io/raw.decode_arw2) is
+    validated differentially against a per-pixel scalar port and by
+    encoder round-trips through the public read_raw_cfa path."""
+
+    @pytest.mark.parametrize("h,w,seed", [(4, 32, 0), (6, 64, 1),
+                                          (3, 128, 2), (5, 96, 3)])
+    def test_vectorized_matches_scalar_on_random_strips(self, h, w, seed):
+        from siriltpu.io.raw import decode_arw2, sony_tone_curve
+        from siriltpu.testing.arw import decode_arw2_scalar
+        rng = np.random.default_rng(seed)
+        strip = rng.integers(0, 256, h * w, dtype=np.uint8).tobytes()
+        for breaks in (None, (1000, 2000, 3000, 4000), (0, 0, 2048, 4095)):
+            curve = sony_tone_curve(breaks if breaks is None
+                                    else [b << 2 for b in breaks])
+            got = decode_arw2(strip, h, w, curve)
+            want = decode_arw2_scalar(strip, h, w, curve)
+            np.testing.assert_array_equal(got, want)
+
+    def test_encoder_roundtrip_lossless_blocks(self, tmp_path):
+        """Blocks whose 16 same-parity pixels span <= 127 values are
+        encoded with sh=0 and decode bit-exactly; default curve maps
+        an 11-bit pix to pix<<3."""
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.arw import encode_arw2, write_arw
+        rng = np.random.default_rng(7)
+        h, w = 8, 96
+        base = rng.integers(0, 0x7FF - 127, (h, w // 32, 2))
+        pix = (np.repeat(base.reshape(h, -1), 16, axis=1)
+               .reshape(h, w // 32, 2, 16))
+        pix = pix + rng.integers(0, 128, pix.shape)
+        raster = np.zeros((h, w), np.int64)
+        cols = (32 * np.arange(w // 32)[:, None] +
+                2 * np.arange(16)[None, :]).ravel()
+        raster[:, cols] = pix[:, :, 0, :].reshape(h, -1)
+        raster[:, cols + 1] = pix[:, :, 1, :].reshape(h, -1)
+        p = str(tmp_path / "shot.arw")
+        write_arw(p, encode_arw2(raster), h, w)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "RGGB"
+        np.testing.assert_array_equal(frame.data[0],
+                                      (raster[::-1] << 3).astype(np.uint16))
+
+    def test_lossy_quantization_keeps_extremes_exact(self, tmp_path):
+        """Blocks with range > 127 quantize deltas but max/min pixels
+        are stored verbatim in the block header."""
+        from siriltpu.io.raw import decode_arw2, sony_tone_curve
+        from siriltpu.testing.arw import encode_arw2
+        rng = np.random.default_rng(8)
+        h, w = 4, 64
+        raster = rng.integers(0, 0x800, (h, w))
+        strip = encode_arw2(raster)
+        dec = decode_arw2(strip, h, w, sony_tone_curve())
+        pix = (dec >> 3).astype(np.int64)  # undo default curve
+        for row in range(h):
+            for p_ in range(w // 32):
+                for parity in (0, 1):
+                    sl = slice(32 * p_ + parity, 32 * p_ + 32, 2)
+                    orig, got = raster[row, sl], pix[row, sl]
+                    assert got.max() == orig.max()
+                    assert got.min() == orig.min()
+                    # every decoded value within one quantization step
+                    rng_ = orig.max() - orig.min()
+                    sh = 0
+                    while sh < 4 and 0x80 << sh <= rng_:
+                        sh += 1
+                    assert np.all(np.abs(got - orig) < (1 << sh))
+
+    def test_sony_tone_curve_slopes(self):
+        """Piecewise slopes 1,2,4,8,16 between the breakpoints, built
+        exactly like the documented consumer loop."""
+        from siriltpu.io.raw import sony_tone_curve
+        breaks = [800, 1600, 2400, 3200]
+        curve = sony_tone_curve([b << 2 for b in breaks])
+        sc = [0] + breaks + [4095]
+        want = np.zeros(0x1000, np.uint32)
+        for i in range(5):
+            for j in range(sc[i] + 1, sc[i + 1] + 1):
+                want[j] = want[j - 1] + (1 << i)
+        np.testing.assert_array_equal(curve[:4096], want)
+
+    def test_arw2_through_conversion(self, tmp_path):
+        """A compressed .arw converts to a Bayer FITS sequence like any
+        raw (conversion.c raw branch)."""
+        from siriltpu.io.conversion import convert_dir
+        from siriltpu.io import fits as fits_io
+        from siriltpu.testing.arw import encode_arw2, write_arw
+        rng = np.random.default_rng(9)
+        h, w = 6, 32
+        raster = rng.integers(0, 128, (h, w))
+        write_arw(str(tmp_path / "a.arw"), encode_arw2(raster), h, w)
+        n = convert_dir(str(tmp_path), str(tmp_path / "seq"))
+        assert n == 1
+        frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
+        np.testing.assert_array_equal(frame.data[0],
+                                      (raster[::-1] << 3).astype(np.uint16))
