@@ -580,6 +580,167 @@ def read_cr2_cfa(path: str) -> Tuple[np.ndarray, str]:
     return np.ascontiguousarray(raster), RAW_EXTENSIONS["cr2"]
 
 
+# Nikon NEF (compression 34713) support
+NIKON_NEF_COMPRESSION = 34713
+T_NIKON_LINEARIZATION = 0x0096  # MakerNote tag: the "meta" blob
+
+_nikon = None
+
+
+def _load_nikon():
+    """ctypes handle to the native NEF decoder (nikon.cpp)."""
+    global _nikon
+    if _nikon is not None:
+        return _nikon
+    import ctypes
+
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.nikon_decompress.restype = ctypes.c_int
+    lib.nikon_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16)]
+    _nikon = lib
+    return _nikon
+
+
+def _nikon_makernote_meta(buf: bytes, t: "_Tiff",
+                          exif_off: int) -> Tuple[bytes, str]:
+    """Extract the Nikon MakerNote linearization blob (tag 0x96).
+
+    Modern NEFs embed a whole TIFF structure inside the MakerNote
+    ("Nikon\\0" + version + TIFF header at +10, offsets relative to that
+    header); the blob's shorts use the embedded header's byte order.
+    Returns (meta bytes, endianness) or raises ValueError.
+    """
+    exif_tags, _ = t.read_ifd(exif_off)
+    mn = exif_tags.get(T_MAKERNOTE)
+    if mn is None:
+        raise ValueError("no MakerNote in the EXIF IFD")
+    mn = bytes(np.atleast_1d(mn).astype(np.uint8).tobytes())
+    if not mn.startswith(b"Nikon\x00"):
+        raise ValueError("MakerNote is not Nikon-typed")
+    inner = _Tiff(mn[10:])
+    tags, _ = inner.read_ifd(inner.first_ifd)
+    meta = tags.get(T_NIKON_LINEARIZATION)
+    if meta is None:
+        raise ValueError("MakerNote has no linearization table (0x96)")
+    return np.atleast_1d(meta).astype(np.uint8).tobytes(), inner.e
+
+
+def _nef_meta_decode(meta: bytes, e: str, bps: int):
+    """Decode the tag-0x96 blob into (tree index, vpred[4], curve LUT,
+    split row) following the documented dcraw layout: version bytes,
+    (optional 2110-byte skip for the 0x49/0x58 bodies), 4 vertical
+    predictors, a curve-size short, then either sampled curve points
+    expanded by integer linear interpolation (lossy v0x44.20, split row
+    at blob offset 562) or a direct curve table; the lossless flavor
+    (0x46) keeps the identity curve."""
+    ver0, ver1 = meta[0], meta[1]
+    pos = 2
+    if ver0 == 0x49 or ver1 == 0x58:
+        pos += 2110
+    u2 = np.dtype(e + "u2")
+    vpred = np.frombuffer(meta, u2, 4, pos).astype(np.int16)
+    pos += 8
+    csize = struct.unpack_from(e + "H", meta, pos)[0]
+    pos += 2
+    maxv = (1 << bps) & 0x7fff
+    step = maxv // (csize - 1) if csize > 1 else 0
+    tree = 2 if ver0 == 0x46 else 0
+    if bps == 14:
+        tree += 3
+    curve = np.arange(65536, dtype=np.int64)
+    split = 0
+    if ver0 == 0x44 and ver1 == 0x20 and step > 0:
+        pts = np.frombuffer(meta, u2, csize, pos).astype(np.int64)
+        cp = curve.copy()
+        cp[np.arange(csize) * step] = pts
+        i = np.arange(maxv, dtype=np.int64)
+        lo = i - i % step
+        f = i % step
+        curve[:maxv] = (cp[lo] * (step - f) + cp[lo + step] * f) // step
+        split = struct.unpack_from(e + "H", meta, 562)[0]
+    elif ver0 != 0x46 and csize <= 0x4001:
+        n = min(csize, max(0, (len(meta) - pos) // 2))
+        curve[:n] = np.frombuffer(meta, u2, n, pos).astype(np.int64)
+    return tree, vpred, curve, split
+
+
+def read_nef_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a compressed Nikon NEF (compression 34713 — the lossy
+    type-2 and lossless flavors) natively through native/nikon.cpp.
+
+    The reference reaches NEF through libraw (``readraw_in_cfa``,
+    image_formats_libraries.c:830); this reproduces the documented
+    dcraw/libraw pipeline: the MakerNote's tag-0x96 blob supplies the
+    version (tree selection), vertical predictors, tone curve and split
+    row; the strip is an MSB-first Huffman/differential bitstream; the
+    decoded predictor values index the curve after a 0..0x3fff clip.
+    Pattern: RGGB from the per-vendor table (conversion.c:63).
+    """
+    import ctypes
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    raw_tags = None
+    exif_off = None
+    try:
+        for tags in t.all_ifds():
+            if T_EXIF_IFD in tags and exif_off is None:
+                exif_off = int(np.atleast_1d(tags[T_EXIF_IFD])[0])
+            comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [0]))[0])
+            if comp != NIKON_NEF_COMPRESSION or T_STRIP_OFFSETS not in tags:
+                continue
+            w = int(np.atleast_1d(tags[T_WIDTH])[0])
+            h = int(np.atleast_1d(tags[T_HEIGHT])[0])
+            if raw_tags is None or w * h > (
+                    int(np.atleast_1d(raw_tags[T_WIDTH])[0]) *
+                    int(np.atleast_1d(raw_tags[T_HEIGHT])[0])):
+                raw_tags = tags
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"{path}: corrupt NEF structure ({exc})") from exc
+    if raw_tags is None:
+        raise ValueError(
+            f"{path}: no compressed NEF raw IFD (compression 34713) found")
+    if exif_off is None:
+        raise ValueError(f"{path}: NEF has no EXIF IFD (need the "
+                         f"MakerNote linearization table)")
+    try:
+        meta, me = _nikon_makernote_meta(buf, t, exif_off)
+    except (struct.error, IndexError, ValueError) as exc:
+        raise ValueError(f"{path}: cannot read the Nikon MakerNote "
+                         f"linearization table ({exc})") from exc
+
+    w = int(np.atleast_1d(raw_tags[T_WIDTH])[0])
+    h = int(np.atleast_1d(raw_tags[T_HEIGHT])[0])
+    bps = int(np.atleast_1d(raw_tags.get(T_BITS, [12]))[0])
+    tree, vpred, curve, split = _nef_meta_decode(meta, me, bps)
+    off = int(np.atleast_1d(raw_tags[T_STRIP_OFFSETS])[0])
+    cnt = int(np.atleast_1d(raw_tags[T_STRIP_COUNTS]).sum())
+    strip = buf[off: off + cnt]
+
+    lib = _load_nikon()
+    if lib is None:
+        raise ValueError("compressed NEF needs the native decoder "
+                         "(g++ unavailable to build nikon.cpp)")
+    hpred = np.zeros((h, w), np.int16)
+    rc = lib.nikon_decompress(
+        strip, len(strip), h, w, tree, split,
+        vpred.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        hpred.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc != 0:
+        raise ValueError(f"{path}: NEF bitstream decode failed (code {rc})")
+    cfa = curve[np.clip(hpred.astype(np.int64), 0, 0x3fff)].astype(np.uint16)
+
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return cfa, RAW_EXTENSIONS["nef"]
+
+
 def _rawpy_cfa(path: str) -> Tuple[np.ndarray, str]:
     """readraw_in_cfa semantics through rawpy/libraw: visible-area crop,
     pattern from the filter descriptor."""
@@ -619,15 +780,20 @@ def read_raw_cfa(path: str) -> Frame:
                 cfa, pattern = read_tiffraw_cfa(path, "arw")
             except ValueError:
                 cfa, pattern = read_arw2_cfa(path)
-        elif ext in ("nef", "nrw", "pef", "orf", "srw", "erf",
-                     "mef", "mrw", "raw"):
+        elif ext in ("nef", "nrw"):
+            try:
+                cfa, pattern = read_tiffraw_cfa(path, ext)
+            except ValueError:
+                cfa, pattern = read_nef_cfa(path)
+        elif ext in ("pef", "orf", "srw", "erf", "mef", "mrw", "raw"):
             cfa, pattern = read_tiffraw_cfa(path, ext)
         else:
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
                 f"requires rawpy/libraw (absent); built-in decoders "
-                f"cover DNG (uncompressed or lossless-JPEG), CR2, Sony "
-                f"ARW2, and uncompressed TIFF-strip raws (NEF/PEF/...)")
+                f"cover DNG (uncompressed or lossless-JPEG), CR2, NEF "
+                f"(compressed or uncompressed), Sony ARW2, and "
+                f"uncompressed TIFF-strip raws (PEF/...)")
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern
     return frame

@@ -679,3 +679,146 @@ class TestArw2:
         frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
         np.testing.assert_array_equal(frame.data[0],
                                       (raster[::-1] << 3).astype(np.uint16))
+
+
+# ------------------------------------------------- Nikon NEF (34713)
+
+class TestNefCompressed:
+    """Compressed Nikon NEF (dcraw nikon_compressed_load_raw bitstream:
+    MakerNote 0x96 meta blob -> trees/vpred/curve/split, Huffman
+    residuals through native/nikon.cpp). Validated by encoder
+    round-trips from siriltpu.testing.nef; the lossless trees encode
+    every residual exactly, so those round-trips compare against the
+    PLANTED image, not the encoder's own tracking."""
+
+    @pytest.mark.parametrize("bps", [12, 14])
+    def test_lossless_roundtrip(self, tmp_path, bps):
+        from siriltpu.io.raw import read_nef_cfa
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(30 + bps)
+        img = rng.integers(0, 1 << bps, (32, 48)).astype(np.uint16)
+        p = str(tmp_path / "shot.nef")
+        expect = write_nef(p, img, bps=bps, lossless=True)
+        np.testing.assert_array_equal(expect, img)  # trees are exact
+        got, pattern = read_nef_cfa(p)
+        assert pattern == "RGGB"  # conversion.c:63 vendor table
+        np.testing.assert_array_equal(got, img)
+
+    def test_dispatch_falls_back_to_compressed(self, tmp_path):
+        """read_raw_cfa tries the uncompressed TIFF-strip path first,
+        then the 34713 decoder; output is bottom-up like every raw."""
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(33)
+        img = rng.integers(0, 1 << 12, (16, 24)).astype(np.uint16)
+        p = str(tmp_path / "d5.nef")
+        write_nef(p, img, bps=12, lossless=True)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "RGGB"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+    def test_lossy_curve_and_split(self, tmp_path):
+        """v0x44.20: sampled tone curve expanded by integer linear
+        interpolation, tree switch at the split row. Smooth content
+        (residual categories <= 5) decodes exactly even after the
+        split; the planted extremes exercise the full-range
+        categories."""
+        from siriltpu.io.raw import read_nef_cfa
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(34)
+        h, w = 40, 32
+        ramp = np.linspace(100, 3600, w, dtype=np.int64)
+        img = (np.tile(ramp, (h, 1)) +
+               rng.integers(-15, 16, (h, w))).clip(0, 4095)
+        pts = ((np.arange(257) / 256.0) ** 0.45 * 60000).astype(np.uint16)
+        p = str(tmp_path / "lossy.nef")
+        expect = write_nef(p, img, bps=12, lossless=False,
+                           curve_pts=pts, split=h // 2)
+        got, _ = read_nef_cfa(p)
+        np.testing.assert_array_equal(got, expect)
+        # independent curve check: exact integer lerp of the samples
+        step = 4096 // 256
+        cp = np.arange(65536, dtype=np.int64)
+        cp[np.arange(257) * step] = pts
+        i = np.arange(4096, dtype=np.int64)
+        lo, f = i - i % step, i % step
+        curve = (cp[lo] * (step - f) + cp[lo + step] * f) // step
+        # pre-split tree 0 carries every category exactly
+        np.testing.assert_array_equal(got[:h // 2], curve[img[:h // 2]])
+        # post-split: quantized categories, but the encoder feeds back
+        # its own decode so the error never accumulates
+        assert np.abs(got.astype(np.int64) - curve[img]).max() < 512
+
+    def test_lossy_14bit_quantized_extremes(self, tmp_path):
+        """14-bit lossy with hard edges after the split: the quantized
+        categories (9..12 with shifts) round-trip to the encoder's
+        tracked decode, within the shift's quantization step of the
+        planted values."""
+        from siriltpu.io.raw import read_nef_cfa
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(35)
+        h, w = 24, 24
+        img = rng.integers(0, 1 << 14, (h, w)).astype(np.uint16)
+        p = str(tmp_path / "lossy14.nef")
+        expect = write_nef(p, img, bps=14, lossless=False,
+                           curve_pts=np.linspace(0, 65532, 257).astype(
+                               np.uint16), split=h // 3)
+        got, _ = read_nef_cfa(p)
+        np.testing.assert_array_equal(got, expect)
+        # tree 3 (pre-split) carries every 14-bit category exactly;
+        # post-split quantization (max shift 5 -> predictor step 32)
+        # stays bounded through the ~4x-slope curve
+        curve = np.arange(65536, dtype=np.int64)
+        csize, maxv = 257, 1 << 14
+        step = maxv // (csize - 1)
+        cp = curve.copy()
+        cp[np.arange(csize) * step] = np.linspace(0, 65532, csize).astype(
+            np.int64)
+        i = np.arange(maxv, dtype=np.int64)
+        lo, f = i - i % step, i % step
+        curve[:maxv] = (cp[lo] * (step - f) + cp[lo + step] * f) // step
+        np.testing.assert_array_equal(got[:h // 3],
+                                      curve[np.asarray(img[:h // 3],
+                                                       np.int64)])
+        assert np.abs(got.astype(np.int64) -
+                      curve[np.asarray(img, np.int64)]).max() <= 4 * 16 + 8
+
+    def test_direct_curve_table(self, tmp_path):
+        """Non-0x44.20 lossy versions carry the curve as a direct
+        table (read_shorts branch)."""
+        from siriltpu.io.raw import read_nef_cfa
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(36)
+        img = rng.integers(0, 1 << 12, (12, 16)).astype(np.uint16)
+        curve = (np.arange(4096, dtype=np.uint32) * 16).astype(np.uint16)
+        p = str(tmp_path / "curve.nef")
+        expect = write_nef(p, img, bps=12, lossless=False,
+                           direct_curve=curve)
+        got, _ = read_nef_cfa(p)
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(got, curve[img])
+
+    def test_d100_meta_gap(self, tmp_path):
+        """ver0=0x49 bodies put 2110 bytes before the predictors."""
+        from siriltpu.io.raw import read_nef_cfa
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(37)
+        img = rng.integers(0, 1 << 12, (10, 12)).astype(np.uint16)
+        p = str(tmp_path / "d100.nef")
+        expect = write_nef(p, img, bps=12, lossless=False, d100_skip=True)
+        got, _ = read_nef_cfa(p)
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(got, img)  # identity curve, exact tree
+
+    def test_nef_through_conversion(self, tmp_path):
+        """A compressed .nef converts to a Bayer FITS like any raw."""
+        from siriltpu.io.conversion import convert_dir
+        from siriltpu.io import fits as fits_io
+        from siriltpu.testing.nef import write_nef
+        rng = np.random.default_rng(38)
+        img = rng.integers(0, 1 << 14, (8, 16)).astype(np.uint16)
+        write_nef(str(tmp_path / "n.nef"), img, bps=14, lossless=True)
+        n = convert_dir(str(tmp_path), str(tmp_path / "seq"))
+        assert n == 1
+        frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
