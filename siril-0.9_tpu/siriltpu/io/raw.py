@@ -70,6 +70,16 @@ class _Tiff:
             raise ValueError("not a classic TIFF (BigTIFF unsupported)")
         self.first_ifd = struct.unpack_from(self.e + "I", buf, 4)[0]
 
+    @classmethod
+    def raw(cls, buf: bytes, endian: str, first_ifd: int) -> "_Tiff":
+        """Header-less view for embedded IFD structures (MakerNotes
+        whose offsets are relative to a base that has no TIFF magic)."""
+        t = cls.__new__(cls)
+        t.buf = buf
+        t.e = endian
+        t.first_ifd = first_ifd
+        return t
+
     def read_ifd(self, off: int) -> Tuple[dict, int]:
         n = struct.unpack_from(self.e + "H", self.buf, off)[0]
         tags = {}
@@ -741,6 +751,146 @@ def read_nef_cfa(path: str) -> Tuple[np.ndarray, str]:
     return cfa, RAW_EXTENSIONS["nef"]
 
 
+# Pentax PEF (compression 65535) support
+PENTAX_PEF_COMPRESSION = 65535
+T_PENTAX_HUFFMAN = 0x0220  # MakerNote tag: the compression code table
+
+_pentax = None
+
+
+def _load_pentax():
+    """ctypes handle to the native PEF decoder (pentax.cpp)."""
+    global _pentax
+    if _pentax is not None:
+        return _pentax
+    import ctypes
+
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.pentax_decompress.restype = ctypes.c_int
+    lib.pentax_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int16)]
+    _pentax = lib
+    return _pentax
+
+
+def _makernote_location(buf: bytes, t: "_Tiff",
+                        exif_off: int) -> Tuple[bytes, int]:
+    """(MakerNote bytes, absolute file offset) from the EXIF IFD."""
+    n = struct.unpack_from(t.e + "H", buf, exif_off)[0]
+    for i in range(n):
+        base = exif_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(t.e + "HHI", buf, base)
+        if tag != T_MAKERNOTE:
+            continue
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            return buf[base + 8: base + 8 + size], base + 8
+        off = struct.unpack_from(t.e + "I", buf, base + 8)[0]
+        return buf[off: off + size], off
+    raise ValueError("no MakerNote in the EXIF IFD")
+
+
+def _pentax_huffman_meta(buf: bytes, t: "_Tiff",
+                         exif_off: int) -> Tuple[bytes, str]:
+    """Extract the Pentax MakerNote code-table blob (tag 0x220).
+
+    Two documented MakerNote flavors: modern "PENTAX " (byte order at
+    +8, an IFD at +10 with offsets relative to the MakerNote start) and
+    the older "AOC\\0" (IFD at +6, absolute file offsets, file order).
+    Returns (meta bytes, endianness of its shorts).
+    """
+    mn, mn_off = _makernote_location(buf, t, exif_off)
+    if mn.startswith(b"PENTAX "):
+        e = "<" if mn[8:10] == b"II" else ">"
+        inner = _Tiff.raw(mn, e, 10)
+        tags, _ = inner.read_ifd(10)
+    elif mn.startswith(b"AOC\x00"):
+        e = t.e
+        inner = _Tiff.raw(buf, e, mn_off + 6)
+        tags, _ = inner.read_ifd(mn_off + 6)
+    else:
+        raise ValueError("MakerNote is not Pentax-typed")
+    meta = tags.get(T_PENTAX_HUFFMAN)
+    if meta is None:
+        raise ValueError("MakerNote has no Huffman table (0x220)")
+    return np.atleast_1d(meta).astype(np.uint8).tobytes(), e
+
+
+def read_pef_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a compressed Pentax PEF (compression 65535) natively
+    through native/pentax.cpp.
+
+    The reference reaches PEF through libraw (``readraw_in_cfa``,
+    image_formats_libraries.c:830); this reproduces the documented
+    dcraw/libraw pipeline: MakerNote tag 0x220 carries the Huffman
+    table as (12-bit start code, length) pairs — the residual category
+    is the table position — and the strip is an MSB-first bitstream of
+    JPEG-sign-extended residuals through the Nikon-style column-pair
+    predictor scheme (zero-seeded). Pattern: BGGR from the per-vendor
+    table (conversion.c:65).
+    """
+    import ctypes
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    raw_tags = None
+    exif_off = None
+    try:
+        for tags in t.all_ifds():
+            if T_EXIF_IFD in tags and exif_off is None:
+                exif_off = int(np.atleast_1d(tags[T_EXIF_IFD])[0])
+            comp = int(np.atleast_1d(tags.get(T_COMPRESSION, [0]))[0])
+            if comp == PENTAX_PEF_COMPRESSION and T_STRIP_OFFSETS in tags:
+                raw_tags = tags
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"{path}: corrupt PEF structure ({exc})") from exc
+    if raw_tags is None:
+        raise ValueError(
+            f"{path}: no compressed PEF raw IFD (compression 65535) found")
+    if exif_off is None:
+        raise ValueError(f"{path}: PEF has no EXIF IFD (need the "
+                         f"MakerNote Huffman table)")
+    try:
+        meta, me = _pentax_huffman_meta(buf, t, exif_off)
+    except (struct.error, IndexError, ValueError) as exc:
+        raise ValueError(f"{path}: cannot read the Pentax MakerNote "
+                         f"Huffman table ({exc})") from exc
+
+    # blob: short -> dep = (v+12)&15 categories; 12 skipped bytes; dep
+    # 12-bit start codes (shorts); dep code lengths (bytes)
+    dep = (struct.unpack_from(me + "H", meta, 0)[0] + 12) & 15
+    starts = np.frombuffer(meta, np.dtype(me + "u2"), dep, 14).copy()
+    lens = np.frombuffer(meta, np.uint8, dep, 14 + 2 * dep).copy()
+
+    w = int(np.atleast_1d(raw_tags[T_WIDTH])[0])
+    h = int(np.atleast_1d(raw_tags[T_HEIGHT])[0])
+    off = int(np.atleast_1d(raw_tags[T_STRIP_OFFSETS])[0])
+    cnt = int(np.atleast_1d(raw_tags[T_STRIP_COUNTS]).sum())
+    strip = buf[off: off + cnt]
+
+    lib = _load_pentax()
+    if lib is None:
+        raise ValueError("compressed PEF needs the native decoder "
+                         "(g++ unavailable to build pentax.cpp)")
+    out = np.zeros((h, w), np.int16)
+    rc = lib.pentax_decompress(
+        strip, len(strip), h, w,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dep,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc != 0:
+        raise ValueError(f"{path}: PEF bitstream decode failed (code {rc})")
+
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return out.view(np.uint16), RAW_EXTENSIONS["pef"]
+
+
 def _rawpy_cfa(path: str) -> Tuple[np.ndarray, str]:
     """readraw_in_cfa semantics through rawpy/libraw: visible-area crop,
     pattern from the filter descriptor."""
@@ -785,7 +935,12 @@ def read_raw_cfa(path: str) -> Frame:
                 cfa, pattern = read_tiffraw_cfa(path, ext)
             except ValueError:
                 cfa, pattern = read_nef_cfa(path)
-        elif ext in ("pef", "orf", "srw", "erf", "mef", "mrw", "raw"):
+        elif ext == "pef":
+            try:
+                cfa, pattern = read_tiffraw_cfa(path, ext)
+            except ValueError:
+                cfa, pattern = read_pef_cfa(path)
+        elif ext in ("orf", "srw", "erf", "mef", "mrw", "raw"):
             cfa, pattern = read_tiffraw_cfa(path, ext)
         else:
             raise ValueError(

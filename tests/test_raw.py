@@ -822,3 +822,72 @@ class TestNefCompressed:
         assert n == 1
         frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
         np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+
+# ------------------------------------------------- Pentax PEF (65535)
+
+class TestPefCompressed:
+    """Compressed Pentax PEF (dcraw pentax_load_raw: MakerNote 0x220
+    code table -> 12-bit-LUT Huffman residuals through
+    native/pentax.cpp). The table carries every residual category, so
+    encoder round-trips pin byte equality against the planted image."""
+
+    @pytest.mark.parametrize("bps", [12, 14])
+    def test_roundtrip(self, tmp_path, bps):
+        from siriltpu.io.raw import read_pef_cfa
+        from siriltpu.testing.pef import write_pef
+        rng = np.random.default_rng(40 + bps)
+        img = rng.integers(0, 1 << bps, (32, 48)).astype(np.uint16)
+        p = str(tmp_path / "shot.pef")
+        write_pef(p, img, bps=bps)
+        got, pattern = read_pef_cfa(p)
+        assert pattern == "BGGR"  # conversion.c:65 vendor table
+        np.testing.assert_array_equal(got, img)
+
+    def test_aoc_makernote_flavor(self, tmp_path):
+        """Older AOC-headered MakerNotes use absolute file offsets."""
+        from siriltpu.io.raw import read_pef_cfa
+        from siriltpu.testing.pef import write_pef
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 1 << 12, (16, 20)).astype(np.uint16)
+        p = str(tmp_path / "istd.pef")
+        write_pef(p, img, bps=12, makernote="AOC")
+        got, _ = read_pef_cfa(p)
+        np.testing.assert_array_equal(got, img)
+
+    def test_custom_code_lengths(self, tmp_path):
+        """A skewed table (long codes for small categories) still
+        round-trips — the decoder honors the file's table, not an
+        assumed one."""
+        from siriltpu.io.raw import read_pef_cfa
+        from siriltpu.testing.pef import write_pef
+        rng = np.random.default_rng(44)
+        img = rng.integers(0, 1 << 12, (12, 16)).astype(np.uint16)
+        lens = [9, 8, 7, 6, 5, 4, 3, 3, 3, 4, 8, 10, 10]
+        p = str(tmp_path / "skew.pef")
+        write_pef(p, img, bps=12, lens=lens)
+        got, _ = read_pef_cfa(p)
+        np.testing.assert_array_equal(got, img)
+
+    def test_dispatch_and_flip(self, tmp_path):
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.pef import write_pef
+        rng = np.random.default_rng(45)
+        img = rng.integers(0, 1 << 12, (10, 14)).astype(np.uint16)
+        p = str(tmp_path / "k5.pef")
+        write_pef(p, img, bps=12)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "BGGR"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+    def test_pef_through_conversion(self, tmp_path):
+        from siriltpu.io.conversion import convert_dir
+        from siriltpu.io import fits as fits_io
+        from siriltpu.testing.pef import write_pef
+        rng = np.random.default_rng(46)
+        img = rng.integers(0, 1 << 14, (8, 16)).astype(np.uint16)
+        write_pef(str(tmp_path / "p.pef"), img, bps=14)
+        n = convert_dir(str(tmp_path), str(tmp_path / "seq"))
+        assert n == 1
+        frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
