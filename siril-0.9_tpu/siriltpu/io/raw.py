@@ -66,7 +66,9 @@ class _Tiff:
         else:
             raise ValueError("not a TIFF/DNG file")
         magic = struct.unpack_from(self.e + "H", buf, 2)[0]
-        if magic != 42:
+        # 42 = classic TIFF; 0x4F52 "RO" / 0x5352 "RS" = Olympus ORF;
+        # 0x0055 = Panasonic RW2
+        if magic not in (42, 0x4F52, 0x5352, 0x0055):
             raise ValueError("not a classic TIFF (BigTIFF unsupported)")
         self.first_ifd = struct.unpack_from(self.e + "I", buf, 4)[0]
 
@@ -891,6 +893,168 @@ def read_pef_cfa(path: str) -> Tuple[np.ndarray, str]:
     return out.view(np.uint16), RAW_EXTENSIONS["pef"]
 
 
+# Olympus ORF support
+_olympus = None
+
+
+def _load_olympus():
+    """ctypes handle to the native ORF decoder (olympus.cpp)."""
+    global _olympus
+    if _olympus is not None:
+        return _olympus
+    import ctypes
+
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.olympus_decompress.restype = ctypes.c_int
+    lib.olympus_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16)]
+    _olympus = lib
+    return _olympus
+
+
+def read_orf_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a compressed Olympus ORF natively through
+    native/olympus.cpp.
+
+    The reference reaches ORF through libraw (``readraw_in_cfa``,
+    image_formats_libraries.c:830); this reproduces the documented
+    dcraw/libraw pipeline (olympus_load_raw): the container is TIFF
+    with the "RO"/"RS" magic, the raw strip starts 7 bytes before an
+    MSB-first bitstream of sign+low bits, unary-coded highs with a
+    12-zeros escape, and carry-adaptive residual widths feeding a
+    gradient-adaptive same-plane predictor. Pattern: GRBG from the
+    per-vendor table (conversion.c:64). (Uncompressed ORFs flow
+    through read_tiffraw_cfa instead.)
+    """
+    import ctypes
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    raw_tags = None
+    try:
+        for tags in t.all_ifds():
+            if T_STRIP_OFFSETS not in tags or T_WIDTH not in tags:
+                continue
+            w = int(np.atleast_1d(tags[T_WIDTH])[0])
+            h = int(np.atleast_1d(tags[T_HEIGHT])[0])
+            if raw_tags is None or w * h > (
+                    int(np.atleast_1d(raw_tags[T_WIDTH])[0]) *
+                    int(np.atleast_1d(raw_tags[T_HEIGHT])[0])):
+                raw_tags = tags
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"{path}: corrupt ORF structure ({exc})") from exc
+    if raw_tags is None:
+        raise ValueError(f"{path}: no raw IFD with strips found")
+
+    w = int(np.atleast_1d(raw_tags[T_WIDTH])[0])
+    h = int(np.atleast_1d(raw_tags[T_HEIGHT])[0])
+    off = int(np.atleast_1d(raw_tags[T_STRIP_OFFSETS])[0])
+    cnt = int(np.atleast_1d(raw_tags[T_STRIP_COUNTS]).sum())
+    strip = buf[off + 7: off + cnt]  # bitstream starts 7 bytes in
+
+    lib = _load_olympus()
+    if lib is None:
+        raise ValueError("compressed ORF needs the native decoder "
+                         "(g++ unavailable to build olympus.cpp)")
+    out = np.zeros((h, w), np.uint16)
+    rc = lib.olympus_decompress(
+        strip, len(strip), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"{path}: ORF bitstream decode failed (code {rc})")
+
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return out, RAW_EXTENSIONS["orf"]
+
+
+# Panasonic RW2 support
+T_PANA_SENSOR_W = 0x0002
+T_PANA_SENSOR_H = 0x0003
+T_PANA_TOP = 0x0004
+T_PANA_LEFT = 0x0005
+T_PANA_BOTTOM = 0x0006
+T_PANA_RIGHT = 0x0007
+T_PANA_RAW_OFFSET = 0x0118
+PANA_LOAD_FLAGS = 0x2008
+
+_panasonic = None
+
+
+def _load_panasonic():
+    """ctypes handle to the native RW2 decoder (panasonic.cpp)."""
+    global _panasonic
+    if _panasonic is not None:
+        return _panasonic
+    import ctypes
+
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.panasonic_decompress.restype = ctypes.c_int
+    lib.panasonic_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint16)]
+    _panasonic = lib
+    return _panasonic
+
+
+def read_rw2_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a Panasonic RW2 (classic 12-bit compressed scheme)
+    natively through native/panasonic.cpp.
+
+    The reference reaches RW2 through libraw (``readraw_in_cfa``,
+    image_formats_libraries.c:830); this reproduces the documented
+    dcraw/libraw pipeline (panasonic_load_raw): sensor geometry from
+    the Panasonic IFD0 tags (2/3 sensor dims, 4-7 active borders),
+    the raw stream at tag 0x118 in 0x4000-byte tail-rotated blocks
+    (load_flags 0x2008), 14-pixel lane-interleaved predictor groups.
+    Pattern: BGGR from the per-vendor table (conversion.c:66).
+    """
+    import ctypes
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _Tiff(buf)
+    tags0, _ = t.read_ifd(t.first_ifd)
+    for need in (T_PANA_SENSOR_W, T_PANA_SENSOR_H, T_PANA_RAW_OFFSET):
+        if need not in tags0:
+            raise ValueError(f"{path}: not a Panasonic RW2 raw IFD "
+                             f"(missing tag {need:#x})")
+    w = int(np.atleast_1d(tags0[T_PANA_SENSOR_W])[0])
+    h = int(np.atleast_1d(tags0[T_PANA_SENSOR_H])[0])
+    off = int(np.atleast_1d(tags0[T_PANA_RAW_OFFSET])[0])
+    strip = buf[off:]  # runs to EOF (no byte-count tag in RW2)
+
+    lib = _load_panasonic()
+    if lib is None:
+        raise ValueError("RW2 needs the native decoder "
+                         "(g++ unavailable to build panasonic.cpp)")
+    out = np.zeros((h, w), np.uint16)
+    rc = lib.panasonic_decompress(
+        strip, len(strip), h, w, PANA_LOAD_FLAGS,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"{path}: RW2 bitstream decode failed (code {rc})")
+
+    # active-area crop from the border tags (top/bottom rows,
+    # left/right cols; half-open like the documented consumer)
+    top = int(np.atleast_1d(tags0.get(T_PANA_TOP, [0]))[0])
+    left = int(np.atleast_1d(tags0.get(T_PANA_LEFT, [0]))[0])
+    bottom = int(np.atleast_1d(tags0.get(T_PANA_BOTTOM, [h]))[0])
+    right = int(np.atleast_1d(tags0.get(T_PANA_RIGHT, [w]))[0])
+    if 0 <= top < bottom <= h and 0 <= left < right <= w:
+        out = np.ascontiguousarray(out[top:bottom, left:right])
+
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return out, RAW_EXTENSIONS["rw2"]
+
+
 def _rawpy_cfa(path: str) -> Tuple[np.ndarray, str]:
     """readraw_in_cfa semantics through rawpy/libraw: visible-area crop,
     pattern from the filter descriptor."""
@@ -940,7 +1104,14 @@ def read_raw_cfa(path: str) -> Frame:
                 cfa, pattern = read_tiffraw_cfa(path, ext)
             except ValueError:
                 cfa, pattern = read_pef_cfa(path)
-        elif ext in ("orf", "srw", "erf", "mef", "mrw", "raw"):
+        elif ext == "orf":
+            try:
+                cfa, pattern = read_tiffraw_cfa(path, ext)
+            except ValueError:
+                cfa, pattern = read_orf_cfa(path)
+        elif ext == "rw2":
+            cfa, pattern = read_rw2_cfa(path)
+        elif ext in ("srw", "erf", "mef", "mrw", "raw"):
             cfa, pattern = read_tiffraw_cfa(path, ext)
         else:
             raise ValueError(

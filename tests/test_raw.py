@@ -891,3 +891,127 @@ class TestPefCompressed:
         assert n == 1
         frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
         np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+
+# ------------------------------------------------- Olympus ORF
+
+class TestOrfCompressed:
+    """Compressed Olympus ORF (dcraw olympus_load_raw: carry-adaptive
+    residual widths, unary highs with a 12-zero escape, gradient-
+    adaptive predictor) through native/olympus.cpp. The scheme is
+    fully invertible, so encoder round-trips pin byte equality."""
+
+    def test_roundtrip_random(self, tmp_path):
+        from siriltpu.io.raw import read_orf_cfa
+        from siriltpu.testing.orf import write_orf
+        rng = np.random.default_rng(50)
+        img = rng.integers(0, 1 << 12, (32, 48)).astype(np.uint16)
+        p = str(tmp_path / "shot.orf")
+        write_orf(p, img)
+        got, pattern = read_orf_cfa(p)
+        assert pattern == "GRBG"  # conversion.c:64 vendor table
+        np.testing.assert_array_equal(got, img)
+
+    def test_roundtrip_smooth_gradient(self, tmp_path):
+        """Smooth content exercises the small-carry paths (nbits=2,
+        the (w+n)>>1 and gradient predictor branches)."""
+        from siriltpu.io.raw import read_orf_cfa
+        from siriltpu.testing.orf import write_orf
+        y, x = np.mgrid[0:40, 0:56]
+        img = ((y * 13 + x * 7) % 4096).astype(np.uint16)
+        p = str(tmp_path / "smooth.orf")
+        write_orf(p, img)
+        got, _ = read_orf_cfa(p)
+        np.testing.assert_array_equal(got, img)
+
+    def test_dispatch_and_flip(self, tmp_path):
+        """.orf dispatch: tries the uncompressed TIFF-strip path, then
+        the compressed decoder; bottom-up flip like every raw."""
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.orf import write_orf
+        rng = np.random.default_rng(52)
+        img = rng.integers(0, 1 << 12, (10, 14)).astype(np.uint16)
+        p = str(tmp_path / "em1.orf")
+        write_orf(p, img)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "GRBG"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+    def test_orf_through_conversion(self, tmp_path):
+        from siriltpu.io.conversion import convert_dir
+        from siriltpu.io import fits as fits_io
+        from siriltpu.testing.orf import write_orf
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 1 << 12, (8, 16)).astype(np.uint16)
+        write_orf(str(tmp_path / "o.orf"), img)
+        n = convert_dir(str(tmp_path), str(tmp_path / "seq"))
+        assert n == 1
+        frame = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+
+# ------------------------------------------------- Panasonic RW2
+
+class TestRw2:
+    """Panasonic RW2 classic 12-bit scheme (dcraw panasonic_load_raw /
+    pana_bits: tail-rotated 0x4000 blocks, swizzled little-endian bit
+    windows, 14-pixel lane-interleaved predictor groups) through
+    native/panasonic.cpp. The shift-quantized deltas make arbitrary
+    content lossy, so round-trips pin the encoder's tracked decode;
+    smooth content (same-lane steps within the sh=0 window) is exact."""
+
+    def test_tracked_roundtrip_random(self, tmp_path):
+        from siriltpu.io.raw import read_rw2_cfa
+        from siriltpu.testing.rw2 import write_rw2
+        rng = np.random.default_rng(60)
+        img = rng.integers(0, 1 << 12, (32, 42)).astype(np.uint16)
+        p = str(tmp_path / "g9.rw2")
+        expect = write_rw2(p, img)
+        got, pattern = read_rw2_cfa(p)
+        assert pattern == "BGGR"  # conversion.c:66 vendor table
+        np.testing.assert_array_equal(got, expect)
+        # the scheme re-seeds each lane absolutely per 14-pixel group,
+        # so even random content stays within the 4-bit reseed error
+        assert np.abs(expect.astype(np.int64) -
+                      img.astype(np.int64)).max() <= 255
+
+    def test_exact_on_smooth_content(self, tmp_path):
+        """Values >= 16 with same-lane steps <= 127 encode exactly."""
+        from siriltpu.io.raw import read_rw2_cfa
+        from siriltpu.testing.rw2 import write_rw2
+        y, x = np.mgrid[0:24, 0:56]
+        img = (40 + y * 29 + x * 31).astype(np.uint16)  # max < 4096
+        p = str(tmp_path / "smooth.rw2")
+        expect = write_rw2(p, img)
+        np.testing.assert_array_equal(expect, img)
+        got, _ = read_rw2_cfa(p)
+        np.testing.assert_array_equal(got, img)
+
+    def test_border_crop(self, tmp_path):
+        from siriltpu.io.raw import read_rw2_cfa
+        from siriltpu.testing.rw2 import write_rw2
+        y, x = np.mgrid[0:20, 0:28]
+        img = (100 + y * 17 + x * 13).astype(np.uint16)
+        p = str(tmp_path / "crop.rw2")
+        expect = write_rw2(p, img, borders=(2, 4, 18, 26))
+        got, _ = read_rw2_cfa(p)
+        assert got.shape == (16, 22)
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(got, img[2:18, 4:26])
+
+    def test_dispatch_and_conversion(self, tmp_path):
+        from siriltpu.io.conversion import convert_dir
+        from siriltpu.io import fits as fits_io
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.rw2 import write_rw2
+        y, x = np.mgrid[0:8, 0:16]
+        img = (60 + y * 11 + x * 23).astype(np.uint16)
+        p = str(tmp_path / "lx.rw2")
+        write_rw2(p, img)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "BGGR"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+        n = convert_dir(str(tmp_path), str(tmp_path / "seq"))
+        assert n == 1
+        f2 = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
+        np.testing.assert_array_equal(f2.data[0], img[::-1])
