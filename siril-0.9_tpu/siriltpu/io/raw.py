@@ -1055,6 +1055,106 @@ def read_rw2_cfa(path: str) -> Tuple[np.ndarray, str]:
     return out, RAW_EXTENSIONS["rw2"]
 
 
+def read_mrw_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a Minolta MRW raw. The reference reaches MRW through
+    libraw (``readraw_in_cfa``, image_formats_libraries.c:830); this
+    parses the documented container directly (dcraw ``parse_minolta``):
+    a big-endian ``\\0MRM`` meta block of tagged sub-blocks —
+    ``\\0PRD`` carries the sensor geometry (8-byte version string,
+    then sensor height/width u16, image height/width u16, dataSize u8,
+    pixelSize u8, storageMethod u8 0x52=unpacked/0x59=packed) — with
+    the sample stream following the meta block: 12-bit MSB-packed
+    (packed) or 16-bit big-endian words (unpacked). Pattern: RGGB from
+    the per-vendor table (conversion.c:62).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != b"\x00MRM":
+        raise ValueError(f"{path}: not a Minolta MRW file")
+    (meta_len,) = struct.unpack(">I", buf[4:8])
+    data_off = meta_len + 8
+    pos = 8
+    high = wide = None
+    data_size, storage = 12, 0x59
+    while pos + 8 <= min(data_off, len(buf)):
+        tag = buf[pos: pos + 4]
+        (blen,) = struct.unpack(">I", buf[pos + 4: pos + 8])
+        body = pos + 8
+        if tag == b"\x00PRD" and body + 19 <= len(buf):
+            high, wide = struct.unpack(">HH", buf[body + 8: body + 12])
+            data_size = buf[body + 16]
+            storage = buf[body + 18]
+        pos = body + blen
+    if not high or not wide:
+        raise ValueError(f"{path}: MRW meta block has no PRD geometry")
+    if storage == 0x52:
+        data_size = 16
+    elif storage != 0x59:
+        raise ValueError(f"{path}: unknown MRW storage method "
+                         f"{storage:#x}")
+    if data_size not in (12, 16):
+        raise ValueError(f"{path}: unsupported MRW dataSize {data_size}")
+    need = (high * wide * data_size + 7) // 8
+    data = np.frombuffer(buf, np.uint8, need, data_off)
+    cfa = _unpack_bits(data, data_size, high * wide,
+                       little=False).reshape(high, wide)
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return np.ascontiguousarray(cfa), RAW_EXTENSIONS["mrw"]
+
+
+def read_raf_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a Fuji RAF raw for conventional (unrotated Bayer)
+    sensors. The reference reaches RAF through libraw and itself flags
+    the format "Not really supported, specially XTRANS"
+    (conversion.c:57); matching that stance, Super-CCD 45°-rotated
+    layouts and X-Trans sensors raise a clear error.
+
+    Container (documented dcraw ``parse_fuji`` + identify): all
+    big-endian; u32 CFA-header offset at byte 92, u32 CFA-data offset
+    at byte 100. The CFA header is a u32 record count then
+    (tag u16, len u16, body) records: tag 0x100 = raw height/width
+    u16s; tag 0x130 = layout byte (bit 7 = rotated) and a byte whose
+    bit 3 clear marks Super CCD; tag 0x131 present = X-Trans. Sample
+    stream: 16-bit big-endian words. Pattern: GBRG from the
+    per-vendor table (conversion.c:57).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:8] != b"FUJIFILM":
+        raise ValueError(f"{path}: not a Fuji RAF file")
+    (cfa_hdr_off,) = struct.unpack(">I", buf[92:96])
+    (data_off,) = struct.unpack(">I", buf[100:104])
+    (entries,) = struct.unpack(">I", buf[cfa_hdr_off: cfa_hdr_off + 4])
+    if entries > 255:
+        raise ValueError(f"{path}: corrupt RAF CFA header")
+    pos = cfa_hdr_off + 4
+    raw_h = raw_w = None
+    layout = 0
+    super_ccd = False
+    xtrans = False
+    for _ in range(entries):
+        tag, ln = struct.unpack(">HH", buf[pos: pos + 4])
+        body = pos + 4
+        if tag == 0x100:
+            raw_h, raw_w = struct.unpack(">HH", buf[body: body + 4])
+        elif tag == 0x130:
+            layout = buf[body] >> 7
+            super_ccd = not (buf[body + 1] & 8)
+        elif tag == 0x131:
+            xtrans = True
+        pos = body + ln
+    if raw_h is None:
+        raise ValueError(f"{path}: RAF CFA header has no geometry tag")
+    if layout or super_ccd or xtrans:
+        raise ValueError(
+            f"{path}: Fuji Super-CCD/X-Trans layouts are not supported, "
+            f"like the reference (conversion.c:57)")
+    cfa = np.frombuffer(buf, ">u2", raw_h * raw_w,
+                        data_off).astype(np.uint16).reshape(raw_h, raw_w)
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return np.ascontiguousarray(cfa), RAW_EXTENSIONS["raf"]
+
+
 def _rawpy_cfa(path: str) -> Tuple[np.ndarray, str]:
     """readraw_in_cfa semantics through rawpy/libraw: visible-area crop,
     pattern from the filter descriptor."""
@@ -1111,15 +1211,21 @@ def read_raw_cfa(path: str) -> Frame:
                 cfa, pattern = read_orf_cfa(path)
         elif ext == "rw2":
             cfa, pattern = read_rw2_cfa(path)
-        elif ext in ("srw", "erf", "mef", "mrw", "raw"):
+        elif ext == "mrw":
+            cfa, pattern = read_mrw_cfa(path)
+        elif ext == "raf":
+            cfa, pattern = read_raf_cfa(path)
+        elif ext in ("srw", "erf", "mef", "raw", "3fr", "kdc", "dcr",
+                     "mos"):
             cfa, pattern = read_tiffraw_cfa(path, ext)
         else:
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
                 f"requires rawpy/libraw (absent); built-in decoders "
                 f"cover DNG (uncompressed or lossless-JPEG), CR2, NEF "
-                f"(compressed or uncompressed), Sony ARW2, and "
-                f"uncompressed TIFF-strip raws (PEF/...)")
+                f"(compressed or uncompressed), Sony ARW2, PEF, ORF, "
+                f"RW2, MRW, Bayer RAF, and uncompressed TIFF-strip "
+                f"raws")
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern
     return frame

@@ -1015,3 +1015,101 @@ class TestRw2:
         assert n == 1
         f2 = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
         np.testing.assert_array_equal(f2.data[0], img[::-1])
+
+
+class TestMrw:
+    """Minolta MRW (\\0MRM container, dcraw parse_minolta layout)
+    through io/raw.read_mrw_cfa. Both storage methods are exact."""
+
+    def test_roundtrip_packed(self, tmp_path):
+        from siriltpu.io.raw import read_mrw_cfa
+        from siriltpu.testing.mrw import write_mrw
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 1 << 12, (24, 34)).astype(np.uint16)
+        p = str(tmp_path / "a2.mrw")
+        write_mrw(p, img, packed=True)
+        got, pattern = read_mrw_cfa(p)
+        assert pattern == "RGGB"  # conversion.c:62 vendor table
+        np.testing.assert_array_equal(got, img)
+
+    def test_roundtrip_unpacked(self, tmp_path):
+        from siriltpu.io.raw import read_mrw_cfa
+        from siriltpu.testing.mrw import write_mrw
+        rng = np.random.default_rng(62)
+        img = rng.integers(0, 1 << 12, (10, 18)).astype(np.uint16)
+        p = str(tmp_path / "a200.mrw")
+        write_mrw(p, img, packed=False)
+        got, _ = read_mrw_cfa(p)
+        np.testing.assert_array_equal(got, img)
+
+    def test_not_mrw_rejected(self, tmp_path):
+        from siriltpu.io.raw import read_mrw_cfa
+        p = str(tmp_path / "bad.mrw")
+        with open(p, "wb") as f:
+            f.write(b"II*\x00" + bytes(64))
+        with pytest.raises(ValueError, match="not a Minolta MRW"):
+            read_mrw_cfa(p)
+
+    def test_dispatch_and_conversion(self, tmp_path):
+        from siriltpu.io.conversion import convert_dir
+        from siriltpu.io import fits as fits_io
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.mrw import write_mrw
+        y, x = np.mgrid[0:8, 0:12]
+        img = (90 + y * 7 + x * 5).astype(np.uint16)
+        p = str(tmp_path / "d7.mrw")
+        write_mrw(p, img)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "RGGB"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+        n = convert_dir(str(tmp_path), str(tmp_path / "seq"))
+        assert n == 1
+        f2 = fits_io.read_fits(str(tmp_path / "seq00001.fit"))
+        np.testing.assert_array_equal(f2.data[0], img[::-1])
+
+
+class TestRaf:
+    """Fuji RAF (dcraw parse_fuji container) through
+    io/raw.read_raf_cfa: conventional Bayer sensors decode exactly;
+    Super-CCD/X-Trans layouts are refused like the reference
+    (conversion.c:57)."""
+
+    def test_roundtrip_bayer(self, tmp_path):
+        from siriltpu.io.raw import read_raf_cfa
+        from siriltpu.testing.raf import write_raf
+        rng = np.random.default_rng(63)
+        img = rng.integers(0, 1 << 14, (20, 30)).astype(np.uint16)
+        p = str(tmp_path / "s2.raf")
+        write_raf(p, img)
+        got, pattern = read_raf_cfa(p)
+        assert pattern == "GBRG"  # conversion.c:57 vendor table
+        np.testing.assert_array_equal(got, img)
+
+    def test_super_ccd_refused(self, tmp_path):
+        from siriltpu.io.raw import read_raf_cfa
+        from siriltpu.testing.raf import write_raf
+        img = np.zeros((4, 6), np.uint16)
+        p = str(tmp_path / "s3.raf")
+        write_raf(p, img, super_ccd=True)
+        with pytest.raises(ValueError, match="Super-CCD/X-Trans"):
+            read_raf_cfa(p)
+
+    def test_xtrans_refused(self, tmp_path):
+        from siriltpu.io.raw import read_raf_cfa
+        from siriltpu.testing.raf import write_raf
+        img = np.zeros((4, 6), np.uint16)
+        p = str(tmp_path / "xt.raf")
+        write_raf(p, img, xtrans=True)
+        with pytest.raises(ValueError, match="Super-CCD/X-Trans"):
+            read_raf_cfa(p)
+
+    def test_dispatch(self, tmp_path):
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.raf import write_raf
+        y, x = np.mgrid[0:6, 0:8]
+        img = (500 + y * 13 + x * 9).astype(np.uint16)
+        p = str(tmp_path / "x100.raf")
+        write_raf(p, img)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "GBRG"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
