@@ -23,15 +23,32 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from siriltpu.ops.sortnet import stage_offsets
+from siriltpu.ops.sortnet import slice_segments, stage_offsets
 
 MAX_ITERS = 50
+_SUBLANE = 8  # sublane-tile granularity for i32; unaligned sublane
+              # slices would be slower than the roll form
+
+
+def _plan_stages(n_pad: int):
+    """Per sort stage, choose the cheapest Mosaic realization:
+    ('slice', segments) when the stage decomposes into sublane-aligned
+    contiguous runs (no roll, no select — sliced min/max + concat),
+    else ('roll', k, lo, hi) for the two-roll masked form."""
+    plan = []
+    for k, lo, hi in stage_offsets(n_pad):
+        segs = (slice_segments(k, lo, hi, n_pad, _SUBLANE)
+                if k >= _SUBLANE else None)
+        if segs is not None:
+            plan.append(("slice", segs))
+        else:
+            plan.append(("roll", k, lo, hi))
+    return plan
 
 
 def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
                  sighigh: float):
-    stages = stage_offsets(n_pad)
-    ks = [k for k, _, _ in stages]
+    plan = _plan_stages(n_pad)
 
     def kernel(masks_ref, x_ref, out_ref):
         # (f_real, tile) block; pad rows (constant 65535) are appended
@@ -45,13 +62,29 @@ def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
             x = jnp.concatenate(
                 [x, jnp.full((n_pad - f_real, tile), 65535, jnp.int32)],
                 axis=0)
-        for si, k in enumerate(ks):
-            lom = masks_ref[2 * si, :][:, None] != 0
-            him = masks_ref[2 * si + 1, :][:, None] != 0
-            xd = pltpu.roll(x, (n_pad - k) % n_pad, 0)  # value from i+k
-            xu = pltpu.roll(x, k, 0)                     # value from i-k
-            x = jnp.where(lom, jnp.minimum(x, xd),
-                          jnp.where(him, jnp.maximum(x, xu), x))
+        ri = 0  # row index into the roll-stage mask table
+        for stage in plan:
+            if stage[0] == "slice":
+                parts = []
+                for kind, a, b, ln in stage[1]:
+                    if kind == "pass":
+                        parts.append(x[a: a + ln])
+                    elif kind == "min":
+                        parts.append(jnp.minimum(x[a: a + ln],
+                                                 x[b: b + ln]))
+                    else:
+                        parts.append(jnp.maximum(x[a: a + ln],
+                                                 x[b: b + ln]))
+                x = jnp.concatenate(parts, axis=0)
+            else:
+                _, k, _, _ = stage
+                lom = masks_ref[2 * ri, :][:, None] != 0
+                him = masks_ref[2 * ri + 1, :][:, None] != 0
+                xd = pltpu.roll(x, (n_pad - k) % n_pad, 0)  # from i+k
+                xu = pltpu.roll(x, k, 0)                    # from i-k
+                x = jnp.where(lom, jnp.minimum(x, xd),
+                              jnp.where(him, jnp.maximum(x, xu), x))
+                ri += 1
         xf = x.astype(jnp.float32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tile), 0)
 
@@ -133,17 +166,18 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
     n_pad = 1 << (f - 1).bit_length()
 
     kernel = _make_kernel(f, n_pad, tile, float(siglow), float(sighigh))
-    stages = stage_offsets(n_pad)
-    masks = np.zeros((2 * len(stages), n_pad), dtype=np.int32)
-    for si, (_, lo, hi) in enumerate(stages):
-        masks[2 * si] = lo
-        masks[2 * si + 1] = hi
+    roll_stages = [s for s in _plan_stages(n_pad) if s[0] == "roll"]
+    nrows = max(2 * len(roll_stages), 2)
+    masks = np.zeros((nrows, n_pad), dtype=np.int32)
+    for ri, (_, _, lo, hi) in enumerate(roll_stages):
+        masks[2 * ri] = lo
+        masks[2 * ri + 1] = hi
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, p), jnp.uint16),
         grid=(p // tile,),
         in_specs=[
-            pl.BlockSpec((2 * len(stages), n_pad), lambda i: (0, 0),
+            pl.BlockSpec((nrows, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

@@ -60,25 +60,92 @@ def _stages(n: int) -> Tuple[Tuple[Tuple[int, int], ...], ...]:
 
 @functools.lru_cache(maxsize=None)
 def stage_offsets(n: int):
-    """Per stage: (k, lo_mask (n,), hi_mask (n,)) where every pair in the
-    stage is (i, i+k). Batcher's construction emits fixed-k runs, so each
-    greedy stage has a uniform offset — asserted here. This form lets a
-    Pallas kernel realize a stage as two axis-0 rolls + masked min/max."""
+    """Per stage: (k, lo_mask (n,), hi_mask (n,)) where every pair in
+    the stage is (i, i+k). Stages are the canonical (p, k) rounds
+    (``_runs``), whose masks keep Batcher's contiguous-block structure.
+    This form lets a Pallas kernel realize a stage as two axis-0 rolls
+    + masked min/max, or — when ``slice_segments`` applies — as static
+    sublane slices with no roll at all."""
     out = []
-    for stage in _stages(n):
-        # a greedy stage may merge disjoint pairs of different offsets;
-        # split by k (pairs are disjoint, so sub-stage order is free)
-        by_k = {}
-        for a, b in stage:
-            by_k.setdefault(b - a, []).append((a, b))
-        for k, pairs in by_k.items():
-            lo = np.zeros(n, dtype=bool)
-            hi = np.zeros(n, dtype=bool)
-            for a, b in pairs:
-                lo[a] = True
-                hi[b] = True
-            out.append((k, lo, hi))
+    for k, pairs in _runs(n):
+        lo = np.zeros(n, dtype=bool)
+        hi = np.zeros(n, dtype=bool)
+        for a, b in pairs:
+            lo[a] = True
+            hi[b] = True
+        out.append((k, lo, hi))
     return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _runs(n: int):
+    """Batcher's network grouped into its canonical (p, k) rounds.
+    Each round's comparators are index-disjoint (asserted), share one
+    offset k, and the round order preserves the pair emission order —
+    unlike the greedy packer below, a round never absorbs strays from
+    a neighboring round, so its masks keep their contiguous-block
+    structure (which the Pallas slice-exchange form needs)."""
+    rounds = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            pairs = []
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            if pairs:
+                seen = set()
+                for a, b in pairs:
+                    assert a not in seen and b not in seen
+                    seen.update((a, b))
+                rounds.append((k, tuple(pairs)))
+            k //= 2
+        p *= 2
+    return tuple(rounds)
+
+
+def slice_segments(k: int, lo: np.ndarray, hi: np.ndarray, n: int,
+                   align: int):
+    """Ordered output segments realizing a compare-exchange stage with
+    static sublane slices, or None if the masks don't decompose into
+    aligned runs. Segments are (kind, a, b, L): output takes
+    min/max of x[a:a+L] and x[b:b+L] ('pass' copies x[a:a+L])."""
+    lo_pos = np.where(lo)[0]
+    hi_pos = np.where(hi)[0]
+    if not np.array_equal(hi_pos, lo_pos + k):
+        return None
+    lo_set = set(lo_pos.tolist())
+    hi_set = set(hi_pos.tolist())
+    segs = []
+    i = 0
+    while i < n:
+        if i in lo_set:
+            L = 1
+            while i + L in lo_set:
+                L += 1
+            if L > k:
+                return None  # would overlap its own partner block
+            segs.append(("min", i, i + k, L))
+            i += L
+        elif i in hi_set:
+            L = 1
+            while i + L in hi_set and i + L not in lo_set:
+                L += 1
+            if L > k:
+                return None
+            segs.append(("max", i - k, i, L))
+            i += L
+        else:
+            s = i
+            while i < n and i not in lo_set and i not in hi_set:
+                i += 1
+            segs.append(("pass", s, s, i - s))
+    for _, a, b, L in segs:
+        if a % align or b % align or L % align:
+            return None
+    return segs
 
 
 @functools.lru_cache(maxsize=None)

@@ -78,6 +78,29 @@ def _align_frames_impl(frames: Array, sx: Array, sy: Array) -> Array:
 align_frames = jax.jit(_align_frames_impl, donate_argnums=(0,))
 align_frames_keep = jax.jit(_align_frames_impl)
 
+ALIGN_MARGIN = 64  # static zero-pad for the sliced align fast path
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def align_frames_slice(frames: Array, sx: Array, sy: Array,
+                       margin: int = ALIGN_MARGIN) -> Array:
+    """Same zero-fill shift semantics as ``align_frames`` for
+    |shift| <= margin, as a scanned per-frame ``dynamic_slice`` over a
+    zero-padded copy — a straight HBM copy instead of a clipped double
+    gather (measured 53 ms vs 123 ms for 100x4K^2 u16). Callers must
+    check the shift bound (dynamic_slice CLAMPS out-of-range starts,
+    which would silently change the semantics beyond the margin)."""
+    f, h, w = frames.shape
+    padded = jnp.pad(frames, ((0, 0), (margin, margin), (margin, margin)))
+
+    def body(_, i):
+        sl = jax.lax.dynamic_slice(
+            padded, (i, margin - sy[i], margin - sx[i]), (1, h, w))
+        return 0, sl[0]
+
+    _, out = jax.lax.scan(body, 0, jnp.arange(f))
+    return out
+
 
 @functools.lru_cache(maxsize=None)
 def _make_stack_block(rejection: str, sig):
@@ -113,8 +136,17 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
         x0, y0, s = sel
         sels = jax.lax.dynamic_slice(frames_dev, (0, y0, x0), (f, s, s))
         quality = quality_estimate_batch(sels)
-    aligned = (align_frames_keep if keep_frames
-               else align_frames)(frames_dev, sx, sy)
+    # fast path: sliced align (plain HBM copies). The shift-bound check
+    # costs one scalar sync; the device is busy with the upstream
+    # programs during the wait, so only dispatch overlap (~ms) is lost.
+    maxshift = int(jnp.max(jnp.maximum(jnp.abs(sx), jnp.abs(sy))))
+    if maxshift <= ALIGN_MARGIN:
+        aligned = align_frames_slice(frames_dev, sx, sy)
+        if not keep_frames:
+            frames_dev = None  # caller donated; drop our reference
+    else:
+        aligned = (align_frames_keep if keep_frames
+                   else align_frames)(frames_dev, sx, sy)
     from siriltpu.ops.pallas.reject_stack import _on_tpu, sigma_stack_pallas
     if rejection == "sigma" and (h * w) % 2048 == 0 and _on_tpu():
         # fused Pallas kernel: sort + clip + mean in VMEM, one pass

@@ -33,3 +33,22 @@ def test_pipeline_small_bench_runs():
     bench = RegisterStackBench(size=128, nframes=8, block_rows=64)
     fps = bench.run()
     assert fps > 0
+
+
+def test_align_slice_matches_gather_align():
+    """align_frames_slice (padded dynamic_slice fast path) must produce
+    exactly the gather path's zero-fill shift for every in-margin
+    shift, including the extremes."""
+    from siriltpu.pipelines.register_stack import (
+        ALIGN_MARGIN, _align_frames_impl, align_frames_slice)
+    rng = np.random.default_rng(5)
+    f, h, w = 7, 40, 56
+    frames = jnp.asarray(
+        rng.integers(0, 65536, (f, h, w)).astype(np.uint16))
+    sx = jnp.asarray([0, 3, -5, ALIGN_MARGIN, -ALIGN_MARGIN, 17, -1],
+                     jnp.int32)
+    sy = jnp.asarray([0, -2, 7, -ALIGN_MARGIN, ALIGN_MARGIN, -30, 4],
+                     jnp.int32)
+    want = np.asarray(_align_frames_impl(frames, sx, sy))
+    got = np.asarray(align_frames_slice(frames, sx, sy, margin=ALIGN_MARGIN))
+    np.testing.assert_array_equal(got, want)
