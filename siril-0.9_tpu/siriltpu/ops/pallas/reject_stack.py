@@ -30,37 +30,64 @@ _SUBLANE = 8  # sublane-tile granularity for i32; unaligned sublane
               # slices would be slower than the roll form
 
 
-def _plan_stages(n_pad: int):
-    """Per sort stage, choose the cheapest Mosaic realization:
-    ('slice', segments) when the stage decomposes into sublane-aligned
-    contiguous runs (no roll, no select — sliced min/max + concat),
-    else ('roll', k, lo, hi) for the two-roll masked form."""
+def _plan_stages(f_real: int):
+    """Sort-stage plan for f_real values: Batcher's network for the
+    next power of two, PRUNED to pairs with both wires < n_rows, run
+    on n_rows = ceil(f_real/8)*8 rows.
+
+    The pruning is exact, not heuristic: pad wires hold 65535 (the
+    u16 maximum), so for any comparator (i, j) with j a pad wire,
+    min(x_i, 65535) = x_i and max = 65535 — a no-op that also keeps
+    the pad-wire invariant, inductively through the whole network.
+    Dropping comparators whose high wire lies beyond n_rows lets every
+    full-width op (rolls, selects, the clip loop's frame-axis
+    reductions) run over n_rows = ceil(f/8)*8 instead of the power of
+    two (104 vs 128 for f=100). Comparators into the surviving pad
+    rows [f_real, n_rows) are kept — equally no-ops, but keeping them
+    preserves the 8-alignment of the slice-form runs (k is a multiple
+    of 8 there, so truncating at n_rows - k stays aligned, while
+    truncating at f_real would not).
+
+    Returns (n_rows, plan); plan entries are ('slice', segments) when
+    the stage decomposes into sublane-aligned contiguous runs (no
+    roll, no select — sliced min/max + concat), else
+    ('roll', k, lo, hi) for the two-roll masked form."""
+    n_net = 1 << (f_real - 1).bit_length()
+    n_rows = -(-f_real // _SUBLANE) * _SUBLANE
     plan = []
-    for k, lo, hi in stage_offsets(n_pad):
-        segs = (slice_segments(k, lo, hi, n_pad, _SUBLANE)
+    for k, lo, hi in stage_offsets(n_net):
+        lo = lo.copy()
+        hi = hi.copy()
+        dead = np.where(hi)[0] >= n_rows   # prune pairs past the buffer
+        lo[np.where(lo)[0][dead]] = False
+        hi[np.where(hi)[0][dead]] = False
+        if not lo.any():
+            continue
+        lo = lo[:n_rows]
+        hi = hi[:n_rows]
+        segs = (slice_segments(k, lo, hi, n_rows, _SUBLANE)
                 if k >= _SUBLANE else None)
         if segs is not None:
             plan.append(("slice", segs))
         else:
             plan.append(("roll", k, lo, hi))
-    return plan
+    return n_rows, plan
 
 
-def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
-                 sighigh: float):
-    plan = _plan_stages(n_pad)
+def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float):
+    n_rows, plan = _plan_stages(f_real)
 
     def kernel(masks_ref, x_ref, out_ref):
         # (f_real, tile) block; pad rows (constant 65535) are appended
-        # IN VMEM so the (n_pad, P) padded copy never exists in HBM —
+        # IN VMEM so the (n_rows, P) padded copy never exists in HBM —
         # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
         # batch. Pad rows equal the max value, so after the sort the
         # prefix of length f_real is multiset-equal to the real data
         # (ties between real and pad values can only swap equal values).
         x = x_ref[:].astype(jnp.int32)
-        if n_pad != f_real:
+        if n_rows != f_real:
             x = jnp.concatenate(
-                [x, jnp.full((n_pad - f_real, tile), 65535, jnp.int32)],
+                [x, jnp.full((n_rows - f_real, tile), 65535, jnp.int32)],
                 axis=0)
         ri = 0  # row index into the roll-stage mask table
         for stage in plan:
@@ -80,13 +107,13 @@ def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
                 _, k, _, _ = stage
                 lom = masks_ref[2 * ri, :][:, None] != 0
                 him = masks_ref[2 * ri + 1, :][:, None] != 0
-                xd = pltpu.roll(x, (n_pad - k) % n_pad, 0)  # from i+k
+                xd = pltpu.roll(x, (n_rows - k) % n_rows, 0)  # from i+k
                 xu = pltpu.roll(x, k, 0)                    # from i-k
                 x = jnp.where(lom, jnp.minimum(x, xd),
                               jnp.where(him, jnp.maximum(x, xu), x))
                 ri += 1
         xf = x.astype(jnp.float32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tile), 0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, tile), 0)
 
         def win_stats(lo, hi):
             n = hi - lo
@@ -97,12 +124,14 @@ def _make_kernel(f_real: int, n_pad: int, tile: int, siglow: float,
             d = jnp.where(mask, xf - mean, 0.0)
             var = jnp.sum(d * d, axis=0, keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
             sigma = jnp.where(n > 1, jnp.sqrt(var), 0.0)
-            # sorted-window median via one-hot sums (no gather on TPU VMEM)
+            # sorted-window median via ONE one-hot sum (no gather on
+            # TPU VMEM): weight rank k1 and k2 each once — when they
+            # coincide (odd n) the weight is 2, so 0.5*sum is exact
             k1 = lo + (n - 1) // 2
             k2 = lo + n // 2
-            v1 = jnp.sum(jnp.where(iota == k1, xf, 0.0), axis=0, keepdims=True)
-            v2 = jnp.sum(jnp.where(iota == k2, xf, 0.0), axis=0, keepdims=True)
-            median = 0.5 * (v1 + v2)
+            wmed = ((iota == k1).astype(jnp.float32) +
+                    (iota == k2).astype(jnp.float32))
+            median = 0.5 * jnp.sum(wmed * xf, axis=0, keepdims=True)
             return n, mask, median, sigma
 
         def cond(state):
@@ -163,12 +192,12 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
     """
     f, p = vals.shape
     assert p % tile == 0, f"P={p} not a multiple of tile={tile}"
-    n_pad = 1 << (f - 1).bit_length()
 
-    kernel = _make_kernel(f, n_pad, tile, float(siglow), float(sighigh))
-    roll_stages = [s for s in _plan_stages(n_pad) if s[0] == "roll"]
-    nrows = max(2 * len(roll_stages), 2)
-    masks = np.zeros((nrows, n_pad), dtype=np.int32)
+    kernel = _make_kernel(f, tile, float(siglow), float(sighigh))
+    n_rows, plan = _plan_stages(f)
+    roll_stages = [s for s in plan if s[0] == "roll"]
+    nmask = max(2 * len(roll_stages), 2)
+    masks = np.zeros((nmask, n_rows), dtype=np.int32)
     for ri, (_, _, lo, hi) in enumerate(roll_stages):
         masks[2 * ri] = lo
         masks[2 * ri + 1] = hi
@@ -177,7 +206,7 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
         out_shape=jax.ShapeDtypeStruct((1, p), jnp.uint16),
         grid=(p // tile,),
         in_specs=[
-            pl.BlockSpec((nrows, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((nmask, n_rows), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
