@@ -29,20 +29,25 @@ Array = jnp.ndarray
 
 @jax.jit
 def _ref_fft(ref: Array) -> Array:
-    return jnp.fft.fft2(ref.astype(jnp.float32))
+    # real-input transform: half the spectrum, half the FLOPs/bytes of
+    # fft2 — the cross-correlation of two real signals is real, so the
+    # rfft/irfft round trip is mathematically identical to the C's
+    # complex transform + real-part (registration.c:330)
+    return jnp.fft.rfft2(ref.astype(jnp.float32))
 
 
 @jax.jit
 def phase_correlate(ref_fft: Array, frames: Array):
     """Batched phase correlation.
 
-    ref_fft: (S, S) complex64 (precomputed FFT of the reference selection).
-    frames: (F, S, S) uint16/float. Returns (shiftx, shifty) int32 (F,).
+    ref_fft: (S, S//2+1) complex64 (precomputed rfft2 of the reference
+    selection). frames: (F, S, S) uint16/float. Returns
+    (shiftx, shifty) int32 (F,).
     """
     size = frames.shape[-1]
-    ffts = jnp.fft.fft2(frames.astype(jnp.float32))
+    ffts = jnp.fft.rfft2(frames.astype(jnp.float32))
     cross = ref_fft[None] * jnp.conj(ffts)
-    corr = jnp.real(jnp.fft.ifft2(cross))
+    corr = jnp.fft.irfft2(cross, s=(size, size))
     flat = corr.reshape(corr.shape[0], -1)
     idx = jnp.argmax(flat, axis=1).astype(jnp.int32)  # first max, like the C scan
     shifty = idx // size

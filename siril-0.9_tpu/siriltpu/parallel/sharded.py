@@ -90,7 +90,7 @@ def register_stack_step(sel: Tuple[int, int, int], rejection: str = "sigma",
     def step(frames):
         sels = jax.lax.dynamic_slice(
             frames, (0, y0, x0), (frames.shape[0], s, s)).astype(jnp.float32)
-        ref_fft = jnp.fft.fft2(sels[0])
+        ref_fft = jnp.fft.rfft2(sels[0])
         sx, sy = phase_correlate(ref_fft, sels)
         f, h, w = frames.shape
         rows = jnp.arange(h)[None, :] - sy[:, None]

@@ -44,7 +44,7 @@ def compute_shifts(frames: Array, ref_index: int, sel: Tuple[int, int, int]):
         frames, (0, y0, x0), (frames.shape[0], s, s)).astype(jnp.float32)
     ref_sel = jax.lax.dynamic_index_in_dim(sels, ref_index, axis=0,
                                            keepdims=False)
-    ref_fft = jnp.fft.fft2(ref_sel)
+    ref_fft = jnp.fft.rfft2(ref_sel)
     sx, sy = phase_correlate(ref_fft, sels)
     # the reference frame has shift 0 by construction (self-correlation
     # peaks at 0), but enforce it like the reference does
