@@ -76,20 +76,29 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
         writer = AviWriter(path, out_w, out_h, args.fps, codec="mjpeg",
                            jpeg_quality=min(55 + 9 * args.quality, 100))
         fmt = "avi"
-    elif fmt == "mp4":
-        # dependency-free MJPEG-in-MP4 muxer (replaces mp4_output.c's
-        # libavformat path; see io/mp4.py)
-        from siriltpu.io.mp4 import Mp4Writer
-        writer = Mp4Writer(path, out_w, out_h, args.fps)
-        fmt = "mp4"
-    elif fmt == "webm":
-        try:
-            import imageio.v2 as iio
-            mp4 = iio.get_writer(path, fps=args.fps)
-        except Exception as e:
-            raise RuntimeError(
-                "WEBM output is not supported: ffmpeg backend missing "
-                f"({e})") from e
+    elif fmt in ("mp4", "webm"):
+        # native libav encoder: H.264 for mp4, VP9 for webm, with the
+        # reference's settings (mp4_output.c:403 mp4_create). Falls back
+        # to the dependency-free MJPEG-in-MP4 muxer (io/mp4.py) when
+        # libavformat/libavcodec are absent or the geometry is odd
+        # (yuv420p requires even dimensions, mp4_output.c:411).
+        from siriltpu.io import film_codec
+        if (film_codec.available() and out_w % 2 == 0 and out_h % 2 == 0):
+            writer = film_codec.FilmEncoder(
+                path, out_w, out_h, args.fps, seq.nb_layers,
+                quality=max(1, min(args.quality, 5)))
+            fmt = "film"
+        elif fmt == "mp4":
+            from siriltpu.io.mp4 import Mp4Writer
+            writer = Mp4Writer(path, out_w, out_h, args.fps)
+        else:
+            try:
+                import imageio.v2 as iio
+                mp4 = iio.get_writer(path, fps=args.fps)
+            except Exception as e:
+                raise RuntimeError(
+                    "WEBM output is not supported: ffmpeg backend "
+                    f"missing ({e})") from e
     elif fmt != "fits":
         raise ValueError(f"unknown export format {args.fmt}")
 
@@ -112,6 +121,14 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
             writer.write_frame(out)
         elif fmt == "avi":
             writer.write_frame(out)
+        elif fmt == "film":
+            # WORD → BYTE linear map + bottom-up → top-down packing,
+            # the fill_rgb_image conversion (mp4_output.c:225-276)
+            img8 = np.clip(out.data.astype(np.float64) * (255.0 / 65535.0)
+                           + 0.5, 0, 255).astype(np.uint8)
+            arr = (img8[0] if out.nlayers == 1
+                   else img8.transpose(1, 2, 0))[::-1]
+            writer.add_frame(np.ascontiguousarray(arr))
         elif fmt == "mp4":
             from siriltpu.io.avi import _frame_to_jpeg
             quality = min(55 + 9 * args.quality, 100)
@@ -129,7 +146,7 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
                 out)
     if fmt == "ser":
         writer.write_and_close()
-    elif fmt in ("avi", "mp4"):
+    elif fmt in ("avi", "mp4", "film"):
         writer.close()
     elif mp4 is not None:
         mp4.close()

@@ -1,7 +1,7 @@
-"""Film import: AVI (and, when an ffmpeg backend exists, MP4/WEBM/...).
+"""Film import: AVI, MP4, MOV, WEBM, MPEG, ...
 
 Reference: src/io/films.c (FFMS2-based ``film_open_file`` :66,
-``film_read_frame`` :245). This environment has no ffmpeg/FFMS2, so:
+``film_read_frame`` :245). Backend chain, fastest first:
 
 - uncompressed DIB AVI files (what the reference's AVI exporter and our
   native writer produce) are demuxed natively with a small RIFF parser;
@@ -9,8 +9,12 @@ Reference: src/io/films.c (FFMS2-based ``film_open_file`` :66,
   demuxed by the same RIFF parser and each frame's JPEG chunk is decoded
   with PIL, inserting the standard Huffman tables when the stream omits
   them (most MJPEG encoders rely on the decoder carrying T.81 Annex K);
-- other containers go through imageio if a plugin can handle them,
-  otherwise a clear error explains the missing backend.
+- MJPEG MP4/MOV go through the built-in ISO-BMFF parser;
+- everything else (H.264/H.265/VP8/VP9/MPEG...) decodes through the
+  native libav bridge (native/film_codec.cpp + io/film_codec.py) — the
+  full ffms2-class scope of the reference — when the system has
+  libavformat/libavcodec;
+- finally imageio, if one of its plugins can handle the file.
 """
 
 from __future__ import annotations
@@ -146,7 +150,8 @@ class FilmFile:
     fps: float = 25.0
     _chunks: List[Tuple[int, int]] = field(default_factory=list)
     _dib_bpp: int = 24
-    _backend: str = "dib"  # dib | mjpeg | imageio
+    _backend: str = "dib"  # dib | mjpeg | codec | imageio
+    _codec: object = None
 
     @classmethod
     def open(cls, path: str) -> "FilmFile":
@@ -163,6 +168,19 @@ class FilmFile:
                 return cls._open_mp4(path)
             except (ValueError, KeyError, struct.error, IndexError,
                     EOFError):
+                pass
+        # libav bridge: H.264/H.265/VP8/VP9/MPEG/... — the ffms2-class
+        # decode scope of the reference (films.c:66) as a native module
+        from siriltpu.io import film_codec
+        if film_codec.available():
+            try:
+                dec = film_codec.FilmDecoder(path)
+                f = cls(path=path, width=dec.width, height=dec.height,
+                        nb_frames=dec.nb_frames, fps=dec.fps or 25.0)
+                f._backend = "codec"
+                f._codec = dec
+                return f
+            except RuntimeError:
                 pass
         # fallback: imageio plugin (requires an ffmpeg backend for most)
         try:
@@ -251,9 +269,9 @@ class FilmFile:
     def _open_mp4(cls, path: str) -> "FilmFile":
         """ISO-BMFF (MP4/MOV) demuxer for Motion-JPEG video tracks —
         the counterpart of io/mp4.py's muxer, and reads real Siril/
-        ffmpeg MJPEG-in-MP4 output too. H.264/H.265 tracks raise a
-        clean unsupported-codec error (no ffmpeg in this environment;
-        reference scope: src/io/films.c via ffms2)."""
+        ffmpeg MJPEG-in-MP4 output too. H.264/H.265 tracks raise here
+        and fall through to the libav codec bridge in ``open``
+        (reference scope: src/io/films.c via ffms2)."""
 
         def boxes(buf, start, end):
             off = start
@@ -398,6 +416,13 @@ class FilmFile:
 
     def read_frame(self, index: int) -> Frame:
         """film_read_frame: returns a bottom-up uint16 Frame."""
+        if self._backend == "codec":
+            if index < 0 or index >= self.nb_frames:
+                raise IndexError(index)
+            # top-down gray/RGB (uint8, or uint16 for deep sources) →
+            # bottom-up planar WORD with the reference's gray-in-RGB
+            # collapse (films.c:269-300)
+            return _topdown_to_frame(self._codec.read(index))
         if self._backend == "imageio":
             import imageio.v3 as iio
             arr = np.asarray(iio.imread(self.path, index=index))

@@ -149,9 +149,13 @@ def _parse_mp4_boxes(buf, start=0, end=None):
     return boxes
 
 
-def test_export_mp4(tmp_path):
+def test_export_mp4(tmp_path, monkeypatch):
     """MP4 export without ffmpeg (io/mp4.py): a structurally valid
-    ISO-BMFF file whose JPEG samples decode back to the frames."""
+    ISO-BMFF file whose JPEG samples decode back to the frames.
+    Forces the MJPEG fallback path (the libav H.264 encoder, when
+    present, is covered by tests/test_film_codec.py)."""
+    from siriltpu.io import film_codec
+    monkeypatch.setattr(film_codec, "available", lambda: False)
     import struct
     from PIL import Image
     import io as _io
@@ -218,10 +222,12 @@ def test_export_mjpeg_roundtrip(tmp_path):
     assert err.mean() < 3 and err.max() <= 32  # JPEG quality 100 path
 
 
-def test_export_mp4_roundtrip_demux(tmp_path):
+def test_export_mp4_roundtrip_demux(tmp_path, monkeypatch):
     """The MP4 muxer's output reopens through the ISO-BMFF demuxer
     (films.py _open_mp4) — the MJPEG-in-MP4 counterpart of the AVI
     round-trip, covering the reference's ffms2 MP4 film import scope."""
+    from siriltpu.io import film_codec
+    monkeypatch.setattr(film_codec, "available", lambda: False)
     from siriltpu.io import fits as fits_io
     from siriltpu.io.films import FilmFile
     from siriltpu.io.sequence import check_seq

@@ -1,0 +1,165 @@
+"""Tests for the libav film codec bridge (native/film_codec.cpp +
+io/film_codec.py): the native replacement for the reference's two
+ffmpeg-backed subsystems — ffms2 film decode (src/io/films.c:66,245)
+and H.264/VP9 MP4/WEBM export (src/io/mp4_output.c:403,495)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from siriltpu.core.frame import Frame
+from siriltpu.io import film_codec
+from siriltpu.io import fits as fits_io
+from siriltpu.io.export import ExportArgs, export_sequence
+from siriltpu.io.films import FilmFile
+from siriltpu.io.sequence import check_seq
+from siriltpu.testing.synth import make_sequence_frames
+
+pytestmark = pytest.mark.skipif(
+    not film_codec.available(),
+    reason="libavformat/libavcodec not installed")
+
+
+def _smooth_frames(n, h, w, color=True):
+    """Compressible test content: a moving smooth blob, top-down uint8."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = []
+    for i in range(n):
+        cx, cy = w * (0.2 + 0.05 * i), h * 0.5
+        img = 220.0 * np.exp(-(((xx - cx) / (w * 0.2)) ** 2 +
+                               ((yy - cy) / (h * 0.25)) ** 2))
+        if color:
+            arr = np.stack([img, 0.8 * img, 0.6 * img], axis=-1)
+        else:
+            arr = img
+        out.append(np.clip(arr + 16, 0, 255).astype(np.uint8))
+    return out
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("ext,color", [("mp4", True), ("webm", True),
+                                       ("mp4", False)])
+def test_encode_decode_roundtrip(tmp_path, ext, color):
+    """H.264 / VP9 encode then decode: geometry, frame count, fps, and
+    content survive; random access (keyframe seek + forward decode)
+    returns the same frames as sequential reads."""
+    path = str(tmp_path / f"clip.{ext}")
+    frames = _smooth_frames(10, 64, 96, color=color)
+    enc = film_codec.FilmEncoder(path, 96, 64, 10.0, 3 if color else 1,
+                                 quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+    assert os.path.getsize(path) > 200
+
+    dec = film_codec.FilmDecoder(path)
+    assert (dec.width, dec.height) == (96, 64)
+    assert dec.nb_frames == 10
+    assert dec.fps == pytest.approx(10.0, rel=0.01)
+    # yuv420p round trip of smooth content: comfortably > 30 dB.
+    # A gray source may decode as neutral-chroma RGB (the gray-in-RGB
+    # situation films.c:269 detects); compare against the luma then.
+    sequential = [dec.read(i) for i in range(10)]
+    for i in (0, 4, 9):
+        got = sequential[i]
+        if got.ndim == 3 and frames[i].ndim == 2:
+            got = got.mean(axis=-1)
+        assert _psnr(got, frames[i]) > 30.0
+    # random access (backward seek, then re-read) is bit-identical to
+    # the sequential decode of the same frame
+    for i in (7, 2, 9, 0):
+        np.testing.assert_array_equal(dec.read(i), sequential[i])
+    dec.close()
+
+
+def test_filmfile_codec_backend(tmp_path):
+    """FilmFile.open falls through the native demuxers to the codec
+    bridge for H.264 video and produces bottom-up WORD Frames
+    (films.c film_read_frame semantics)."""
+    path = str(tmp_path / "h264.mp4")
+    frames = _smooth_frames(6, 32, 48)
+    enc = film_codec.FilmEncoder(path, 48, 32, 25.0, 3, quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+
+    film = FilmFile.open(path)
+    assert film._backend == "codec"
+    assert (film.width, film.height, film.nb_frames) == (48, 32, 6)
+    got = film.read_frame(3)
+    assert got.data.dtype == np.uint16
+    assert got.data.shape == (3, 32, 48)
+    # bottom-up: Frame row 0 is the image's bottom row; 4:2:0 chroma
+    # subsampling at the reference's bitrate costs ~10/255 mean error
+    # on saturated color content
+    want = frames[3][::-1].transpose(2, 0, 1)
+    assert np.abs(got.data.astype(float) - want).mean() < 16.0
+
+
+def test_export_sequence_h264_vp9(tmp_path):
+    """seqexport mp4/webm produce real H.264/VP9 films (the
+    mp4_create/mp4_add_frame replacement) that decode back to the
+    source frames within lossy-codec tolerance."""
+    d = str(tmp_path)
+    frames, _, _ = make_sequence_frames(4, 32, 48, seed=11,
+                                        shifts=np.zeros((4, 2), int))
+    for i, f in enumerate(frames):
+        fits_io.write_fits(f"{d}/m{i+1:02d}.fit", Frame(f))
+    seq = check_seq(d)[0]
+    for fmt, codec_name in (("mp4", "h264"), ("webm", "vp9")):
+        p = export_sequence(seq, ExportArgs(basename=f"out_{fmt}",
+                                            fmt=fmt, fps=10.0, quality=5))
+        assert p.endswith(f".{fmt}")
+        dec = film_codec.FilmDecoder(p)
+        assert dec.nb_frames == 4
+        assert (dec.width, dec.height) == (48, 32)
+        got = dec.read(0)
+        if got.ndim == 3:
+            got = got.mean(axis=-1)
+        want = np.clip(frames[0][0].astype(np.float64) * 255.0 / 65535.0
+                       + 0.5, 0, 255)[::-1]
+        # noisy 16-bit starfield squeezed to 8-bit lossy video: just
+        # assert gross fidelity (stars present, background level right)
+        assert np.abs(got.astype(float) - want).mean() < 16.0
+        dec.close()
+
+
+def test_codec_film_as_sequence(tmp_path):
+    """An H.264 film opens as a Sequence (SEQ_AVI analog) and its
+    frames flow through the standard sequence machinery."""
+    from siriltpu.io.films import film_sequence
+
+    path = str(tmp_path / "seqclip.mp4")
+    frames = _smooth_frames(5, 32, 48)
+    enc = film_codec.FilmEncoder(path, 48, 32, 25.0, 3, quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+
+    seq = film_sequence(path)
+    assert seq.number == 5
+    fr = seq.read_frame(2)
+    assert fr.data.shape[1:] == (32, 48)
+
+
+def test_encoder_rejects_bad_params(tmp_path):
+    """Parameter validation mirrors mp4_create (mp4_output.c:411):
+    even dimensions and quality 1..5."""
+    with pytest.raises((RuntimeError, ValueError)):
+        film_codec.FilmEncoder(str(tmp_path / "odd.mp4"), 47, 32, 10.0, 3)
+    with pytest.raises((RuntimeError, ValueError)):
+        film_codec.FilmEncoder(str(tmp_path / "q.mp4"), 48, 32, 10.0, 3,
+                               quality=9)
+
+
+def test_decoder_rejects_garbage(tmp_path):
+    p = str(tmp_path / "junk.mp4")
+    with open(p, "wb") as f:
+        f.write(bytes(range(256)) * 16)
+    with pytest.raises(RuntimeError):
+        film_codec.FilmDecoder(p)
