@@ -209,3 +209,15 @@ g++ -O2 -std=c++14 -fno-fast-math -ffp-contract=off -I shim -I "$REF" \
     -DHAVE_OPENCV=1 harness_ecc.cpp "$REF/opencv/ecc/ecc.cpp" \
     -o build/harness_ecc
 ./build/harness_ecc "$OUT/c_ecc.bin"
+
+# --- suite 22: the REAL distro OpenCV (the library the reference links
+# for resize/warpPerspective/warpAffine — opencv.cpp:89,153,262) as the
+# anchor for siriltpu's geometric samplers, all interpolation values
+# 0-4. Skipped gracefully when OpenCV dev files are absent.
+if pkg-config --exists opencv4 2>/dev/null; then
+  g++ -O2 -std=c++14 $(pkg-config --cflags opencv4) harness_cvgeom.cpp \
+      -o build/harness_cvgeom -lopencv_core -lopencv_imgproc
+  ./build/harness_cvgeom "$OUT/c_cvgeom.bin"
+else
+  echo "suite 22 skipped: opencv4 dev files not found"
+fi

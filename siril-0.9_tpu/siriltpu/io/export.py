@@ -115,7 +115,10 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
             data = imops.crop(data, args.crop.x, args.crop.y,
                               args.crop.w, args.crop.h)
         if args.resize:
-            data = imops.resize(data, out_w, out_h)
+            # the reference exports with OPENCV_CUBIC = value 3
+            # (sequence.c:1436), which the real OpenCV executes as
+            # INTER_AREA (PARITY.md "interpolation enum")
+            data = imops.resize(data, out_w, out_h, interpolation=3)
         out = Frame(data, dict(frame.meta))
         if fmt == "ser":
             writer.write_frame(out)

@@ -226,60 +226,108 @@ def unsharp(data: np.ndarray, sigma: float, amount: float) -> np.ndarray:
     return out
 
 
-def _area_weights(src: int, dst: int) -> np.ndarray:
-    """Fractional-coverage row weights for INTER_AREA downscale: dst
-    cell i averages src cells overlapping [i·s, (i+1)·s), each weighted
-    by its overlap length (cv::resize area path semantics)."""
-    s = src / dst
+def _np_keys_weights(t: float, A: float = -0.75):
+    """Keys cubic weights for taps at distances 1+t, t, 1-t, 2-t."""
+    ws = []
+    for d in (1 + t, t, 1 - t, 2 - t):
+        d = abs(d)
+        if d <= 1:
+            ws.append(((A + 2) * d - (A + 3)) * d * d + 1)
+        elif d < 2:
+            ws.append(((A * d - 5 * A) * d + 8 * A) * d - 4 * A)
+        else:
+            ws.append(0.0)
+    return ws
+
+
+def _np_lanczos4_weights(t: float):
+    """Normalized Lanczos-4 (sinc(d)·sinc(d/4)), taps d = t+3-i."""
+    if t < 1e-7:
+        return [0, 0, 0, 1, 0, 0, 0, 0]
+    ws = []
+    for i in range(8):
+        x = (t + 3 - i) * np.pi
+        ws.append(np.sin(x) / x * np.sin(x * 0.25) / (x * 0.25))
+    tot = sum(ws)
+    return [w / tot for w in ws]
+
+
+def _resize_weights(src: int, dst: int, interp: int,
+                    both_shrink: bool) -> np.ndarray:
+    """Per-axis (dst, src) resampling weight matrix reproducing
+    cv::resize's exact conventions (anchored ≤1 LSB against the real
+    OpenCV 4.6, tests/goldens/c_cvgeom.bin):
+
+    - taps at fx = (dx+0.5)·scale − 0.5, CLAMPED to the image (border
+      replication — unlike warps, resize never reads a constant
+      border);
+    - NEAREST picks floor(dx·scale) (not round!);
+    - AREA with both axes shrinking = true fractional-coverage box
+      average; otherwise cv's 2-tap emulation
+      fx = (dx+1) − (sx+1)·dst/src (degenerates to floor-nearest on
+      integer zoom);
+    - CUBIC is Keys A = −0.75, LANCZOS4 the normalized windowed sinc.
+    """
+    scale = src / dst
+    inv = dst / src
     W = np.zeros((dst, src), np.float64)
-    for i in range(dst):
-        a, b = i * s, (i + 1) * s
-        k0, k1 = int(np.floor(a)), min(int(np.ceil(b)), src)
-        for k in range(k0, k1):
-            W[i, k] = min(b, k + 1.0) - max(a, float(k))
-        W[i] /= W[i].sum()
+    if interp == 0:
+        for dx in range(dst):
+            W[dx, min(int(np.floor(dx * scale)), src - 1)] = 1.0
+        return W
+    if interp == 3:
+        if both_shrink:
+            for i in range(dst):
+                a, b = i * scale, (i + 1) * scale
+                for k in range(int(np.floor(a)), min(int(np.ceil(b)), src)):
+                    W[i, k] = min(b, k + 1.0) - max(a, float(k))
+                W[i] /= W[i].sum()
+            return W
+        for dx in range(dst):
+            sx = int(np.floor(dx * scale))
+            fx = (dx + 1) - (sx + 1) * inv
+            fx = 0.0 if fx <= 0 else fx - np.floor(fx)
+            W[dx, min(max(sx, 0), src - 1)] += 1 - fx
+            W[dx, min(max(sx + 1, 0), src - 1)] += fx
+        return W
+    for dx in range(dst):
+        fx = (dx + 0.5) * scale - 0.5
+        sx = int(np.floor(fx))
+        t = fx - sx
+        if interp == 1:
+            offs, ws = (0, 1), (1 - t, t)
+        elif interp == 2:
+            offs, ws = (-1, 0, 1, 2), _np_keys_weights(t)
+        elif interp == 4:
+            offs, ws = range(-3, 5), _np_lanczos4_weights(t)
+        else:
+            raise ValueError(f"unknown interpolation {interp}")
+        for o, wgt in zip(offs, ws):
+            W[dx, min(max(sx + o, 0), src - 1)] += wgt
     return W
-
-
-def _resize_area(data: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
-    """True box-average area resampling (downscale): two MXU matmuls
-    Wy · img · Wxᵀ per channel — the TPU-native form of cv::resize
-    INTER_AREA's per-cell coverage accumulation."""
-    c, h, w = data.shape
-    Wy = jnp.asarray(_area_weights(h, new_h), jnp.float32)
-    Wx = jnp.asarray(_area_weights(w, new_w), jnp.float32)
-    out = np.empty((c, new_h, new_w), dtype=np.uint16)
-    for ch in range(c):
-        r = Wy @ jnp.asarray(data[ch]).astype(jnp.float32) @ Wx.T
-        out[ch] = np.clip(np.rint(np.asarray(r)), 0, 65535).astype(np.uint16)
-    return out
 
 
 def resize(data: np.ndarray, new_w: int, new_h: int,
            interpolation: int = 1) -> np.ndarray:
-    """cvResizeGaussian (opencv.cpp:80-130): cv::resize with the chosen
-    interpolation (the reference's opencv_interpolation VALUES 0-4,
-    siril.h:257-264). INTER_AREA (2) downscale is a true box average;
-    on upscale OpenCV's area path degenerates to bilinear, matched
-    here. Other modes go through the warp sampler (scale transform)."""
-    from siriltpu.ops.warp import INTER_AREA, INTER_LINEAR, warp_perspective
+    """cvResizeGaussian (opencv.cpp:80-130): cv::resize with the
+    interpolation VALUE the reference passes verbatim to OpenCV —
+    0 nearest, 1 linear, 2 cubic, 3 area, 4 lanczos4 (the runtime
+    meaning of the values; siril.h's enum names for 2/3 are swapped
+    relative to OpenCV's — PARITY.md "interpolation enum").
 
+    TPU-native: separable resampling as two MXU matmuls
+    Wy · img · Wxᵀ per channel, weights built host-side per geometry.
+    Anchored ≤1 LSB against the real OpenCV 4.6 for every mode
+    (tests/goldens/c_cvgeom.bin)."""
     c, h, w = data.shape
-    if interpolation == INTER_AREA:
-        if new_w <= w and new_h <= h:
-            return _resize_area(data, new_w, new_h)
-        interpolation = INTER_LINEAR
-    sx = w / new_w
-    sy = h / new_h
-    # OpenCV resize samples at (x + 0.5) * scale - 0.5
-    Hinv = np.array([[sx, 0, 0.5 * sx - 0.5],
-                     [0, sy, 0.5 * sy - 0.5],
-                     [0, 0, 1.0]], dtype=np.float64)
+    both_shrink = new_w <= w and new_h <= h
+    Wy = jnp.asarray(_resize_weights(h, new_h, interpolation, both_shrink),
+                     jnp.float32)
+    Wx = jnp.asarray(_resize_weights(w, new_w, interpolation, both_shrink),
+                     jnp.float32)
     out = np.empty((c, new_h, new_w), dtype=np.uint16)
     for ch in range(c):
-        r = warp_perspective(jnp.asarray(data[ch]).astype(jnp.float32),
-                             jnp.asarray(Hinv, jnp.float32),
-                             (new_h, new_w), interpolation)
+        r = Wy @ jnp.asarray(data[ch]).astype(jnp.float32) @ Wx.T
         out[ch] = np.clip(np.rint(np.asarray(r)), 0, 65535).astype(np.uint16)
     return out
 

@@ -7,11 +7,13 @@ top-down-flipped image (registration.c:720-722 flips, warps, flips back
 because the rotation center is at (0,0) in the star coordinate frame).
 
 Semantics: dst(x, y) = src(H^{-1} · (x, y, 1)), constant-0 border.
-Interpolations (enum src/core/siril.h:257-264): nearest, linear
-(bilinear), cubic (Keys, A = -0.75), lanczos4 (8-tap); OpenCV's
-warpPerspective treats INTER_AREA as linear. OpenCV quantizes
-interpolation coefficients to fixed point (INTER_BITS); we compute in
-float32 (equal or better accuracy, ±1 LSB vs the reference).
+Interpolations: nearest, linear (bilinear), cubic (Keys, A = -0.75),
+lanczos4 (normalized sinc(d)·sinc(d/4), 8-tap — verified weight-exact
+vs OpenCV 4.6, tests/goldens/c_cvgeom.bin); OpenCV's warpPerspective/
+warpAffine remap INTER_AREA to linear. OpenCV quantizes warp sample
+coordinates to 1/32 px (INTER_BITS); we compute in float32 (strictly
+more accurate; the golden test emulates the quantization to prove the
+kernels match bit-for-bit, see tests/test_cv_goldens.py).
 
 TPU-native: the warp is a fused gather — coordinate grids + k×k weighted
 taps, vmapped over channels/frames; no scalar loops.
@@ -28,15 +30,24 @@ import numpy as np
 
 Array = jnp.ndarray
 
-# the reference's opencv_interpolation enum, passed verbatim from
-# config/GUI into cv::resize / warpAffine / warpPerspective
-# (src/core/siril.h:257-264): these VALUES are API surface — a migrated
-# siril.cfg stores them as integers.
-INTER_NEAREST = 0   # OPENCV_NEAREST
-INTER_LINEAR = 1    # OPENCV_LINEAR
-INTER_AREA = 2      # OPENCV_AREA — box-average in resize; warps treat as linear
-INTER_CUBIC = 3     # OPENCV_CUBIC
-INTER_LANCZOS4 = 4  # OPENCV_LANCZOS4
+# Interpolation values are API surface: the reference passes its
+# config/GUI integer VERBATIM into cv::resize / warpAffine /
+# warpPerspective (opencv.cpp:89,153,262), so at runtime the values
+# mean what OpenCV's real InterpolationFlags enum says they mean:
+#   0 nearest, 1 linear, 2 CUBIC, 3 AREA, 4 lanczos4.
+# The reference's own enum NAMES (siril.h:257-264 "OPENCV_AREA = 2,
+# OPENCV_CUBIC = 3") are swapped relative to OpenCV and therefore lie:
+# a Siril 0.9 user selecting the GUI item wired to value 2 ("Area")
+# actually gets bicubic, and value 3 ("Cubic") actually gets
+# area-resample in resize / bilinear in warps. We reproduce the
+# OBSERVABLE behavior (what the linked OpenCV executes), not the
+# header's mislabels — see PARITY.md "interpolation enum" and the
+# real-OpenCV golden suite (tests/goldens/c_cvgeom.bin).
+INTER_NEAREST = 0   # cv::INTER_NEAREST
+INTER_LINEAR = 1    # cv::INTER_LINEAR
+INTER_CUBIC = 2     # cv::INTER_CUBIC   (siril.h mislabels 2 "OPENCV_AREA")
+INTER_AREA = 3      # cv::INTER_AREA    (siril.h mislabels 3 "OPENCV_CUBIC")
+INTER_LANCZOS4 = 4  # cv::INTER_LANCZOS4
 
 _CUBIC_A = -0.75
 
@@ -52,19 +63,18 @@ def _cubic_weights(t: Array):
     return [w0, w1, w2, w3]
 
 
-_S45 = 0.70710678118654752440084436210485
-_LANCZOS_CS = np.array([[1, 0], [-_S45, -_S45], [0, 1], [_S45, -_S45],
-                        [-1, 0], [_S45, _S45], [0, -1], [-_S45, _S45]])
-
-
 def _lanczos4_weights(t: Array):
-    """OpenCV interpolateLanczos4; t in [0,1); 8 taps at offsets -3..4."""
+    """Normalized Lanczos-4 windowed sinc, sinc(d)·sinc(d/4) over taps
+    at distances d = t+3-i, i = 0..7 — OpenCV interpolateLanczos4's
+    kernel, verified weight-exact against the real cv::resize /
+    warpPerspective (c_cvgeom goldens; e.g. t=0.25 tap weights
+    0.893389/-0.152304/... match to float precision)."""
     ws = []
     total = 0.0
     for i in range(8):
-        y = -(t + 3 - i) * (np.pi * 0.25)
-        y = jnp.where(jnp.abs(y) < 1e-12, 1e-12, y)
-        w = (_LANCZOS_CS[i, 0] * jnp.sin(y) + _LANCZOS_CS[i, 1] * jnp.cos(y)) / (y * y)
+        d = t + (3 - i)
+        x = jnp.where(jnp.abs(d) < 1e-7, 1e-7, d) * np.pi
+        w = (jnp.sin(x) / x) * (jnp.sin(x * 0.25) / (x * 0.25))
         ws.append(w)
         total = total + w
     ws = [w / total for w in ws]

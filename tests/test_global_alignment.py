@@ -303,14 +303,18 @@ def test_global_align_batch_sharded(tmp_path):
 # ------------------------------------------------- interpolation enum parity
 
 def test_interpolation_enum_matches_reference():
-    """The constants ARE the reference's opencv_interpolation values
-    (src/core/siril.h:257-264) — a migrated siril.cfg stores these
-    integers and they must mean the same thing."""
+    """A migrated siril.cfg stores integers 0-4 which the reference
+    passes VERBATIM into cv::resize/warpPerspective (opencv.cpp:89,
+    153,262) — so at runtime the values carry OpenCV's real
+    InterpolationFlags meanings: 2 = cubic, 3 = area. The reference's
+    own enum names (siril.h:257-264 OPENCV_AREA=2/OPENCV_CUBIC=3) are
+    swapped relative to OpenCV and mislabel the behavior; we match the
+    behavior (PARITY.md "interpolation enum", c_cvgeom goldens)."""
     from siriltpu.ops import warp
     assert warp.INTER_NEAREST == 0
     assert warp.INTER_LINEAR == 1
-    assert warp.INTER_AREA == 2
-    assert warp.INTER_CUBIC == 3
+    assert warp.INTER_CUBIC == 2
+    assert warp.INTER_AREA == 3
     assert warp.INTER_LANCZOS4 == 4
 
 
@@ -333,11 +337,13 @@ def test_every_cfg_interpolation_value_warps(interp):
 
 
 def test_area_resize_integer_factor_is_block_mean():
-    """INTER_AREA at an integer factor == exact block average."""
+    """Value 3 (cv INTER_AREA — the value the reference's
+    'OPENCV_CUBIC' label actually executes) at an integer shrink
+    factor == exact block average."""
     from siriltpu.ops import imops
     rng = np.random.default_rng(13)
     img = rng.integers(0, 65535, size=(1, 32, 48)).astype(np.uint16)
-    out = imops.resize(img, 12, 8, interpolation=2)
+    out = imops.resize(img, 12, 8, interpolation=3)
     blocks = img[0].reshape(8, 4, 12, 4).astype(np.float64)
     expect = np.clip(np.rint(blocks.mean(axis=(1, 3))), 0, 65535)
     np.testing.assert_array_equal(out[0], expect.astype(np.uint16))
@@ -347,12 +353,12 @@ def test_area_resize_fractional_factor_oracle():
     """Fractional INTER_AREA downscale matches a float64 coverage
     oracle within 1 LSB (device path computes in f32)."""
     from siriltpu.ops import imops
-    from siriltpu.ops.imops import _area_weights
+    from siriltpu.ops.imops import _resize_weights
     rng = np.random.default_rng(14)
     img = rng.integers(0, 65535, size=(1, 37, 53)).astype(np.uint16)
-    out = imops.resize(img, 21, 15, interpolation=2)
-    Wy = _area_weights(37, 15)
-    Wx = _area_weights(53, 21)
+    out = imops.resize(img, 21, 15, interpolation=3)
+    Wy = _resize_weights(37, 15, 3, True)
+    Wx = _resize_weights(53, 21, 3, True)
     expect = Wy @ img[0].astype(np.float64) @ Wx.T
     diff = np.abs(out[0].astype(np.int64)
                   - np.clip(np.rint(expect), 0, 65535).astype(np.int64))
