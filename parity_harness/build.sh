@@ -221,3 +221,24 @@ if pkg-config --exists opencv4 2>/dev/null; then
 else
   echo "suite 22 skipped: opencv4 dev files not found"
 fi
+
+# --- suite 23: the reference's OWN MP4/WEBM exporter (io/mp4_output.c)
+# compiled whole-TU against the system libavformat/libavcodec. Two
+# writes through oc->oformat are mechanically no-op'd (gen/ patch): the
+# muxer struct is const in ffmpeg 5 and writing it segfaults; the
+# behavioral delta (WEBM stays VP9 instead of the Opera-12 VP8 force)
+# is documented in tests/test_mp4_goldens.py. Skipped without libav.
+if [ -f /usr/include/x86_64-linux-gnu/libavformat/avformat.h ]; then
+  sed -e 's|video_st->fmt->audio_codec = AV_CODEC_ID_NONE;|/* ffmpeg5: oformat is const, write removed by harness */;|' \
+      -e 's|video_st->fmt->video_codec = AV_CODEC_ID_VP8;|/* ffmpeg5: const muxer, VP8 force removed - golden keeps VP9 */;|' \
+      "$REF/io/mp4_output.c" > gen/mp4_output_ff5.c
+  gcc -O2 -fno-fast-math -fcommon -I shim -I "$REF" -I . -DHAVE_FFMPEG=1 \
+      -c gen/mp4_output_ff5.c -o build/mp4_output.o 2>/dev/null
+  gcc -O2 -fcommon -I shim -I "$REF" -I . harness_mp4.c build/mp4_output.o \
+      -lavformat -lavcodec -lavutil -lswscale -lswresample -lm \
+      -o build/harness_mp4 2>/dev/null
+  ./build/harness_mp4 "$OUT/c_mp4.bin" >/dev/null
+  echo "c_mp4.bin written"
+else
+  echo "suite 23 skipped: libav dev headers not found"
+fi

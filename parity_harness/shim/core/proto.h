@@ -15,6 +15,7 @@ BYTE conv_to_BYTE(double x);
 void quicksort_d(double *a, int n);
 void quicksort_s(WORD *a, int n);
 WORD get_normalized_value(fits *fit);
+float computePente(WORD *lo, WORD *hi);
 
 int fits_img_stats_ushort(WORD *array, long nx, long ny, int nullcheck,
 		WORD nullvalue, long *ngoodpix, WORD *minvalue, WORD *maxvalue,

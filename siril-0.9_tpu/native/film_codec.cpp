@@ -62,6 +62,7 @@ struct Decoder {
                                 // loop will produce (sequential reads
                                 // skip the seek)
     bool need_seek = true;
+    bool synthetic_ts = false;  // timestamps invented during indexing
 
     ~Decoder() {
         if (sws) sws_freeContext(sws);
@@ -80,7 +81,10 @@ int index_stream(Decoder *d, char *errbuf, int errlen) {
     while (av_read_frame(d->fmt, pkt) >= 0) {
         if (pkt->stream_index == d->stream_index) {
             int64_t t = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
-            if (t == AV_NOPTS_VALUE) t = counter;
+            if (t == AV_NOPTS_VALUE) {
+                t = counter;
+                d->synthetic_ts = true;
+            }
             d->pts.push_back(t);
             counter++;
         }
@@ -161,6 +165,58 @@ void *fcodec_open(const char *path, int *w, int *h, int *nlayers,
     if (index_stream(d, errbuf, errlen) < 0) {
         delete d;
         return nullptr;
+    }
+    // Some muxers clip the stream tail via edit lists (e.g. mp4s whose
+    // packets carry zero durations — Siril 0.9's own exporter does
+    // this, mp4_output.c): packets exist but the decoder discards the
+    // final frame(s). Probe the last GOP once so nb_frames is the
+    // DECODABLE count, matching ffms2's indexed guarantee.
+    if (!d->synthetic_ts && !d->pts.empty()) {
+        if (av_seek_frame(d->fmt, d->stream_index, d->pts.back(),
+                          AVSEEK_FLAG_BACKWARD) >= 0) {
+            avcodec_flush_buffers(d->ctx);
+            AVPacket *pkt = av_packet_alloc();
+            AVFrame *fr = av_frame_alloc();
+            int64_t last_seen = INT64_MIN;
+            bool draining = false;
+            int guard = (int)d->pts.size() + 64;
+            while (guard-- > 0) {
+                int ret = avcodec_receive_frame(d->ctx, fr);
+                if (ret == 0) {
+                    int64_t t = fr->best_effort_timestamp;
+                    if (t == AV_NOPTS_VALUE) t = fr->pts;
+                    if (t != AV_NOPTS_VALUE && t > last_seen) last_seen = t;
+                    av_frame_unref(fr);
+                    continue;
+                }
+                if (ret == AVERROR(EAGAIN)) {
+                    if (draining) break;
+                    ret = av_read_frame(d->fmt, pkt);
+                    if (ret < 0) {
+                        avcodec_send_packet(d->ctx, nullptr);
+                        draining = true;
+                        continue;
+                    }
+                    if (pkt->stream_index == d->stream_index)
+                        avcodec_send_packet(d->ctx, pkt);
+                    av_packet_unref(pkt);
+                    continue;
+                }
+                break;  // AVERROR_EOF or error: probe done
+            }
+            av_packet_free(&pkt);
+            av_frame_free(&fr);
+            if (last_seen != INT64_MIN) {
+                while (!d->pts.empty() && d->pts.back() > last_seen)
+                    d->pts.pop_back();
+            }
+            avcodec_flush_buffers(d->ctx);
+        }
+        if (d->pts.empty()) {
+            set_err(errbuf, errlen, "no decodable frames");
+            delete d;
+            return nullptr;
+        }
     }
     // rewind for the first sequential read
     av_seek_frame(d->fmt, d->stream_index, d->pts.front(),
