@@ -131,6 +131,27 @@ int main(int argc, char **argv) {
         }
     }
 
+    // ---- op 3: cvUnsharpFilter (opencv.cpp:311-335) — GaussianBlur
+    // with automatic kernel size (Size() -> round(4*sigma)*2+1 for
+    // 16U) + the MatExpr blend in*(1+amount) - blur*amount.
+    // params[0] = sigma, params[1] = amount.
+    {
+        const double cases[][2] = {
+            {1.0, 0.0}, {2.5, 0.0}, {3.0, 1.3}, {0.8, 0.5}, {5.0, 2.0}};
+        for (const double *sa : cases) {
+            cv::Mat blur, outm;
+            cv::GaussianBlur(imgA, blur, cv::Size(), sa[0]);
+            if (std::fabs(sa[1]) > 0.0) {
+                cv::Mat sharpened = imgA * (1 + sa[1]) + blur * (-sa[1]);
+                outm = sharpened.clone();
+            } else {
+                outm = blur;
+            }
+            double p[9] = {sa[0], sa[1], 0, 0, 0, 0, 0, 0, 0};
+            emit(3, 0, imgA, outm, p);
+        }
+    }
+
     // ---- op 2: cv::warpAffine rotation about the center, cropped
     // (cvRotateImage's getRotationMatrix2D path, opencv.cpp:151-153)
     for (double angle : {10.0, -37.0}) {

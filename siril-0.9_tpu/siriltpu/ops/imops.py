@@ -201,7 +201,12 @@ def ddp(data: np.ndarray, level: float, coef: float, sigma: float) -> np.ndarray
 
 
 def _gauss_kernel(sigma: float) -> np.ndarray:
-    r = max(1, int(3 * sigma))
+    """cv::GaussianBlur's automatic kernel for 16-bit images:
+    ksize = cvRound(sigma·4·2 + 1) | 1 (createGaussianFilter's
+    non-8U rule), sampled Gaussian normalized — anchored against the
+    real OpenCV via the unsharp records of c_cvgeom.bin."""
+    ksize = int(np.rint(sigma * 8 + 1)) | 1
+    r = max(1, (ksize - 1) // 2)
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x * x) / (2 * sigma * sigma))
     return (k / k.sum()).astype(np.float32)
