@@ -1003,8 +1003,8 @@ def process_redo(state, args):
 
 
 
-@command("seqexport", 2, "seqexport basename format (ser|avi|mjpeg|mp4|fits) "
-                         "[fps] [-norm]")
+@command("seqexport", 2, "seqexport basename format "
+                         "(ser|avi|mjpeg|mp4|webm|fits) [fps] [-norm]")
 def process_seqexport(state, args):
     from siriltpu.io.export import ExportArgs, export_sequence
     seq = state.require_seq()

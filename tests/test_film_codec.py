@@ -163,3 +163,28 @@ def test_decoder_rejects_garbage(tmp_path):
         f.write(bytes(range(256)) * 16)
     with pytest.raises(RuntimeError):
         film_codec.FilmDecoder(p)
+
+
+def test_decoder_truncated_film(tmp_path):
+    """A film cut mid-stream (crashed capture) either opens with the
+    decodable frame count or raises cleanly — never crashes or hangs
+    (the SER-repair analog for films, ser.c:268 ser_fix_broken_file)."""
+    full = str(tmp_path / "full.mp4")
+    frames = _smooth_frames(10, 32, 48)
+    enc = film_codec.FilmEncoder(full, 48, 32, 10.0, 3, quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+    buf = open(full, "rb").read()
+    for frac in (0.9, 0.5, 0.15):
+        p = str(tmp_path / f"trunc{int(frac*100)}.mp4")
+        with open(p, "wb") as f:
+            f.write(buf[: int(len(buf) * frac)])
+        try:
+            dec = film_codec.FilmDecoder(p)
+        except RuntimeError:
+            continue  # clean rejection is fine
+        assert 0 < dec.nb_frames <= 10
+        dec.read(0)
+        dec.read(dec.nb_frames - 1)
+        dec.close()
