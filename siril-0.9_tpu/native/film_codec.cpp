@@ -63,6 +63,7 @@ struct Decoder {
                                 // skip the seek)
     bool need_seek = true;
     bool synthetic_ts = false;  // timestamps invented during indexing
+    int sws_w = 0, sws_h = 0, sws_fmt = -1;
 
     ~Decoder() {
         if (sws) sws_freeContext(sws);
@@ -277,12 +278,20 @@ int fcodec_read(void *handle, int index, uint8_t *out,
                 av_frame_unref(d->frame);
                 continue;
             }
-            // convert to the requested packed output
-            if (!d->sws) {
+            // convert to the requested packed output; resolution and
+            // colorspace are per-frame properties (films.c:139-141
+            // comment) — rebuild the scaler if the stream changed
+            if (!d->sws || d->frame->width != d->sws_w ||
+                d->frame->height != d->sws_h ||
+                d->frame->format != d->sws_fmt) {
+                if (d->sws) sws_freeContext(d->sws);
                 d->sws = sws_getContext(
                     d->frame->width, d->frame->height,
                     (AVPixelFormat)d->frame->format, d->width, d->height,
                     d->out_fmt, SWS_BICUBIC, nullptr, nullptr, nullptr);
+                d->sws_w = d->frame->width;
+                d->sws_h = d->frame->height;
+                d->sws_fmt = d->frame->format;
             }
             uint8_t *dst[4] = {out, nullptr, nullptr, nullptr};
             int dst_ls[4] = {
