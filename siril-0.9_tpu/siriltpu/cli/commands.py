@@ -768,6 +768,11 @@ def process_seqload(state, args):
         # film as a sequence — the reference's SEQ_AVI type
         # (sequence.c seq_check_basic_data / films.c film_open_file)
         state.seq = film_sequence(state.path(name))
+    elif any(os.path.exists(state.path(f"{name}.{e}"))
+             for e in FILM_EXTENSIONS):
+        ext = next(e for e in FILM_EXTENSIONS
+                   if os.path.exists(state.path(f"{name}.{e}")))
+        state.seq = film_sequence(state.path(f"{name}.{ext}"))
     else:
         seqpath = state.path(name[:-4] if name.endswith(".seq") else name)
         if not os.path.exists(seqpath + ".seq"):

@@ -200,6 +200,11 @@ def get_index_and_basename(filename: str):
     return base, int(digits), len(digits), ext
 
 
+def _film_exts():
+    from siriltpu.io.films import FILM_EXTENSIONS
+    return FILM_EXTENSIONS
+
+
 def check_seq(directory: str = ".", *, force: bool = False,
               extensions=("fit", "fits", "fts")) -> List[Sequence]:
     """Scan a directory for image sequences and build ``.seq`` files
@@ -221,6 +226,15 @@ def check_seq(directory: str = ".", *, force: bool = False,
         if low.endswith(".ser"):
             seq = ser_sequence(full)
             sequences.append(seq)
+            continue
+        if any(low.endswith("." + e) for e in _film_exts()):
+            # films are sequences too (reference check_seq discovers
+            # them via check_for_film_extensions, sequence.c:231-247)
+            try:
+                from siriltpu.io.films import film_sequence
+                sequences.append(film_sequence(full))
+            except (RuntimeError, ValueError, OSError):
+                pass  # undecodable container: not a sequence
             continue
         if not any(low.endswith("." + e) for e in extensions):
             continue

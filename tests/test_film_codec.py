@@ -147,6 +147,32 @@ def test_codec_film_as_sequence(tmp_path):
     assert fr.data.shape[1:] == (32, 48)
 
 
+def test_film_discovery_and_pipeline(tmp_path):
+    """check_seq discovers films as sequences (reference
+    sequence.c:231-247) and the bare basename loads through `seqload`;
+    the standard register+stack pipeline runs on the H.264 film."""
+    from siriltpu.cli.commands import process_command
+    from siriltpu.cli.main import make_state
+    from siriltpu.io.sequence import check_seq
+
+    d = str(tmp_path)
+    path = os.path.join(d, "clip.mp4")
+    frames = _smooth_frames(6, 32, 48)
+    enc = film_codec.FilmEncoder(path, 48, 32, 10.0, 3, quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+
+    found = check_seq(d)
+    assert any(s.seqname == "clip" and s.number == 6 for s in found)
+
+    st = make_state(d)
+    for cmd in ["seqload clip", "boxselect 8 8 16 16", "register dft",
+                "stack mean sigma 3 3"]:
+        assert process_command(st, cmd) == 0, cmd
+    assert os.path.exists(os.path.join(d, "clip_stacked.fit"))
+
+
 def test_encoder_rejects_bad_params(tmp_path):
     """Parameter validation mirrors mp4_create (mp4_output.c:411):
     even dimensions and quality 1..5."""
