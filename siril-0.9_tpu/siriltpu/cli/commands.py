@@ -958,10 +958,15 @@ def process_histeq(state, args):
     state.set_image(img.with_data(histeq(img.data)))
 
 
-@command("convert", 1, "convert basename (all images in cwd -> FITS sequence)")
+@command("convert", 1, "convert basename [-ser] [-debayer] "
+                       "(all images in cwd -> FITS sequence or one SER)")
 def process_convert(state, args):
     from siriltpu.io.conversion import convert_dir
-    n = convert_dir(state.cwd, args[0],
+    # flags mirror the GUI conversion options (conversion.c CONVDSTSER
+    # destination-SER checkbox and the debayer toggle)
+    to_ser = "-ser" in args
+    debayer = "-debayer" in args
+    n = convert_dir(state.cwd, args[0], to_ser=to_ser, debayer=debayer,
                     fits_ext=state.settings.fits_extension)
     state.log(f"Converted {n} files to sequence {args[0]}")
 
