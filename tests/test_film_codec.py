@@ -173,6 +173,27 @@ def test_film_discovery_and_pipeline(tmp_path):
     assert os.path.exists(os.path.join(d, "clip_stacked.fit"))
 
 
+def test_convert_film_to_ser(tmp_path):
+    """`convert basename -ser` (the CONVDSTSER destination) turns an
+    H.264 film into one SER video (conversion.c:551-600 film branch)."""
+    from siriltpu.cli.commands import process_command
+    from siriltpu.cli.main import make_state
+    from siriltpu.io.ser import SerFile
+
+    d = str(tmp_path)
+    frames = _smooth_frames(5, 32, 48)
+    enc = film_codec.FilmEncoder(os.path.join(d, "cap.mp4"), 48, 32,
+                                 10.0, 3, quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+    st = make_state(d)
+    assert process_command(st, "convert vid -ser") == 0
+    ser = SerFile.open(os.path.join(d, "vid.ser"))
+    assert ser.frame_count == 5
+    assert (ser.header.width, ser.header.height) == (48, 32)
+
+
 def test_encoder_rejects_bad_params(tmp_path):
     """Parameter validation mirrors mp4_create (mp4_output.c:411):
     even dimensions and quality 1..5."""
