@@ -329,7 +329,7 @@ def _star_find_batch_fn(radius: int, kmax: int, nmax: int):
 def peaker_batch(layers_bu: np.ndarray, *,
                  params: Optional[StarFinderParams] = None,
                  layer_index: int = 0, nmax: int = 1024,
-                 mesh=None) -> List[List[Star]]:
+                 mesh=None, return_device: bool = False):
     """Star-find a BATCH of bottom-up uint16 layers (F, H, W) in one
     device program; returns one sorted star list per frame.
 
@@ -362,12 +362,17 @@ def peaker_batch(layers_bu: np.ndarray, *,
         bgs[i] = st.median
 
     fn = _star_find_batch_fn(sf.radius, 8192, nmax)
+    dev_layers = None
     if mesh is not None:
         from siriltpu.parallel.mesh import run_frames_sharded
         out = np.asarray(run_frames_sharded(
             fn, mesh, layers_bu, thresholds, norms, bgs))
     else:
-        out = np.asarray(fn(jnp.asarray(layers_bu), jnp.asarray(thresholds),
+        # keep the uploaded frames for the caller: the register engine
+        # feeds the SAME frames to the warp stage, and sharing the
+        # device copy halves the host->device traffic per frame
+        dev_layers = jnp.asarray(layers_bu)
+        out = np.asarray(fn(dev_layers, jnp.asarray(thresholds),
                             jnp.asarray(norms), jnp.asarray(bgs)))
 
     result: List[List[Star]] = []
@@ -379,6 +384,8 @@ def peaker_batch(layers_bu: np.ndarray, *,
         ys = out[i, 10].astype(np.int64)
         xs = out[i, 11].astype(np.int64)
         result.append(_build_stars(packed, ys, xs, nmax, sf, layer_index))
+    if return_device:
+        return result, dev_layers
     return result
 
 

@@ -152,6 +152,189 @@ def warp_perspective(img: Array, H_inv: Array,
     return _interp(img.astype(jnp.float32), xs, ys, interpolation)
 
 
+# -------------------------------------------------- tiled banded warp
+#
+# XLA's per-pixel 2-D gather is the TPU's weak spot (no hardware vector
+# gather): the tap-by-tap gather warp above costs ~190 ms (bilinear) to
+# ~2.9 s (lanczos4) for a 6 Mpx frame. Registration homographies are
+# near-identity, so the warp has LOCALITY: the preimage of an output
+# tile is a tile-sized source window, and within the tile the source
+# coordinate offset varies by only a few pixels. That turns the warp
+# into dense arithmetic: slice the window once per tile, then
+#
+#   out(yr, xr) = sum_{k<Ky} sum_{j<Kx}
+#       kernel(dy - k) * kernel(dx - j) * window[yr + k, xr + j]
+#
+# where dy = (src_y - window_origin_y) - yr lies in [0, Ky) by
+# construction — every term is a STATIC shifted view and an elementwise
+# FMA (VPU work), no gathers at all. Band sizes Ky/Kx are computed on
+# the host from the homography (in-tile coordinate variation + kernel
+# support) and are static; callers fall back to the gather path when
+# the warp is too far from identity for a small band.
+
+_TILE_H, _TILE_W = 256, 512
+_BAND_CAP = 40          # fall back to the gather path beyond this
+_SUPPORT = {INTER_NEAREST: (0, 1), INTER_LINEAR: (0, 2),
+            INTER_AREA: (0, 2), INTER_CUBIC: (-1, 4),
+            INTER_LANCZOS4: (-3, 8)}
+
+
+def _kernel_eval(interpolation: int, d: Array) -> Array:
+    """Interpolation kernel as a function of signed tap distance d —
+    the same weights _cubic_weights/_lanczos4_weights produce tap-wise
+    (lanczos is returned UNNORMALIZED; callers divide by the per-axis
+    weight sum, which equals the 8-tap normalizer)."""
+    if interpolation == INTER_NEAREST:
+        # floor(x + 0.5) = k  <=>  d = x - k in [-0.5, 0.5)
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+    if interpolation in (INTER_LINEAR, INTER_AREA):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    if interpolation == INTER_CUBIC:
+        A = _CUBIC_A
+        a = jnp.abs(d)
+        near = ((A + 2) * a - (A + 3)) * a * a + 1
+        far = ((A * a - 5 * A) * a + 8 * A) * a - 4 * A
+        return jnp.where(a <= 1.0, near,
+                         jnp.where(a < 2.0, far, 0.0))
+    if interpolation == INTER_LANCZOS4:
+        a = jnp.abs(d)
+        x = jnp.where(a < 1e-7, 1e-7, d) * np.pi
+        w = (jnp.sin(x) / x) * (jnp.sin(x * 0.25) / (x * 0.25))
+        w = jnp.where(a < 1e-7, 1.0, w)
+        return jnp.where(a < 4.0, w, 0.0)
+    raise ValueError(f"unknown interpolation {interpolation}")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_shape", "interpolation", "band_y", "band_x", "pad"))
+def _warp_perspective_tiled(img: Array, H_inv: Array,
+                            out_shape: Tuple[int, int],
+                            interpolation: int,
+                            band_y: int, band_x: int, pad: int) -> Array:
+    oh, ow = out_shape
+    nty = -(-oh // _TILE_H)
+    ntx = -(-ow // _TILE_W)
+    src = jnp.pad(img.astype(jnp.float32),
+                  ((pad, pad + band_y), (pad, pad + band_x)))
+    sh, sw = src.shape
+    tap_lo, _ = _SUPPORT[INTER_LINEAR if interpolation == INTER_AREA
+                         else interpolation]
+    normalize = interpolation == INTER_LANCZOS4
+
+    yr = jax.lax.broadcasted_iota(jnp.float32, (_TILE_H, _TILE_W), 0)
+    xr = jax.lax.broadcasted_iota(jnp.float32, (_TILE_H, _TILE_W), 1)
+
+    def one_tile(tidx):
+        ty = tidx // ntx
+        tx = tidx % ntx
+        toy = (ty * _TILE_H).astype(jnp.float32)
+        tox = (tx * _TILE_W).astype(jnp.float32)
+        yy = yr + toy
+        xx = xr + tox
+        w = H_inv[2, 0] * xx + H_inv[2, 1] * yy + H_inv[2, 2]
+        w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+        xs = (H_inv[0, 0] * xx + H_inv[0, 1] * yy + H_inv[0, 2]) / w
+        ys = (H_inv[1, 0] * xx + H_inv[1, 1] * yy + H_inv[1, 2]) / w
+        # window origin: floor of the min corner preimage + kernel base.
+        # The preimage of the tile rectangle is a quadrilateral, so the
+        # extremes live at the corners.
+        woy = jnp.floor(jnp.min(ys - yr)) + tap_lo
+        wox = jnp.floor(jnp.min(xs - xr)) + tap_lo
+        oy = jnp.clip(woy.astype(jnp.int32) + pad, 0,
+                      sh - (_TILE_H + band_y))
+        ox = jnp.clip(wox.astype(jnp.int32) + pad, 0,
+                      sw - (_TILE_W + band_x))
+        window = jax.lax.dynamic_slice(
+            src, (oy, ox), (_TILE_H + band_y, _TILE_W + band_x))
+        dy = ys - (oy - pad).astype(jnp.float32) - yr   # in [0, band_y)
+        dx = xs - (ox - pad).astype(jnp.float32) - xr   # in [0, band_x)
+
+        def col_pass(k, acc):
+            wy = _kernel_eval(interpolation, dy - k.astype(jnp.float32))
+            rowwin = jax.lax.dynamic_slice(
+                window, (k, 0), (_TILE_H, _TILE_W + band_x))
+
+            def tap_x(j, inner):
+                num, den = inner
+                wx = _kernel_eval(interpolation,
+                                  dx - j.astype(jnp.float32))
+                v = jax.lax.dynamic_slice(rowwin, (0, j),
+                                          (_TILE_H, _TILE_W))
+                return (num + wy * wx * v, den + wy * wx)
+
+            return jax.lax.fori_loop(0, band_x, tap_x, acc)
+
+        # derive the accumulator from the (possibly shard_map-varying)
+        # data so the fori_loop carry has matching vma types under a
+        # frames mesh
+        zero = window[:_TILE_H, :_TILE_W] * 0.0
+        num, den = jax.lax.fori_loop(0, band_y, col_pass, (zero, zero))
+        if normalize:
+            num = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        return num
+
+    tiles = jax.lax.map(one_tile, jnp.arange(nty * ntx))
+    out = tiles.reshape(nty, ntx, _TILE_H, _TILE_W)
+    out = out.transpose(0, 2, 1, 3).reshape(nty * _TILE_H, ntx * _TILE_W)
+    return out[:oh, :ow]
+
+
+def _tiled_plan(Hinvs: np.ndarray, out_shape, in_shape, interpolation):
+    """Host-side feasibility + static band sizes for the tiled warp.
+    Returns (band_y, band_x, pad) or None when the warp moves too far
+    from identity for a small band (gather fallback)."""
+    if interpolation not in _SUPPORT:
+        return None
+    tap_lo, support = _SUPPORT[INTER_LINEAR if interpolation == INTER_AREA
+                               else interpolation]
+    oh, ow = out_shape
+    h, w = in_shape
+    Hinvs = np.asarray(Hinvs, np.float64).reshape(-1, 3, 3)
+    # preimage coords on the tile-corner grid, all frames at once
+    gy = np.arange(0, oh + _TILE_H, _TILE_H, dtype=np.float64)
+    gx = np.arange(0, ow + _TILE_W, _TILE_W, dtype=np.float64)
+    yy, xx = np.meshgrid(gy, gx, indexing="ij")
+    ones = np.ones_like(yy)
+    pts = np.stack([xx, yy, ones])                     # (3, Gy, Gx)
+    prj = np.einsum("fab,bij->faij", Hinvs, pts)       # (F, 3, Gy, Gx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sx = prj[:, 0] / prj[:, 2]
+        sy = prj[:, 1] / prj[:, 2]
+    if not (np.isfinite(sx).all() and np.isfinite(sy).all()):
+        return None
+    # per-tile source-coordinate variation beyond the tile's own
+    # extent: max over tiles of (max corner displacement - min corner
+    # displacement); projective tile preimages are quadrilaterals, so
+    # corner extremes bound the interior
+    def band(sc, rel):
+        d = sc - rel                                    # displacement field
+        c00 = d[:, :-1, :-1]
+        c01 = d[:, :-1, 1:]
+        c10 = d[:, 1:, :-1]
+        c11 = d[:, 1:, 1:]
+        hi = np.maximum(np.maximum(c00, c01), np.maximum(c10, c11))
+        lo = np.minimum(np.minimum(c00, c01), np.minimum(c10, c11))
+        return float((hi - lo).max())
+    vy = band(sy, yy)
+    vx = band(sx, xx)
+    band_y = int(np.ceil(vy)) + support + 1
+    band_x = int(np.ceil(vx)) + support + 1
+    # quantize to limit recompiles
+    band_y = max(support + 2, -(-band_y // 4) * 4)
+    band_x = max(support + 2, -(-band_x // 4) * 4)
+    if band_y > _BAND_CAP or band_x > _BAND_CAP:
+        return None
+    # pad: window origins must stay inside the padded source
+    disp = max(abs(float((sy - yy).min())), float((sy - yy).max()),
+               abs(float((sx - xx).min())), float((sx - xx).max()))
+    extent = max(oh + _TILE_H - h, ow + _TILE_W - w, 0)
+    pad = int(np.ceil(disp)) + max(band_y, band_x) + extent + 8
+    pad = -(-pad // 64) * 64
+    if pad > 8192:
+        return None
+    return band_y, band_x, pad
+
+
 def warp_frame_bu(data_bu: np.ndarray, H_td: np.ndarray,
                   out_shape: Tuple[int, int],
                   interpolation: int = INTER_LINEAR) -> np.ndarray:
@@ -161,28 +344,43 @@ def warp_frame_bu(data_bu: np.ndarray, H_td: np.ndarray,
     c = data_bu.shape[0]
     Hinv = np.linalg.inv(np.asarray(H_td, dtype=np.float64))
     Hinv_j = jnp.asarray(Hinv, jnp.float32)
+    band = _tiled_plan(Hinv, tuple(out_shape), data_bu.shape[1:],
+                       interpolation)
     out = np.empty((c,) + tuple(out_shape), dtype=np.uint16)
     for ch in range(c):
         td = jnp.asarray(np.ascontiguousarray(data_bu[ch][::-1]))
-        warped = warp_perspective(td, Hinv_j, tuple(out_shape), interpolation)
+        if band is not None:
+            warped = _warp_perspective_tiled(
+                td.astype(jnp.float32), Hinv_j, tuple(out_shape),
+                interpolation, *band)
+        else:
+            warped = warp_perspective(td, Hinv_j, tuple(out_shape),
+                                      interpolation)
         # OpenCV saturate_cast: round-to-nearest-even then clamp
         w = np.asarray(warped)
         out[ch] = np.clip(np.rint(w), 0, 65535).astype(np.uint16)[::-1]
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
-def _warp_layer_dev(layer_bu, Hinv, out_shape, interpolation):
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation",
+                                             "band"))
+def _warp_layer_dev(layer_bu, Hinv, out_shape, interpolation, band=None):
     td = layer_bu[::-1]
-    warped = warp_perspective(td, Hinv, out_shape, interpolation)
+    if band is not None:
+        warped = _warp_perspective_tiled(td.astype(jnp.float32), Hinv,
+                                         out_shape, interpolation,
+                                         band[0], band[1], band[2])
+    else:
+        warped = warp_perspective(td, Hinv, out_shape, interpolation)
     word = jnp.clip(jnp.rint(warped), 0, 65535).astype(jnp.uint16)
     return word[::-1]
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
-def _warp_frame_dev(frame_bu, Hinv, out_shape, interpolation):
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation",
+                                             "band"))
+def _warp_frame_dev(frame_bu, Hinv, out_shape, interpolation, band=None):
     def one(layer):
-        return _warp_layer_dev(layer, Hinv, out_shape, interpolation)
+        return _warp_layer_dev(layer, Hinv, out_shape, interpolation, band)
     return jax.vmap(one)(frame_bu)
 
 
@@ -192,25 +390,29 @@ def warp_frame_dev(frame_dev_bu, H_td: np.ndarray,
     """All-channel device warp: (C, H, W) uint16 in, (C, oh, ow) uint16
     out, one program instead of per-channel host round-trips."""
     Hinv = np.linalg.inv(np.asarray(H_td, dtype=np.float64))
+    band = _tiled_plan(Hinv, tuple(out_shape),
+                       tuple(frame_dev_bu.shape[1:]), interpolation)
     return _warp_frame_dev(frame_dev_bu, jnp.asarray(Hinv, jnp.float32),
-                           tuple(out_shape), interpolation)
+                           tuple(out_shape), interpolation, band)
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation"))
-def _warp_batch_dev(layers_bu, Hinvs, out_shape, interpolation):
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpolation",
+                                             "band"))
+def _warp_batch_dev(layers_bu, Hinvs, out_shape, interpolation, band=None):
     # lax.map (not vmap): every frame runs the identical single-frame
     # warp program, so sharding the frame axis is partition-invariant.
     def one(t):
         layer, Hinv = t
-        return _warp_layer_dev(layer, Hinv, out_shape, interpolation)
+        return _warp_layer_dev(layer, Hinv, out_shape, interpolation, band)
     return jax.lax.map(one, (layers_bu, Hinvs))
 
 
 @functools.lru_cache(maxsize=None)
-def _warp_batch_fn(out_shape: Tuple[int, int], interpolation: int):
+def _warp_batch_fn(out_shape: Tuple[int, int], interpolation: int,
+                   band=None):
     """Stable partial for run_frames_sharded's compile cache."""
     return functools.partial(_warp_batch_dev, out_shape=out_shape,
-                             interpolation=interpolation)
+                             interpolation=interpolation, band=band)
 
 
 def warp_batch_dev(layers_bu, Hs_td: np.ndarray,
@@ -218,10 +420,17 @@ def warp_batch_dev(layers_bu, Hs_td: np.ndarray,
                    interpolation: int = INTER_LINEAR, mesh=None):
     """Frame-batched device warp: (F, H, W) layers with per-frame 3x3
     homographies (F, 3, 3) -> (F, oh, ow) uint16, one device program.
+    Near-identity warps (all registration warps) run the tiled banded
+    sampler — dense FMAs instead of gathers, ~20-100x faster on TPU —
+    with the band sized for the WORST frame so every frame runs the
+    identical program (partition invariance preserved).
     With ``mesh`` the frame axis shards over it (shard_map with the
     same per-frame body — no collectives, bit-identical to unsharded)."""
     Hinvs = np.linalg.inv(np.asarray(Hs_td, dtype=np.float64))
-    fn = _warp_batch_fn(tuple(out_shape), interpolation)
+    # .shape works for np and device arrays alike (no transfer)
+    band = _tiled_plan(Hinvs, tuple(out_shape),
+                       tuple(layers_bu.shape[1:]), interpolation)
+    fn = _warp_batch_fn(tuple(out_shape), interpolation, band)
     if mesh is not None:
         from siriltpu.parallel.mesh import run_frames_sharded
         return run_frames_sharded(fn, mesh, np.asarray(layers_bu),
@@ -239,8 +448,10 @@ def warp_layer_dev(layer_dev_bu, H_td: np.ndarray,
     host→device pass and read back HALF the bytes (uint16, not the f32
     intermediate). Returns a device (oh, ow) uint16 array."""
     Hinv = np.linalg.inv(np.asarray(H_td, dtype=np.float64))
+    band = _tiled_plan(Hinv, tuple(out_shape),
+                       tuple(layer_dev_bu.shape), interpolation)
     return _warp_layer_dev(layer_dev_bu, jnp.asarray(Hinv, jnp.float32),
-                           tuple(out_shape), interpolation)
+                           tuple(out_shape), interpolation, band)
 
 
 __all__ = ["warp_perspective", "warp_frame_bu", "warp_layer_dev",

@@ -185,8 +185,9 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
                 new_ser.write_and_close()
             raise item
         ck, frames, layers = item
-        star_lists = peaker_batch(layers, params=sf_params, nmax=2048,
-                                  mesh=mesh)
+        star_lists, dev_layers = peaker_batch(layers, params=sf_params,
+                                              nmax=2048, mesh=mesh,
+                                              return_device=True)
         # host stage: triangle match + RANSAC per frame (match.c:125)
         good: List[int] = []         # positions within the chunk
         Hs: List[np.ndarray] = []
@@ -240,7 +241,11 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
             Hmap = {j: H for j, H in zip(good, Hs)}
             nlayers = frames[0].nlayers
             if nlayers == 1:
-                stack = layers[warp_pos]
+                # reuse the star-find upload when available: the warp
+                # reads the same frames, so indexing the device copy
+                # halves the per-frame host->device traffic
+                src = dev_layers if dev_layers is not None else layers
+                stack = src[np.asarray(warp_pos)]
                 Hsel = np.stack([Hmap[j] for j in warp_pos])
             else:
                 stack = np.concatenate(
@@ -312,8 +317,9 @@ def global_align_batch(layers_bu: np.ndarray, ref_index: int = 0, *,
     f, h, w = layers_bu.shape
     report = GlobalRegReport()
 
-    star_lists = peaker_batch(layers_bu, params=sf_params, nmax=nmax,
-                              mesh=mesh)
+    star_lists, dev_layers = peaker_batch(layers_bu, params=sf_params,
+                                          nmax=nmax, mesh=mesh,
+                                          return_device=True)
     refstars = star_lists[ref_index]
     if len(refstars) < AT_MATCH_MINPAIRS:
         raise ValueError(
@@ -341,7 +347,8 @@ def global_align_batch(layers_bu: np.ndarray, ref_index: int = 0, *,
         report.homographies.append(H)
         report.registered += 1
 
-    aligned = np.asarray(warp_batch_dev(layers_bu, Hs, (h, w),
+    src = dev_layers if dev_layers is not None else layers_bu
+    aligned = np.asarray(warp_batch_dev(src, Hs, (h, w),
                                         interpolation, mesh=mesh))
     return aligned, report
 

@@ -300,6 +300,61 @@ def test_global_align_batch_sharded(tmp_path):
     np.testing.assert_array_equal(a1, a2)
 
 
+# ----------------------------------------------------- tiled banded warp
+
+def test_tiled_warp_matches_gather_warp():
+    """The tiled banded sampler (dense FMAs over static window slices —
+    the fast TPU path for near-identity registration warps) agrees with
+    the reference gather sampler: bit-exact for nearest, within the
+    shared float32 coordinate envelope for weighted kernels (both paths
+    compute source coordinates in f32, so they may round a 2e-4 px
+    coordinate differently — bounded by kernel-slope x local range)."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.warp import (_tiled_plan, _warp_perspective_tiled,
+                                   warp_perspective)
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 65535, (200, 300)).astype(np.uint16)
+    a = np.deg2rad(1.0)
+    Hs = [np.array([[1, 0, 3.7], [0, 1, -2.2], [0, 0, 1.0]]),
+          np.array([[0.99 * np.cos(a), -0.99 * np.sin(a), 5.0],
+                    [0.99 * np.sin(a), 0.99 * np.cos(a), -3.0],
+                    [0, 0, 1.0]]),
+          np.array([[1.01, 0.004, -1.2], [-0.003, 0.995, 2.4],
+                    [2e-6, -1.5e-6, 1.0]])]
+    for H in Hs:
+        Hinv = np.linalg.inv(H)
+        hj = jnp.asarray(Hinv, jnp.float32)
+        for interp in (0, 1, 2, 3, 4):
+            plan = _tiled_plan(Hinv, (200, 300), img.shape, interp)
+            assert plan is not None
+            ref = np.asarray(warp_perspective(
+                jnp.asarray(img).astype(jnp.float32), hj, (200, 300),
+                interp))
+            got = np.asarray(_warp_perspective_tiled(
+                jnp.asarray(img).astype(jnp.float32), hj, (200, 300),
+                interp, *plan))
+            d = np.abs(got - ref)
+            if interp == 0:
+                assert d.max() == 0
+            else:
+                assert d.max() <= 8.0, (interp, d.max())
+                assert np.mean(d > 0.51) < 0.05
+
+
+def test_tiled_plan_falls_back_for_wild_warps():
+    """Far-from-identity homographies (beyond the band cap) return no
+    plan — the gather path handles them."""
+    from siriltpu.ops.warp import _tiled_plan
+
+    big_rot = np.deg2rad(30)
+    H = np.array([[np.cos(big_rot), -np.sin(big_rot), 0],
+                  [np.sin(big_rot), np.cos(big_rot), 0], [0, 0, 1.0]])
+    assert _tiled_plan(np.linalg.inv(H), (2048, 3072), (2048, 3072),
+                       1) is None
+
+
 # ------------------------------------------------- interpolation enum parity
 
 def test_interpolation_enum_matches_reference():
