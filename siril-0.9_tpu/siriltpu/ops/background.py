@@ -71,9 +71,22 @@ def build_background_samples(layer: np.ndarray, params: BackgroundParams
     nboxes = p.boxes_per_row * p.boxes_per_col
     if nboxes < NPARAMS[p.order]:
         raise ValueError("not enough boxes for the polynomial order")
-    # astype always copies, so the in-place outlier replacement below
-    # never touches the caller's array (one 200 MB pass at 6K, not three)
-    mat = layer.astype(np.float64)
+    # The reference converts the WHOLE image to a double MatR and
+    # mutates it in place (gradient.c:97,144-153); but only box pixels
+    # are ever read, and with the default geometry (box 20, grid steps
+    # of hundreds of px) boxes never overlap, so per-box f64 copies are
+    # observationally identical — and skip a 200 MB full-image copy per
+    # 6K channel (the dominant cost of bgextract on this host).
+    box_step_r = (height - 2 * midbox) // (p.boxes_per_col - 1)
+    box_step_c = (width - 2 * midbox) // (p.boxes_per_row - 1)
+    if p.box > min(box_step_r, box_step_c):
+        # overlapping boxes: fall back to the literal shared matrix so
+        # cross-box mutations stay visible
+        mat = layer.astype(np.float64)
+        box_of = lambda sr, sc: mat[sr:sr + p.box, sc:sc + p.box]
+    else:
+        box_of = lambda sr, sc: layer[sr:sr + p.box,
+                                      sc:sc + p.box].astype(np.float64)
 
     row_pos = np.empty(p.boxes_per_col)
     col_pos = np.empty(p.boxes_per_row)
@@ -96,7 +109,7 @@ def build_background_samples(layer: np.ndarray, params: BackgroundParams
         sr = int(round(row_pos[r] - midbox + 1))
         for c in range(p.boxes_per_row):
             sc = int(round(col_pos[c] - midbox + 1))
-            boxdata = mat[sr : sr + p.box, sc : sc + p.box]
+            boxdata = box_of(sr, sc)
             flat = boxdata.reshape(-1)
             sigma = flat.std(ddof=1)
             median = _gsl_median(np.sort(flat))
