@@ -248,14 +248,30 @@ int fcodec_read(void *handle, int index, uint8_t *out,
     }
     int64_t target = d->pts[(size_t)index];
     if (d->need_seek || index != d->next_index) {
-        int ret = av_seek_frame(d->fmt, d->stream_index, target,
-                                AVSEEK_FLAG_BACKWARD);
-        if (ret < 0) {  // fall back: rewind to the start
-            avio_seek(d->fmt->pb, 0, SEEK_SET);
-            avformat_seek_file(d->fmt, d->stream_index, INT64_MIN,
-                               d->pts.front(), d->pts.front(), 0);
+        if (d->synthetic_ts) {
+            // timestampless stream: timestamps are fabricated counters,
+            // so demuxer seeks are meaningless — rewind and decode
+            // forward counting frames (every produced frame advances
+            // next_index; the loop below returns at index)
+            if (index >= d->next_index && !d->need_seek) {
+                // forward skip: just keep decoding from where we are
+            } else {
+                avio_seek(d->fmt->pb, 0, SEEK_SET);
+                avformat_seek_file(d->fmt, d->stream_index, INT64_MIN, 0,
+                                   INT64_MAX, AVSEEK_FLAG_BYTE);
+                avcodec_flush_buffers(d->ctx);
+                d->next_index = 0;
+            }
+        } else {
+            int ret = av_seek_frame(d->fmt, d->stream_index, target,
+                                    AVSEEK_FLAG_BACKWARD);
+            if (ret < 0) {  // fall back: rewind to the start
+                avio_seek(d->fmt->pb, 0, SEEK_SET);
+                avformat_seek_file(d->fmt, d->stream_index, INT64_MIN,
+                                   d->pts.front(), d->pts.front(), 0);
+            }
+            avcodec_flush_buffers(d->ctx);
         }
-        avcodec_flush_buffers(d->ctx);
         d->need_seek = false;
     }
 
@@ -267,10 +283,11 @@ int fcodec_read(void *handle, int index, uint8_t *out,
             int64_t t = d->frame->best_effort_timestamp;
             if (t == AV_NOPTS_VALUE) t = d->frame->pts;
             bool hit;
-            if (t == AV_NOPTS_VALUE) {
-                // timestampless stream: only sequential decode is
-                // meaningful — treat every produced frame as the next
-                hit = true;
+            if (d->synthetic_ts || t == AV_NOPTS_VALUE) {
+                // timestampless stream: frames are identified by COUNT
+                // from the rewind point (next_index), not timestamps
+                hit = d->next_index == index;
+                if (!hit) d->next_index++;
             } else {
                 hit = t >= target;
             }
@@ -301,9 +318,12 @@ int fcodec_read(void *handle, int index, uint8_t *out,
             av_frame_unref(d->frame);
             // locate where we are in presentation order for the
             // sequential-read fast path
-            auto it = std::upper_bound(d->pts.begin(), d->pts.end(),
-                                       t == AV_NOPTS_VALUE ? target : t);
-            d->next_index = (int64_t)(it - d->pts.begin());
+            if (d->synthetic_ts || t == AV_NOPTS_VALUE) {
+                d->next_index = index + 1;   // counted stream
+            } else {
+                auto it = std::upper_bound(d->pts.begin(), d->pts.end(), t);
+                d->next_index = (int64_t)(it - d->pts.begin());
+            }
             return 0;
         }
         if (ret == AVERROR(EAGAIN)) {
@@ -497,8 +517,9 @@ int fcodec_enc_add(void *handle, const uint8_t *data,
     }
     sws_scale(e->sws, src, src_ls, 0, e->src_h, e->frame->data,
               e->frame->linesize);
+    // packet durations are stamped in drain_packets (AVFrame's duration
+    // field was renamed between ffmpeg 5 and 6, so it is avoided here)
     e->frame->pts = e->next_pts++;
-    e->frame->pkt_duration = 1;  // ffmpeg 5.x name (renamed later)
     int ret = avcodec_send_frame(e->ctx, e->frame);
     if (ret < 0) {
         set_err(errbuf, errlen, "send frame: " + av_errstr(ret));

@@ -768,20 +768,25 @@ def process_seqload(state, args):
         # film as a sequence — the reference's SEQ_AVI type
         # (sequence.c seq_check_basic_data / films.c film_open_file)
         state.seq = film_sequence(state.path(name))
-    elif any(os.path.exists(state.path(f"{name}.{e}"))
-             for e in FILM_EXTENSIONS):
-        ext = next(e for e in FILM_EXTENSIONS
-                   if os.path.exists(state.path(f"{name}.{e}")))
-        state.seq = film_sequence(state.path(f"{name}.{ext}"))
     else:
         seqpath = state.path(name[:-4] if name.endswith(".seq") else name)
         if not os.path.exists(seqpath + ".seq"):
             # discover sequences like the reference does after conversion
             # (check_seq builds the .seq sidecars, sequence.c:145)
             check_seq(state.cwd)
-        if not os.path.exists(seqpath + ".seq"):
-            raise CommandError(f"No sequence '{name}' found in {state.cwd}")
-        state.seq = read_seqfile(seqpath + ".seq")
+        if os.path.exists(seqpath + ".seq"):
+            state.seq = read_seqfile(seqpath + ".seq")
+        else:
+            # last resort for a bare basename: a film of that name.
+            # AFTER the .seq check, so a converted sequence always wins
+            # over re-reading the raw container it came from.
+            film_ext = next(
+                (e for e in FILM_EXTENSIONS
+                 if os.path.exists(state.path(f"{name}.{e}"))), None)
+            if film_ext is None:
+                raise CommandError(
+                    f"No sequence '{name}' found in {state.cwd}")
+            state.seq = film_sequence(state.path(f"{name}.{film_ext}"))
     state.seq.seq_dir = state.cwd
     state.log(f"Sequence loaded: {state.seq.seqname} "
               f"({state.seq.number} images)")

@@ -52,9 +52,10 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
                                                  "additive_scaling")
         coeffs = (off, mul, scale)
 
-    if not seq.rx:
-        seq.read_frame(indices[0])  # discovered sequences are lazy about
-        # geometry until a frame is read (check_seq parity)
+    if not seq.rx or seq.nb_layers < 0:
+        seq.read_frame(indices[0])  # discovered/film sequences are lazy
+        # about geometry (incl. nb_layers) until a frame is read
+        # (check_seq parity; film_sequence leaves nb_layers = -1)
     out_w = args.crop.w if args.crop else seq.rx
     out_h = args.crop.h if args.crop else seq.ry
     if args.resize:

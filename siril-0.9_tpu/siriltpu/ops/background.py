@@ -77,9 +77,9 @@ def build_background_samples(layer: np.ndarray, params: BackgroundParams
     # of hundreds of px) boxes never overlap, so per-box f64 copies are
     # observationally identical — and skip a 200 MB full-image copy per
     # 6K channel (the dominant cost of bgextract on this host).
-    box_step_r = (height - 2 * midbox) // (p.boxes_per_col - 1)
-    box_step_c = (width - 2 * midbox) // (p.boxes_per_row - 1)
-    if p.box > min(box_step_r, box_step_c):
+    step_r = (height - 2 * midbox) // (p.boxes_per_col - 1)
+    step_c = (width - 2 * midbox) // (p.boxes_per_row - 1)
+    if p.box > min(step_r, step_c):
         # overlapping boxes: fall back to the literal shared matrix so
         # cross-box mutations stay visible
         mat = layer.astype(np.float64)
@@ -91,12 +91,10 @@ def build_background_samples(layer: np.ndarray, params: BackgroundParams
     row_pos = np.empty(p.boxes_per_col)
     col_pos = np.empty(p.boxes_per_row)
     tmp = midbox - 1.0
-    step_r = (height - 2 * midbox) // (p.boxes_per_col - 1)
     for i in range(p.boxes_per_col):
         row_pos[i] = tmp
         tmp += step_r
     tmp = midbox - 1.0
-    step_c = (width - 2 * midbox) // (p.boxes_per_row - 1)
     for i in range(p.boxes_per_row):
         col_pos[i] = tmp
         tmp += step_c

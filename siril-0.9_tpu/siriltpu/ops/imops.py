@@ -332,7 +332,12 @@ def resize(data: np.ndarray, new_w: int, new_h: int,
                      jnp.float32)
     out = np.empty((c, new_h, new_w), dtype=np.uint16)
     for ch in range(c):
-        r = Wy @ jnp.asarray(data[ch]).astype(jnp.float32) @ Wx.T
+        # precision='highest': TPU matmuls default to bf16 passes, which
+        # would shred 16-bit pixel values (cf. demosaic.py's same note);
+        # full-f32 MXU passes keep the ≤1 LSB OpenCV parity on hardware
+        img = jnp.asarray(data[ch]).astype(jnp.float32)
+        r = jnp.matmul(jnp.matmul(Wy, img, precision="highest"), Wx.T,
+                       precision="highest")
         out[ch] = np.clip(np.rint(np.asarray(r)), 0, 65535).astype(np.uint16)
     return out
 

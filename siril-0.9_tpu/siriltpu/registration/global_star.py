@@ -246,6 +246,8 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
                 # halves the per-frame host->device traffic
                 src = dev_layers if dev_layers is not None else layers
                 stack = src[np.asarray(warp_pos)]
+                dev_layers = None   # free the full-chunk upload before
+                # the warp allocates its padded working set
                 Hsel = np.stack([Hmap[j] for j in warp_pos])
             else:
                 stack = np.concatenate(

@@ -173,6 +173,27 @@ def test_film_discovery_and_pipeline(tmp_path):
     assert os.path.exists(os.path.join(d, "clip_stacked.fit"))
 
 
+def test_seqload_prefers_converted_seq_over_film(tmp_path):
+    """After `convert`, a bare `seqload basename` must load the
+    converted FITS sequence (.seq), NOT re-open the raw film of the
+    same basename (the film probe is the last-resort fallback)."""
+    from siriltpu.cli.commands import process_command
+    from siriltpu.cli.main import make_state
+
+    d = str(tmp_path)
+    frames = _smooth_frames(4, 32, 48)
+    enc = film_codec.FilmEncoder(os.path.join(d, "cap.mp4"), 48, 32,
+                                 10.0, 3, quality=5)
+    for f in frames:
+        enc.add_frame(f)
+    enc.close()
+    st = make_state(d)
+    assert process_command(st, "convert cap") == 0
+    assert os.path.exists(os.path.join(d, "cap00001.fit"))
+    assert process_command(st, "seqload cap") == 0
+    assert st.seq.seqtype == "regular", st.seq.seqtype  # not the film
+
+
 def test_convert_film_to_ser(tmp_path):
     """`convert basename -ser` (the CONVDSTSER destination) turns an
     H.264 film into one SER video (conversion.c:551-600 film branch)."""
