@@ -85,9 +85,15 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
         # (yuv420p requires even dimensions, mp4_output.c:411).
         from siriltpu.io import film_codec
         if (film_codec.available() and out_w % 2 == 0 and out_h % 2 == 0):
+            # resize happens INSIDE the encoder via swscale, exactly
+            # like the reference (mp4_create takes src_w/src_h and
+            # rescales during the yuv420p conversion, mp4_output.c:293)
+            src_w = args.crop.w if args.crop else seq.rx
+            src_h = args.crop.h if args.crop else seq.ry
             writer = film_codec.FilmEncoder(
                 path, out_w, out_h, args.fps, seq.nb_layers,
-                quality=max(1, min(args.quality, 5)))
+                quality=max(1, min(args.quality, 5)),
+                src_w=src_w, src_h=src_h)
             fmt = "film"
         elif fmt == "mp4":
             from siriltpu.io.mp4 import Mp4Writer
@@ -115,10 +121,12 @@ def export_sequence(seq, args: ExportArgs, layer: int = 0,
         if args.crop:
             data = imops.crop(data, args.crop.x, args.crop.y,
                               args.crop.w, args.crop.h)
-        if args.resize:
+        if args.resize and fmt != "film":
             # the reference exports with OPENCV_CUBIC = value 3
             # (sequence.c:1436), which the real OpenCV executes as
-            # INTER_AREA (PARITY.md "interpolation enum")
+            # INTER_AREA (PARITY.md "interpolation enum"); the film
+            # encoder instead rescales internally via swscale like
+            # mp4_add_frame does
             data = imops.resize(data, out_w, out_h, interpolation=3)
         out = Frame(data, dict(frame.meta))
         if fmt == "ser":

@@ -129,6 +129,30 @@ def test_export_sequence_h264_vp9(tmp_path):
         dec.close()
 
 
+def test_export_film_resize_via_encoder(tmp_path):
+    """Film export with resize rescales inside the encoder via swscale
+    (reference mp4_add_frame semantics: mp4_create src_w/src_h !=
+    dst, mp4_output.c:293), not by pre-resizing frames."""
+    from siriltpu.io import fits as fits_io
+    from siriltpu.core.frame import Frame
+    from siriltpu.io.export import ExportArgs, export_sequence
+    from siriltpu.io.sequence import check_seq
+    from siriltpu.testing.synth import make_sequence_frames
+
+    d = str(tmp_path)
+    frames, _, _ = make_sequence_frames(3, 32, 48, seed=13,
+                                        shifts=np.zeros((3, 2), int))
+    for i, f in enumerate(frames):
+        fits_io.write_fits(os.path.join(d, f"m{i+1:02d}.fit"), Frame(f))
+    seq = check_seq(d)[0]
+    p = export_sequence(seq, ExportArgs(basename="small", fmt="mp4",
+                                        fps=10.0, quality=5,
+                                        resize=(24, 16)))
+    dec = film_codec.FilmDecoder(p)
+    assert (dec.width, dec.height, dec.nb_frames) == (24, 16, 3)
+    dec.close()
+
+
 def test_codec_film_as_sequence(tmp_path):
     """An H.264 film opens as a Sequence (SEQ_AVI analog) and its
     frames flow through the standard sequence machinery."""
