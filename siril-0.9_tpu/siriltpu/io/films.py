@@ -170,15 +170,27 @@ class FilmFile:
                     EOFError):
                 pass
         # libav bridge: H.264/H.265/VP8/VP9/MPEG/... — the ffms2-class
-        # decode scope of the reference (films.c:66) as a native module
+        # decode scope of the reference (films.c:66) as a native module.
+        # Indexing scans every packet, so the result is cached in a
+        # sidecar (the ffms2 "<film>.idx" analog, films.c:85-121) and
+        # the decoder itself opens lazily on the first frame read —
+        # discovery scans (check_seq) stay cheap.
         from siriltpu.io import film_codec
         if film_codec.available():
+            meta = cls._read_index_cache(path)
+            if meta is not None:
+                f = cls(path=path, width=meta["width"],
+                        height=meta["height"], nb_frames=meta["nb_frames"],
+                        fps=meta["fps"])
+                f._backend = "codec"
+                return f
             try:
                 dec = film_codec.FilmDecoder(path)
                 f = cls(path=path, width=dec.width, height=dec.height,
                         nb_frames=dec.nb_frames, fps=dec.fps or 25.0)
                 f._backend = "codec"
                 f._codec = dec
+                cls._write_index_cache(path, f)
                 return f
             except RuntimeError:
                 pass
@@ -414,11 +426,48 @@ class FilmFile:
         film._backend = "mjpeg"
         return film
 
+    @staticmethod
+    def _index_cache_path(path: str) -> str:
+        return path + ".idx.json"
+
+    @classmethod
+    def _read_index_cache(cls, path: str):
+        """Load the film-index sidecar if it matches the current file
+        (size + mtime), like ffms2's FFMS_ReadIndex (films.c:89)."""
+        import json
+        try:
+            st = os.stat(path)
+            with open(cls._index_cache_path(path)) as f:
+                meta = json.load(f)
+            if (meta.get("size") == st.st_size
+                    and meta.get("mtime") == int(st.st_mtime)
+                    and meta.get("nb_frames", 0) > 0):
+                return meta
+        except (OSError, ValueError):
+            pass
+        return None
+
+    @classmethod
+    def _write_index_cache(cls, path: str, film: "FilmFile") -> None:
+        import json
+        try:
+            st = os.stat(path)
+            with open(cls._index_cache_path(path), "w") as f:
+                json.dump({"size": st.st_size, "mtime": int(st.st_mtime),
+                           "width": film.width, "height": film.height,
+                           "nb_frames": film.nb_frames,
+                           "fps": film.fps}, f)
+        except OSError:
+            pass  # read-only dir: just skip the cache
+
     def read_frame(self, index: int) -> Frame:
         """film_read_frame: returns a bottom-up uint16 Frame."""
         if self._backend == "codec":
             if index < 0 or index >= self.nb_frames:
                 raise IndexError(index)
+            if self._codec is None:   # cache-hit open: decoder is lazy
+                from siriltpu.io.film_codec import FilmDecoder
+                self._codec = FilmDecoder(self.path)
             # top-down gray/RGB (uint8, or uint16 for deep sources) →
             # bottom-up planar WORD with the reference's gray-in-RGB
             # collapse (films.c:269-300)
