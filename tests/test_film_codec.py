@@ -43,7 +43,8 @@ def _psnr(a, b):
 
 
 @pytest.mark.parametrize("ext,color", [("mp4", True), ("webm", True),
-                                       ("mp4", False)])
+                                       ("mp4", False), ("mkv", True),
+                                       ("mov", True)])
 def test_encode_decode_roundtrip(tmp_path, ext, color):
     """H.264 / VP9 encode then decode: geometry, frame count, fps, and
     content survive; random access (keyframe seek + forward decode)
