@@ -188,8 +188,12 @@ def _lm_fit(resid_jac, params0: Array, args, max_iter: int = MAX_ITER):
     def body(state):
         p, lam, it, done = state
         r, J = resid_jac(tuple(p), *args)
-        g = J.reshape(-1, nparams).T @ r.reshape(-1)
-        H = J.reshape(-1, nparams).T @ J.reshape(-1, nparams)
+        # precision='highest': TPU matmuls truncate inputs to bf16 by
+        # default, which would perturb the normal equations of the LM
+        # fit; these are tiny (npix x 7) products, full f32 is free
+        Jm = J.reshape(-1, nparams)
+        g = jnp.matmul(Jm.T, r.reshape(-1), precision="highest")
+        H = jnp.matmul(Jm.T, Jm, precision="highest")
         D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
         step = jnp.linalg.solve(H + lam * D, -g)
         newp = p + step
