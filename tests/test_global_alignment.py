@@ -343,6 +343,44 @@ def test_tiled_warp_matches_gather_warp():
                 assert np.mean(d > 0.51) < 0.05
 
 
+def test_tiled_warp_fuzz_random_homographies():
+    """Seeded fuzz: random registration-scale homographies (rotation
+    ≤1.5°, scale 0.97-1.03, shift ≤12 px, mild perspective) through
+    both samplers; every interpolation stays within the f32 coordinate
+    envelope and nearest stays exact."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.warp import (_tiled_plan, _warp_perspective_tiled,
+                                   warp_perspective)
+
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 65535, (160, 224)).astype(np.uint16)
+    for trial in range(6):
+        ang = np.deg2rad(rng.uniform(-1.5, 1.5))
+        s = rng.uniform(0.97, 1.03)
+        tx, ty = rng.uniform(-12, 12, 2)
+        p1, p2 = rng.uniform(-4e-6, 4e-6, 2)
+        H = np.array([[s * np.cos(ang), -s * np.sin(ang), tx],
+                      [s * np.sin(ang), s * np.cos(ang), ty],
+                      [p1, p2, 1.0]])
+        Hinv = np.linalg.inv(H)
+        hj = jnp.asarray(Hinv, jnp.float32)
+        for interp in (0, 1, 2, 3, 4):
+            plan = _tiled_plan(Hinv, (160, 224), img.shape, interp)
+            assert plan is not None, (trial, interp)
+            ref = np.asarray(warp_perspective(
+                jnp.asarray(img).astype(jnp.float32), hj, (160, 224),
+                interp))
+            got = np.asarray(_warp_perspective_tiled(
+                jnp.asarray(img).astype(jnp.float32), hj, (160, 224),
+                interp, *plan))
+            d = np.abs(got - ref)
+            if interp == 0:
+                assert d.max() == 0, (trial,)
+            else:
+                assert d.max() <= 8.0, (trial, interp, d.max())
+
+
 def test_tiled_plan_falls_back_for_wild_warps():
     """Far-from-identity homographies (beyond the band cap) return no
     plan — the gather path handles them."""
