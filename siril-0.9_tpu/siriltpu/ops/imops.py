@@ -362,11 +362,17 @@ def rotate(data: np.ndarray, angle_deg: float, *, crop_to_fit: bool = True,
     Hinv = np.array([[ca, sa, cx_in - ca * cx_out - sa * cy_out],
                      [-sa, ca, cy_in + sa * cx_out - ca * cy_out],
                      [0, 0, 1.0]])
+    from siriltpu.ops.warp import _tiled_plan, _warp_perspective_tiled
+    band = _tiled_plan(Hinv, (oh, ow), (h, w), interpolation)
     out = np.empty((c, oh, ow), dtype=np.uint16)
     for ch in range(c):
-        r = warp_perspective(jnp.asarray(data[ch]).astype(jnp.float32),
-                             jnp.asarray(Hinv, jnp.float32), (oh, ow),
-                             interpolation)
+        img = jnp.asarray(data[ch]).astype(jnp.float32)
+        if band is not None:   # small angles: dense tiled sampler
+            r = _warp_perspective_tiled(img, jnp.asarray(Hinv, jnp.float32),
+                                        (oh, ow), interpolation, *band)
+        else:
+            r = warp_perspective(img, jnp.asarray(Hinv, jnp.float32),
+                                 (oh, ow), interpolation)
         out[ch] = np.clip(np.rint(np.asarray(r)), 0, 65535).astype(np.uint16)
     return out
 
