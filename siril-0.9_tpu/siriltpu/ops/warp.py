@@ -22,6 +22,7 @@ taps, vmapped over channels/frames; no scalar loops.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -279,6 +280,10 @@ def _warp_perspective_tiled(img: Array, H_inv: Array,
     return out[:oh, :ow]
 
 
+_PLAN_STEP = 32    # fine-grid pitch for band planning; divides both tile dims
+_PLAN_MARGIN = 2.0  # headroom for sub-grid displacement curvature
+
+
 def _tiled_plan(Hinvs: np.ndarray, out_shape, in_shape, interpolation):
     """Host-side feasibility + static band sizes for the tiled warp.
     Returns (band_y, band_x, pad) or None when the warp moves too far
@@ -290,9 +295,19 @@ def _tiled_plan(Hinvs: np.ndarray, out_shape, in_shape, interpolation):
     oh, ow = out_shape
     h, w = in_shape
     Hinvs = np.asarray(Hinvs, np.float64).reshape(-1, 3, 3)
-    # preimage coords on the tile-corner grid, all frames at once
-    gy = np.arange(0, oh + _TILE_H, _TILE_H, dtype=np.float64)
-    gx = np.arange(0, ow + _TILE_W, _TILE_W, dtype=np.float64)
+    nty = -(-oh // _TILE_H)
+    ntx = -(-ow // _TILE_W)
+    # preimage coords on a FINE grid (step 32), all frames at once. The
+    # displacement field (sx - x, sy - y) of a projective map is NOT
+    # linear over a tile — its extremes can sit in the tile interior,
+    # so corner-only sampling can undersize the band and silently drop
+    # kernel taps. Sample every _PLAN_STEP px (the grid lands exactly
+    # on tile boundaries) and add _PLAN_MARGIN for sub-grid curvature;
+    # SIRILTPU_CHECK_WARP_BAND=1 verifies the bound exactly per-pixel.
+    gy = np.arange(0, nty * _TILE_H + _PLAN_STEP, _PLAN_STEP,
+                   dtype=np.float64)
+    gx = np.arange(0, ntx * _TILE_W + _PLAN_STEP, _PLAN_STEP,
+                   dtype=np.float64)
     yy, xx = np.meshgrid(gy, gx, indexing="ij")
     ones = np.ones_like(yy)
     pts = np.stack([xx, yy, ones])                     # (3, Gy, Gx)
@@ -302,21 +317,21 @@ def _tiled_plan(Hinvs: np.ndarray, out_shape, in_shape, interpolation):
         sy = prj[:, 1] / prj[:, 2]
     if not (np.isfinite(sx).all() and np.isfinite(sy).all()):
         return None
-    # per-tile source-coordinate variation beyond the tile's own
-    # extent: max over tiles of (max corner displacement - min corner
-    # displacement); projective tile preimages are quadrilaterals, so
-    # corner extremes bound the interior
+    # per-tile source-coordinate variation beyond the tile's own extent:
+    # max over tiles of (max displacement - min displacement) within the
+    # tile's (inclusive) fine-grid window
+    py = _TILE_H // _PLAN_STEP
+    px = _TILE_W // _PLAN_STEP
+
     def band(sc, rel):
         d = sc - rel                                    # displacement field
-        c00 = d[:, :-1, :-1]
-        c01 = d[:, :-1, 1:]
-        c10 = d[:, 1:, :-1]
-        c11 = d[:, 1:, 1:]
-        hi = np.maximum(np.maximum(c00, c01), np.maximum(c10, c11))
-        lo = np.minimum(np.minimum(c00, c01), np.minimum(c10, c11))
+        win = np.lib.stride_tricks.sliding_window_view(
+            d, (py + 1, px + 1), axis=(1, 2))[:, ::py, ::px]
+        hi = win.max(axis=(-2, -1))                     # (F, nty, ntx)
+        lo = win.min(axis=(-2, -1))
         return float((hi - lo).max())
-    vy = band(sy, yy)
-    vx = band(sx, xx)
+    vy = band(sy, yy) + _PLAN_MARGIN
+    vx = band(sx, xx) + _PLAN_MARGIN
     band_y = int(np.ceil(vy)) + support + 1
     band_x = int(np.ceil(vx)) + support + 1
     # quantize to limit recompiles
@@ -327,12 +342,37 @@ def _tiled_plan(Hinvs: np.ndarray, out_shape, in_shape, interpolation):
     # pad: window origins must stay inside the padded source
     disp = max(abs(float((sy - yy).min())), float((sy - yy).max()),
                abs(float((sx - xx).min())), float((sx - xx).max()))
+    disp += _PLAN_MARGIN
     extent = max(oh + _TILE_H - h, ow + _TILE_W - w, 0)
     pad = int(np.ceil(disp)) + max(band_y, band_x) + extent + 8
     pad = -(-pad // 64) * 64
     if pad > 8192:
         return None
+    if os.environ.get("SIRILTPU_CHECK_WARP_BAND"):
+        _verify_band_exact(Hinvs, (nty, ntx), band_y, band_x, support)
     return band_y, band_x, pad
+
+
+def _verify_band_exact(Hinvs, ntiles, band_y, band_x, support):
+    """Debug-mode exact check (SIRILTPU_CHECK_WARP_BAND=1): evaluate the
+    displacement field at EVERY output pixel and assert the planned band
+    covers each tile's true in-tile variation — the guarantee the tiled
+    kernel's static fori_loop tap range relies on."""
+    nty, ntx = ntiles
+    yy = np.arange(nty * _TILE_H, dtype=np.float64)[:, None]
+    xx = np.arange(ntx * _TILE_W, dtype=np.float64)[None, :]
+    for Hinv in Hinvs:
+        w = Hinv[2, 0] * xx + Hinv[2, 1] * yy + Hinv[2, 2]
+        sx = (Hinv[0, 0] * xx + Hinv[0, 1] * yy + Hinv[0, 2]) / w
+        sy = (Hinv[1, 0] * xx + Hinv[1, 1] * yy + Hinv[1, 2]) / w
+        for d, band, axis in ((sy - yy, band_y, "y"), (sx - xx, band_x, "x")):
+            t = d.reshape(nty, _TILE_H, ntx, _TILE_W)
+            var = (t.max(axis=(1, 3)) - t.min(axis=(1, 3))).max()
+            need = int(np.ceil(var)) + support + 1
+            if need > band:
+                raise AssertionError(
+                    f"tiled warp band_{axis}={band} undersized: true "
+                    f"in-tile variation {var:.3f} px needs >= {need}")
 
 
 def warp_frame_bu(data_bu: np.ndarray, H_td: np.ndarray,

@@ -381,6 +381,55 @@ def test_tiled_warp_fuzz_random_homographies():
                 assert d.max() <= 8.0, (trial, interp, d.max())
 
 
+def test_tiled_plan_interior_displacement_peak():
+    """Regression (r4 advice): the displacement field of a projective map
+    is not linear over a tile — here sx - x peaks 7.9 px at the CENTER of
+    the single 512-wide tile while the tile corners move <= 0.51 px, so
+    the old corner-only plan sized band_x = 4 (true need: 9) and silently
+    dropped kernel taps. The fine-grid plan must cover the interior peak
+    and match the gather sampler; the exact per-pixel verifier must
+    reject the old undersized band."""
+    import jax.numpy as jnp
+    import pytest
+
+    from siriltpu.ops.warp import (_tiled_plan, _verify_band_exact,
+                                   _warp_perspective_tiled, warp_perspective)
+
+    g = 1.2e-4
+    a = (g * 256 + 1) ** 2
+    Hinv = np.array([[a, 0.0, 0.0], [0.0, 1.0, 0.0], [g, 0.0, 1.0]])
+    out_shape = (256, 512)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65535, (256, 530)).astype(np.uint16)
+    hj = jnp.asarray(Hinv, jnp.float32)
+
+    # the old corner-derived band (4 for linear) fails the exact check
+    with pytest.raises(AssertionError, match="undersized"):
+        _verify_band_exact(Hinv[None], (1, 1), 4, 4, support=2)
+
+    for interp in (0, 1, 4):
+        plan = _tiled_plan(Hinv, out_shape, img.shape, interp)
+        assert plan is not None
+        _verify_band_exact(Hinv[None], (1, 1), plan[0], plan[1],
+                           support={0: 1, 1: 2, 4: 8}[interp])
+        ref = np.asarray(warp_perspective(
+            jnp.asarray(img).astype(jnp.float32), hj, out_shape, interp))
+        got = np.asarray(_warp_perspective_tiled(
+            jnp.asarray(img).astype(jnp.float32), hj, out_shape,
+            interp, *plan))
+        d = np.abs(got - ref)
+        if interp == 0:
+            # this H lands some source coords EXACTLY on .5 rounding
+            # boundaries (e.g. sy = 64/1.024 = 62.5) where the two
+            # samplers' f32 arithmetic may round apart — allow only
+            # those isolated flips (the old corner-plan bug corrupted
+            # whole bands of the tile: thousands of pixels)
+            assert np.mean(d > 0) <= 1e-4, np.mean(d > 0)
+        else:
+            assert d.max() <= 8.0, (interp, d.max())
+            assert np.mean(d > 0.51) < 0.05
+
+
 def test_tiled_plan_falls_back_for_wild_warps():
     """Far-from-identity homographies (beyond the band cap) return no
     plan — the gather path handles them."""
