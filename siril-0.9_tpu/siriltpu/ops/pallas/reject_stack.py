@@ -1,16 +1,42 @@
-"""Fused Pallas kernel: per-pixel sort + sigma-clip rejection + mean.
+"""Fused Pallas kernels: per-pixel sort + rejection + mean in VMEM.
 
 The hottest op of the whole framework (SURVEY §7.4.3): stacking
 100×4096² frames needs a sort of every cross-frame pixel vector. On HBM
 the 28-stage sorting network is bandwidth-bound (~1 s per GB-scale
-block); this kernel loads an (F, TILE) slab into VMEM ONCE, runs the
-whole Batcher network, the windowed sigma-clip fixed-point loop, and the
-survivor mean in VMEM, and writes back just the (TILE,) result —
-HBM traffic collapses to one read of the data plus a 0.1% write.
+block); these kernels load an (F, TILE) slab into VMEM ONCE, run the
+whole Batcher network, the rejection loop, and the survivor mean in
+VMEM, and write back just the (TILE,) result — HBM traffic collapses to
+one read of the data plus a 0.1% write.
 
 Each Batcher stage has a uniform partner offset k, so it lowers to two
 ``pltpu.roll`` shifts along the sublane axis plus masked min/max — pure
-VPU work. Semantics match :func:`siriltpu.ops.rejection.reject_sigma_window`.
+VPU work.
+
+Rejections (reference: src/stacking/stacking.c:1656-1788):
+
+- ``sigma``      — windowed sigma clip; semantics of
+  :func:`siriltpu.ops.rejection.reject_sigma_window` including the
+  DEGENERATE flag: pixels whose scan would hit the reference's
+  mid-scan break (N - r <= 4, stacking.c:1684-1688) are frozen and
+  flagged; the wrapper re-runs exactly those through the exact masked
+  kernel, so the fused path is bit-exact like ``reject_and_mean``.
+- ``winsorized`` — the inner winsorization fixed point (clamp working
+  copy to median±1.5σ, σ ← 1.134·sd, until |σ−σ₀|/σ₀ ≤ 5e-4,
+  stacking.c:1710-1748) runs in VMEM with the same anchor-centered
+  arithmetic as :func:`siriltpu.ops.rejection.reject_winsorized`;
+  the outer clip is windowed with the same degenerate fallback.
+- ``percentile`` — single pass on relative distance from the median
+  (stacking.c:1130-1143); prefix/suffix removal is exactly
+  window-shaped (the all-flagged case keeps the last element), so no
+  degenerate path exists.
+- ``sigmedian``  — rejected values replaced by round_to_WORD(median)
+  (stacking.c:1696-1708); nothing is removed, the working vector is
+  re-sorted IN VMEM each pass (re-running the Batcher plan).
+
+Statistics use the reference-exact integer-sum construction of
+``_gsl_sd`` (deviations centered on the middle order statistic, hi/lo
+8-bit square split) and the survivor mean is exact integer
+round-half-up, so the fused path matches the HBM hybrid bit-for-bit.
 """
 
 from __future__ import annotations
@@ -28,6 +54,13 @@ from siriltpu.ops.sortnet import slice_segments, stage_offsets
 MAX_ITERS = 50
 _SUBLANE = 8  # sublane-tile granularity for i32; unaligned sublane
               # slices would be slower than the roll form
+
+#: max degenerate pixels fixed exactly per call; beyond this the window
+#: result stands (degeneracy needs clipping ~all of a 100-frame vector —
+#: see tests for a constructed case; real stacks hit 0)
+DEGEN_K = 128
+
+PALLAS_REJECTIONS = ("sigma", "winsorized", "percentile", "sigmedian")
 
 
 def _plan_stages(f_real: int):
@@ -74,21 +107,12 @@ def _plan_stages(f_real: int):
     return n_rows, plan
 
 
-def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float):
+def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
+                 rejection: str):
     n_rows, plan = _plan_stages(f_real)
 
-    def kernel(masks_ref, x_ref, out_ref):
-        # (f_real, tile) block; pad rows (constant 65535) are appended
-        # IN VMEM so the (n_rows, P) padded copy never exists in HBM —
-        # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
-        # batch. Pad rows equal the max value, so after the sort the
-        # prefix of length f_real is multiset-equal to the real data
-        # (ties between real and pad values can only swap equal values).
-        x = x_ref[:].astype(jnp.int32)
-        if n_rows != f_real:
-            x = jnp.concatenate(
-                [x, jnp.full((n_rows - f_real, tile), 65535, jnp.int32)],
-                axis=0)
+    def run_network(x, masks_ref):
+        """One full Batcher pass over the (n_rows, tile) i32 buffer."""
         ri = 0  # row index into the roll-stage mask table
         for stage in plan:
             if stage[0] == "slice":
@@ -112,65 +136,256 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float):
                 x = jnp.where(lom, jnp.minimum(x, xd),
                               jnp.where(him, jnp.maximum(x, xu), x))
                 ri += 1
-        xf = x.astype(jnp.float32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, tile), 0)
+        return x
 
-        def win_stats(lo, hi):
-            n = hi - lo
+    iota_shape = (n_rows, tile)
+
+    def kernel(masks_ref, x_ref, out_ref, degen_ref):
+        # (f_real, tile) block; pad rows (constant 65535) are appended
+        # IN VMEM so the (n_rows, P) padded copy never exists in HBM —
+        # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
+        # batch. Pad rows equal the max value, so after the sort the
+        # prefix of length f_real is multiset-equal to the real data
+        # (ties between real and pad values can only swap equal values).
+        x = x_ref[:].astype(jnp.int32)
+        if n_rows != f_real:
+            x = jnp.concatenate(
+                [x, jnp.full((n_rows - f_real, tile), 65535, jnp.int32)],
+                axis=0)
+        x = run_network(x, masks_ref)
+        iota = jax.lax.broadcasted_iota(jnp.int32, iota_shape, 0)
+
+        def onehot_sum(vals_f, k):
+            """Value at per-pixel row index k via a one-hot masked sum
+            (no gather on TPU VMEM). k is (1, tile) i32."""
+            return jnp.sum(jnp.where(iota == k, vals_f, 0.0), axis=0,
+                           keepdims=True)
+
+        def exact_sd(vals_i32, mask, n, anchor_i32):
+            """gsl_stats sample sd over the masked subset, deviations
+            centered on ``anchor`` — EXACT integer sums (hi/lo 8-bit
+            square split keeps every accumulator in i32), one final f32
+            combine; replicates _gsl_sd/reject_sigma_window so clip
+            decisions match the HBM hybrid bit-for-bit."""
             nf = n.astype(jnp.float32)
-            mask = (iota >= lo) & (iota < hi)
-            s1 = jnp.sum(jnp.where(mask, xf, 0.0), axis=0, keepdims=True)
-            mean = s1 / jnp.maximum(nf, 1.0)
-            d = jnp.where(mask, xf - mean, 0.0)
-            var = jnp.sum(d * d, axis=0, keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
-            sigma = jnp.where(n > 1, jnp.sqrt(var), 0.0)
-            # sorted-window median via ONE one-hot sum (no gather on
-            # TPU VMEM): weight rank k1 and k2 each once — when they
-            # coincide (odd n) the weight is 2, so 0.5*sum is exact
+            d = jnp.where(mask, vals_i32 - anchor_i32, 0)
+            s1 = jnp.sum(d, axis=0, keepdims=True)
+            ad = jnp.abs(d)
+            hi8 = ad >> 8
+            lo8 = ad & 255
+            s2 = (jnp.sum(hi8 * hi8, axis=0, keepdims=True
+                          ).astype(jnp.float32) * 65536.0
+                  + jnp.sum(hi8 * lo8, axis=0, keepdims=True
+                            ).astype(jnp.float32) * 512.0
+                  + jnp.sum(lo8 * lo8, axis=0, keepdims=True
+                            ).astype(jnp.float32))
+            s1f = s1.astype(jnp.float32)
+            var = (s2 - s1f * s1f / jnp.maximum(nf, 1.0)) \
+                / jnp.maximum(nf - 1.0, 1.0)
+            return jnp.where(n > 1, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
+
+        def exact_mean_u16(vals_i32, mask, n):
+            """round_to_WORD(mean of masked values): exact integer
+            round-half-up m = (2s + n) // (2n), computed with an f32
+            quotient + integer fixup (Mosaic has no vector i32 divide;
+            2s + n <= 2*100*65535 + 100 is f32-exact to within the
+            fixup's reach)."""
+            s = jnp.sum(jnp.where(mask, vals_i32, 0), axis=0,
+                        keepdims=True)
+            num = 2 * s + n
+            den = jnp.maximum(2 * n, 1)
+            q = jnp.floor(num.astype(jnp.float32)
+                          / den.astype(jnp.float32)).astype(jnp.int32)
+            # integer fixup: correct any f32 division misrounding
+            q = jnp.where(q * den > num, q - 1, q)
+            q = jnp.where((q + 1) * den <= num, q + 1, q)
+            q = jnp.where(n > 0, q, 0)
+            return jnp.clip(q, 0, 65535)
+
+        def win_median(vals_i32, lo, n):
+            """GSL sorted-median of the window [lo, lo+n) (mean of the
+            two middle order statistics)."""
+            vf = vals_i32.astype(jnp.float32)
             k1 = lo + (n - 1) // 2
             k2 = lo + n // 2
             wmed = ((iota == k1).astype(jnp.float32) +
                     (iota == k2).astype(jnp.float32))
-            median = 0.5 * jnp.sum(wmed * xf, axis=0, keepdims=True)
-            return n, mask, median, sigma
+            return 0.5 * jnp.sum(wmed * vf, axis=0, keepdims=True)
+
+        z = jnp.zeros((1, tile), jnp.int32)
+        full_n = jnp.full((1, tile), f_real, jnp.int32)
+
+        if rejection == "percentile":
+            # single pass (stacking.c:1130-1143, 1656-1673)
+            median = win_median(x, z, full_n)
+            medsafe = jnp.where(median == 0.0, 1e-30, median)
+            xf = x.astype(jnp.float32)
+            real = iota < f_real
+            low = real & ((median - xf) / medsafe > siglow)
+            high = real & ((xf - median) / medsafe > sighigh)
+            nlow = jnp.sum(low, axis=0, keepdims=True).astype(jnp.int32)
+            nhigh = jnp.sum(high, axis=0, keepdims=True).astype(jnp.int32)
+            if f_real > 1:
+                allf = (nlow + nhigh) >= f_real
+                lo_w = jnp.where(allf, f_real - 1, nlow)
+                hi_w = jnp.where(allf, full_n, full_n - nhigh)
+            else:
+                lo_w, hi_w = z, full_n
+            mask = (iota >= lo_w) & (iota < hi_w)
+            out_ref[:] = exact_mean_u16(
+                x, mask, hi_w - lo_w).astype(jnp.uint16)
+            degen_ref[:] = jnp.zeros((1, tile), jnp.int32)
+            return
+
+        if rejection == "sigmedian":
+            # replace-and-resort loop (stacking.c:1696-1708); n never
+            # shrinks, no window, no degenerate path
+            real = iota < f_real
+
+            def s_cond(state):
+                _, done, it = state
+                return jnp.logical_and(jnp.min(done) == 0, it < MAX_ITERS)
+
+            def s_body(state):
+                v, done, it = state
+                anchor = jnp.sum(jnp.where(iota == f_real // 2, v, 0),
+                                 axis=0, keepdims=True)
+                sigma = exact_sd(v, real, full_n, anchor)
+                median = win_median(v, z, full_n)
+                vf = v.astype(jnp.float32)
+                low = real & (median - vf > siglow * sigma)
+                high = real & (vf - median > sighigh * sigma)
+                flags = low | high
+                nrep = jnp.sum(flags, axis=0, keepdims=True
+                               ).astype(jnp.int32)
+                medw = jnp.clip(jnp.floor(median + 0.5), 0.0, 65535.0
+                                ).astype(jnp.int32)
+                upd = done == 0
+                v_new = jnp.where(flags & upd, medw, v)
+                v_new = run_network(v_new, masks_ref)
+                done = jnp.maximum(
+                    done, ((nrep == 0) | (full_n <= 3)).astype(jnp.int32))
+                return v_new, done, it + 1
+
+            # first pass always executes (matches reject_sigmedian: done
+            # is evaluated AFTER the replacement)
+            v, _, _ = jax.lax.while_loop(
+                s_cond, s_body,
+                (x, jnp.zeros((1, tile), jnp.int32), jnp.int32(0)))
+            real_mask = iota < f_real
+            out_ref[:] = exact_mean_u16(
+                v, real_mask, full_n).astype(jnp.uint16)
+            degen_ref[:] = jnp.zeros((1, tile), jnp.int32)
+            return
+
+        # ---- windowed iterative clips: sigma / winsorized ----
+
+        if rejection == "winsorized":
+            # anchor-centered shifted domain (see reject_winsorized's
+            # f32 precision guard): anchor = middle order statistic of
+            # the full sorted vector (integer)
+            anchor = jnp.sum(jnp.where(iota == f_real // 2, x, 0),
+                             axis=0, keepdims=True)
+            sv = (x - anchor).astype(jnp.float32)
+            svi = x - anchor
+            lo_clip = -anchor.astype(jnp.float32)
+            hi_clip = 65535.0 - anchor.astype(jnp.float32)
+
+            def round_shift(t):
+                r = jnp.floor(t + 0.5)
+                r = jnp.where(t <= lo_clip, lo_clip, r)
+                return jnp.where(t > hi_clip, hi_clip, r)
+
+        def estimate(lo, hi):
+            """(median, sigma) of the window in the comparison domain."""
+            n = hi - lo
+            mask = (iota >= lo) & (iota < hi)
+            if rejection == "sigma":
+                med = win_median(x, lo, n)
+                anchor_w = jnp.sum(
+                    jnp.where(iota == lo + (n - 1) // 2, x, 0),
+                    axis=0, keepdims=True)
+                sig = exact_sd(x, mask, n, anchor_w)
+                return med, sig
+            # winsorized: fixed point over a working copy w (integers in
+            # the shifted domain; round_shift keeps them integer)
+            med0 = win_median(svi, lo, n)
+            anch0 = jnp.sum(jnp.where(iota == lo + n // 2, svi, 0),
+                            axis=0, keepdims=True)
+            sig0 = exact_sd(svi, mask, n, anch0)
+
+            def w_cond(ws):
+                _, _, _, conv, it = ws
+                return jnp.logical_and(jnp.min(conv) == 0, it < MAX_ITERS)
+
+            def w_body(ws):
+                w, med_c, sig_c, conv, it = ws
+                m0 = med_c - 1.5 * sig_c
+                m1 = med_c + 1.5 * sig_c
+                wf = w.astype(jnp.float32)
+                wv_f = jnp.where(wf < m0, round_shift(m0),
+                                 jnp.where(wf > m1, round_shift(m1), wf))
+                wv = jnp.where(mask, wv_f.astype(jnp.int32), w)
+                # clamping tails is monotone: sorted window stays sorted
+                med_new = win_median(wv, lo, n)
+                anch = jnp.sum(jnp.where(iota == lo + n // 2, wv, 0),
+                               axis=0, keepdims=True)
+                sig_new = 1.134 * exact_sd(wv, mask, n, anch)
+                newconv = jnp.where(
+                    sig_c > 0,
+                    jnp.abs(sig_new - sig_c)
+                    / jnp.maximum(sig_c, 1e-30) <= 0.0005,
+                    True)
+                convb = conv != 0
+                w = jnp.where(convb, w, wv)
+                med_c = jnp.where(convb, med_c, med_new)
+                sig_c = jnp.where(convb, sig_c, sig_new)
+                conv = jnp.maximum(conv, newconv.astype(jnp.int32))
+                return w, med_c, sig_c, conv, it + 1
+
+            ws = (svi, med0, sig0, jnp.zeros((1, tile), jnp.int32),
+                  jnp.int32(0))
+            _, med, sig, _, _ = jax.lax.while_loop(w_cond, w_body, ws)
+            return med, sig
+
+        cmp_vals = sv if rejection == "winsorized" else x.astype(jnp.float32)
 
         def cond(state):
-            lo, hi, r, done, it = state
+            lo, hi, r, done, degen, it = state
             # done carried as int32 (Mosaic cannot carry i1 vectors)
             return jnp.logical_and(jnp.min(done) == 0, it < MAX_ITERS)
 
         def body(state):
-            lo, hi, r, done, it = state
-            n, mask, median, sigma = win_stats(lo, hi)
-            low = mask & (median - xf > siglow * sigma)
-            high = mask & (xf - median > sighigh * sigma)
+            lo, hi, r, done, degen, it = state
+            n = hi - lo
+            mask = (iota >= lo) & (iota < hi)
+            median, sigma = estimate(lo, hi)
+            low = mask & (median - cmp_vals > siglow * sigma)
+            high = mask & (cmp_vals - median > sighigh * sigma)
             nlow = jnp.sum(low, axis=0, keepdims=True).astype(jnp.int32)
             nhigh = jnp.sum(high, axis=0, keepdims=True).astype(jnp.int32)
-            over = (n - r) <= 4
-            budget = jnp.where(over, jnp.where(nlow > 0, 1, 0), n - 4 - r)
-            a_low = jnp.minimum(nlow, jnp.maximum(budget, 0))
-            a_high = jnp.minimum(nhigh, jnp.maximum(budget - a_low, 0))
-            removed = a_low + a_high
-            upd = done == 0
-            lo = jnp.where(upd, lo + a_low, lo)
-            hi = jnp.where(upd, hi - a_high, hi)
+            # the C scan breaks iff n - (r + c) <= 4 for some prefix
+            # count c (max c = nlow + nhigh), incl. c == 0 when
+            # n - r <= 4 already; such pixels freeze as DEGENERATE and
+            # the wrapper re-runs them through the exact masked kernel
+            hits_break = ((n - r - (nlow + nhigh)) <= 4).astype(jnp.int32)
+            removed = nlow + nhigh
+            upd = (done == 0) & (hits_break == 0)
+            lo = jnp.where(upd, lo + nlow, lo)
+            hi = jnp.where(upd, hi - nhigh, hi)
             r = jnp.where(upd, r + removed, r)
-            newdone = (removed == 0) | ((hi - lo) <= 3)
-            done = jnp.maximum(done, newdone.astype(jnp.int32))
-            return lo, hi, r, done, it + 1
+            degen = jnp.maximum(degen, jnp.where(done == 0, hits_break, 0))
+            newdone = hits_break | ((removed == 0) | ((hi - lo) <= 3)
+                                    ).astype(jnp.int32)
+            done = jnp.maximum(done, newdone)
+            return lo, hi, r, done, degen, it + 1
 
-        z = jnp.zeros((1, tile), jnp.int32)
-        state = (z, jnp.full((1, tile), f_real, jnp.int32), z,
+        state = (z, full_n, z, jnp.zeros((1, tile), jnp.int32),
                  jnp.zeros((1, tile), jnp.int32), jnp.int32(0))
-        lo, hi, r, done, _ = jax.lax.while_loop(cond, body, state)
+        lo, hi, r, done, degen, _ = jax.lax.while_loop(cond, body, state)
         mask = (iota >= lo) & (iota < hi)
-        nf = (hi - lo).astype(jnp.float32)
-        s = jnp.sum(jnp.where(mask, xf, 0.0), axis=0, keepdims=True)
-        mean = s / jnp.maximum(nf, 1.0)
-        # round_to_WORD (f32 -> u16 needs an i32 hop on Mosaic)
-        mean = jnp.floor(mean + 0.5)
-        mean = jnp.clip(mean, 0.0, 65535.0)
-        out_ref[:] = mean.astype(jnp.int32).astype(jnp.uint16)
+        out_ref[:] = exact_mean_u16(x, mask, hi - lo).astype(jnp.uint16)
+        degen_ref[:] = degen
 
     return kernel
 
@@ -182,18 +397,13 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("siglow", "sighigh", "tile",
-                                             "interpret"))
-def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
-                       tile: int = 2048, interpret: bool = False) -> jnp.ndarray:
-    """Sigma-clip rejection stack of (F, P) uint16 values -> (P,) uint16.
-
-    P must be a multiple of ``tile`` (pad at the call site).
-    """
+@functools.partial(jax.jit, static_argnames=("rejection", "siglow",
+                                             "sighigh", "tile", "interpret"))
+def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
+                      sighigh: float, tile: int, interpret: bool):
     f, p = vals.shape
     assert p % tile == 0, f"P={p} not a multiple of tile={tile}"
-
-    kernel = _make_kernel(f, tile, float(siglow), float(sighigh))
+    kernel = _make_kernel(f, tile, float(siglow), float(sighigh), rejection)
     n_rows, plan = _plan_stages(f)
     roll_stages = [s for s in plan if s[0] == "roll"]
     nmask = max(2 * len(roll_stages), 2)
@@ -201,9 +411,10 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
     for ri, (_, _, lo, hi) in enumerate(roll_stages):
         masks[2 * ri] = lo
         masks[2 * ri + 1] = hi
-    out = pl.pallas_call(
+    out, degen = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, p), jnp.uint16),
+        out_shape=[jax.ShapeDtypeStruct((1, p), jnp.uint16),
+                   jax.ShapeDtypeStruct((1, p), jnp.int32)],
         grid=(p // tile,),
         in_specs=[
             pl.BlockSpec((nmask, n_rows), lambda i: (0, 0),
@@ -211,11 +422,61 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
             pl.BlockSpec((f, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((1, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
         interpret=interpret,
     )(jnp.asarray(masks), vals)
-    return out[0]
+    return out[0], degen[0]
 
 
-__all__ = ["sigma_stack_pallas"]
+@functools.partial(jax.jit, static_argnames=("rejection", "siglow",
+                                             "sighigh", "tile", "interpret"))
+def reject_stack_pallas(vals: jnp.ndarray, rejection: str, siglow: float,
+                        sighigh: float, tile: int = 2048,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Rejection stack of (F, P) uint16 values -> (P,) uint16, fused in
+    VMEM, bit-exact vs ``reject_and_mean``.
+
+    P must be a multiple of ``tile`` (pad at the call site). For sigma
+    and winsorized, up to DEGEN_K pixels that hit the reference's
+    degenerate mid-scan-break path are re-run on-device through the
+    exact masked kernel (a (F, DEGEN_K) gather — static shapes, no
+    host sync); beyond DEGEN_K the window result stands.
+    """
+    f, p = vals.shape
+    mean, degen = _reject_stack_raw(vals, rejection, float(siglow),
+                                    float(sighigh), tile, interpret)
+    if rejection not in ("sigma", "winsorized"):
+        return mean
+    from siriltpu.ops.rejection import (_mean_of_survivors, reject_sigma,
+                                        reject_winsorized)
+    degen_b = degen != 0
+    idx = jnp.nonzero(degen_b, size=DEGEN_K, fill_value=p)[0]
+    safe = jnp.minimum(idx, p - 1)
+    cols = jnp.take(vals, safe, axis=1).astype(jnp.float32)
+    sel = jnp.take(degen_b, safe)
+    if rejection == "sigma":
+        valid, v, _, _ = reject_sigma(cols, float(siglow), float(sighigh),
+                                      active=sel)
+    else:
+        valid, v, _, _ = reject_winsorized(cols, float(siglow),
+                                           float(sighigh))
+    fix = _mean_of_survivors(v, valid)
+    cur = jnp.take(mean, safe)
+    return mean.at[safe].set(jnp.where(sel, fix, cur))
+
+
+@functools.partial(jax.jit, static_argnames=("siglow", "sighigh", "tile",
+                                             "interpret"))
+def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
+                       tile: int = 2048, interpret: bool = False) -> jnp.ndarray:
+    """Sigma-clip rejection stack of (F, P) uint16 values -> (P,) uint16
+    (compat wrapper over :func:`reject_stack_pallas`)."""
+    return reject_stack_pallas(vals, "sigma", siglow, sighigh, tile=tile,
+                               interpret=interpret)
+
+
+__all__ = ["sigma_stack_pallas", "reject_stack_pallas",
+           "PALLAS_REJECTIONS", "DEGEN_K"]

@@ -147,12 +147,15 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
     else:
         aligned = (align_frames_keep if keep_frames
                    else align_frames)(frames_dev, sx, sy)
-    from siriltpu.ops.pallas.reject_stack import _on_tpu, sigma_stack_pallas
-    if rejection == "sigma" and (h * w) % 2048 == 0 and _on_tpu():
-        # fused Pallas kernel: sort + clip + mean in VMEM, one pass
-        stacked = sigma_stack_pallas(
-            aligned.reshape(f, h * w), float(sig[0]), float(sig[1])
-        ).reshape(h, w)
+    from siriltpu.ops.pallas.reject_stack import (PALLAS_REJECTIONS,
+                                                  _on_tpu,
+                                                  reject_stack_pallas)
+    if rejection in PALLAS_REJECTIONS and (h * w) % 2048 == 0 and _on_tpu():
+        # fused Pallas kernel: sort + rejection + mean in VMEM, one pass
+        # (sigma/winsorized include the exact degenerate-pixel fallback)
+        stacked = reject_stack_pallas(
+            aligned.reshape(f, h * w), rejection, float(sig[0]),
+            float(sig[1])).reshape(h, w)
     else:
         kernel = _make_stack_block(rejection, sig)
         out_blocks = []

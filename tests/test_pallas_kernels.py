@@ -51,3 +51,79 @@ def test_sigma_stack_pallas_pruned_network_parity(F):
                                         tile=256, interpret=True))
     want, _, _ = reject_and_mean(jnp.asarray(vals), "sigma", (3.0, 3.0))
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+# ------------------------------------------------ fused rejection family
+
+@pytest.mark.parametrize("rejection", ["winsorized", "percentile",
+                                       "sigmedian"])
+@pytest.mark.parametrize("F", [12, 25, 64])
+def test_reject_stack_pallas_family_parity(rejection, F):
+    """The fused winsorized/percentile/sigmedian kernels must match the
+    golden-anchored HBM kernels exactly (same integer-sum statistics,
+    same iteration structure)."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import reject_stack_pallas
+
+    rng = np.random.default_rng(40 + F)
+    P = 512
+    vals = rng.integers(800, 1200, size=(F, P)).astype(np.uint16)
+    vals[1, ::4] = 60000          # hot outliers
+    vals[3, 2::7] = 0             # cold outliers
+    vals[:2, ::11] = 65535        # pad-sentinel ties
+    sig = (0.2, 0.2) if rejection == "percentile" else (2.5, 2.5)
+    got = np.asarray(reject_stack_pallas(jnp.asarray(vals), rejection,
+                                         sig[0], sig[1], tile=256,
+                                         interpret=True))
+    want, _, _ = reject_and_mean(jnp.asarray(vals).astype(jnp.float32)
+                                 if rejection != "sigma" else
+                                 jnp.asarray(vals), rejection, sig)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_reject_stack_pallas_degenerate_fallback():
+    """Columns engineered to hit the reference's mid-scan break
+    (N - r <= 4) must be flagged degenerate and re-run through the
+    exact masked kernel — the fused result equals the exact hybrid
+    bit-for-bit even on the degenerate path."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import (_reject_stack_raw,
+                                                  reject_stack_pallas)
+
+    rng = np.random.default_rng(9)
+    F, P = 25, 256
+    vals = rng.integers(1000, 1100, size=(F, P)).astype(np.uint16)
+    # degenerate columns: geometric spread keeps clipping pass after
+    # pass until the scan hits the N - r <= 4 break (verified to flag
+    # under reject_sigma_window); the random columns never do
+    for c in range(0, P, 17):
+        vals[:, c] = np.geomspace(1, 65535, F).astype(np.uint16)
+    _, degen = _reject_stack_raw(jnp.asarray(vals), "sigma", 2.5, 2.5,
+                                 256, True)
+    ndeg = int((np.asarray(degen) != 0).sum())
+    assert 0 < ndeg <= 16, ndeg
+    got = np.asarray(reject_stack_pallas(jnp.asarray(vals), "sigma",
+                                         2.5, 2.5, tile=256,
+                                         interpret=True))
+    want, _, _ = reject_and_mean(jnp.asarray(vals), "sigma", (2.5, 2.5))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_reject_stack_pallas_winsorized_degenerate():
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import reject_stack_pallas
+
+    rng = np.random.default_rng(10)
+    F, P = 25, 256
+    vals = rng.integers(500, 700, size=(F, P)).astype(np.uint16)
+    for c in range(0, P, 13):
+        vals[:, c] = np.geomspace(1, 65535, F).astype(np.uint16)
+    got = np.asarray(reject_stack_pallas(jnp.asarray(vals), "winsorized",
+                                         2.0, 2.0, tile=256,
+                                         interpret=True))
+    want, _, _ = reject_and_mean(
+        jnp.asarray(vals).astype(jnp.float32), "winsorized", (2.0, 2.0))
+    np.testing.assert_array_equal(got, np.asarray(want))
