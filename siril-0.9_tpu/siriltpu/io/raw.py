@@ -380,15 +380,17 @@ def decode_arw2(strip: bytes, h: int, w: int,
     32-column span, odd blocks the odd columns. Output pixel =
     ``curve[pix<<1] >> 2``.
 
-    Trailing columns of a row that don't complete a 32-column pair are
-    left 0, matching the reference loop bound (``col < raw_width-30``).
+    The reference loop bound (``col < raw_width-30``) decodes full
+    32-column pairs PLUS a lone even block when ``w % 32 == 31`` (its
+    16 even columns reach w-1); any other trailing columns are left 0.
     """
     npix = h * w
     data = np.frombuffer(strip, np.uint8, min(len(strip), npix))
     if data.size < npix:
         raise ValueError(f"ARW2 strip too short: {data.size} < {npix}")
     rows = data.reshape(h, w)
-    nb = (w // 32) * 2          # decoded blocks per row (full pairs)
+    extra = 1 if w % 32 == 31 else 0
+    nb = (w // 32) * 2 + extra  # decoded blocks per row
     if nb == 0:
         return np.zeros((h, w), np.uint16)
     # 18-byte windows per block: the 7-bit fields start at bit 30 and the
@@ -430,12 +432,17 @@ def decode_arw2(strip: bytes, h: int, w: int,
 
     out = (curve[np.minimum(pix << 1, 0xFFF)] >> 2).astype(np.uint16)
     img = np.zeros((h, w), np.uint16)
-    pairs = nb // 2
-    g = out.reshape(h, pairs, 2, 16)
-    cols = (32 * np.arange(pairs)[:, None] +
-            2 * np.arange(16)[None, :]).ravel()
-    img[:, cols] = g[:, :, 0, :].reshape(h, -1)       # even blocks
-    img[:, cols + 1] = g[:, :, 1, :].reshape(h, -1)   # odd blocks
+    pairs = (nb - extra) // 2
+    gg = out.reshape(h, nb, 16)
+    if pairs:
+        g = gg[:, : 2 * pairs].reshape(h, pairs, 2, 16)
+        cols = (32 * np.arange(pairs)[:, None] +
+                2 * np.arange(16)[None, :]).ravel()
+        img[:, cols] = g[:, :, 0, :].reshape(h, -1)       # even blocks
+        img[:, cols + 1] = g[:, :, 1, :].reshape(h, -1)   # odd blocks
+    if extra:
+        ec = 32 * pairs + 2 * np.arange(16)               # lone even block
+        img[:, ec] = gg[:, -1]
     return img
 
 
@@ -1102,6 +1109,152 @@ def read_mrw_cfa(path: str) -> Tuple[np.ndarray, str]:
     return np.ascontiguousarray(cfa), RAW_EXTENSIONS["mrw"]
 
 
+_crw = None
+
+
+def _load_crw():
+    """ctypes handle to the native CRW decoder (canon_crw.cpp)."""
+    global _crw
+    if _crw is not None:
+        return _crw
+    import ctypes
+
+    from siriltpu.utils.native import load_native
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.crw_decompress.restype = ctypes.c_int
+    lib.crw_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint16)]
+    lib.crw_leaf_code.restype = ctypes.c_uint
+    lib.crw_leaf_code.argtypes = [ctypes.c_int, ctypes.c_int]
+    _crw = lib
+    return _crw
+
+
+def _ciff_tags(buf: bytes, heap_off: int, length: int,
+               tags: dict, depth: int = 0) -> None:
+    """Walk a CIFF heap: the last 4 bytes of the heap give the directory
+    offset (heap-relative); the directory is a u16 record count then
+    10-byte records (type u16, length u32, offset u32). Storage bits
+    0x4000 mean the 8 value bytes live in the record itself; subheaps
+    (type >> 8 in 0x28/0x30) recurse."""
+    if depth > 4 or length < 4 or heap_off + length > len(buf):
+        return
+    (dstart,) = struct.unpack_from("<I", buf, heap_off + length - 4)
+    doff = heap_off + dstart
+    if doff + 2 > len(buf):
+        return
+    (nrec,) = struct.unpack_from("<H", buf, doff)
+    if nrec > 1024:
+        return
+    for i in range(nrec):
+        base = doff + 2 + 10 * i
+        if base + 10 > len(buf):
+            return
+        typ, ln, ro = struct.unpack_from("<HII", buf, base)
+        if typ & 0xc000 == 0x4000:
+            tags[typ & 0x3fff] = buf[base + 2: base + 10]
+            continue
+        aoff = heap_off + ro
+        if (typ >> 8) in (0x28, 0x30):
+            _ciff_tags(buf, aoff, ln, tags, depth + 1)
+        else:
+            tags[typ] = (aoff, ln)
+
+
+def _crw_has_lowbits(buf: bytes) -> bool:
+    """canon_has_lowbits heuristic: scan bytes [540, 0x4000): a 0xff
+    followed by 0x00 means the 2-bit low-order plane is present; a 0xff
+    followed by anything else (and never by 0x00) means it is absent;
+    no 0xff at all defaults to present."""
+    win = np.frombuffer(buf, np.uint8, max(0, min(len(buf), 0x4000) - 540),
+                        540)
+    if win.size < 2:
+        return True
+    ffs = np.nonzero(win[:-1] == 0xff)[0]
+    if ffs.size == 0:
+        return True
+    return bool((win[ffs + 1] == 0).any())
+
+
+def read_crw_cfa(path: str) -> Tuple[np.ndarray, str]:
+    """Decode a Canon CRW (CIFF container) raw natively. The reference
+    reaches CRW through libraw (``readraw_in_cfa``,
+    image_formats_libraries.c:830); this parses the documented CIFF
+    heap directly and decodes the 10-bit compressed sensor plane via
+    native/canon_crw.cpp (64-sample Huffman blocks, column-parity
+    predictors, block-DC carry), then merges the optional 2-bit
+    low-order plane stored at file offset 26 (compressed data at
+    540 + lowbits·H·W/4 — the fixed CRW layout). Geometry/margins come
+    from CIFF SensorInfo (0x1031, same inclusive-border layout as the
+    CR2 MakerNote tag 0xe0), the decoder-table number from 0x1835.
+    Pattern: RGGB from the per-vendor table (conversion.c:55). Only
+    decoder table 0 is supported (see canon_crw.cpp TABLE PROVENANCE).
+    """
+    import ctypes
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 26 or buf[:2] != b"II" or buf[6:14] != b"HEAPCCDR":
+        raise ValueError(f"{path}: not a Canon CRW (CIFF) file")
+    (hlen,) = struct.unpack_from("<I", buf, 2)
+    tags: dict = {}
+    _ciff_tags(buf, hlen, len(buf) - hlen, tags)
+
+    si = tags.get(0x1031)
+    if not isinstance(si, tuple):
+        raise ValueError(f"{path}: CIFF heap has no SensorInfo (0x1031)")
+    aoff, ln = si
+    sensor = np.frombuffer(buf, "<u2", min(ln // 2, 17), aoff)
+    if sensor.size < 3:
+        raise ValueError(f"{path}: truncated CIFF SensorInfo")
+    raw_w, raw_h = int(sensor[1]), int(sensor[2])
+    table = 0
+    dt = tags.get(0x1835)
+    if isinstance(dt, tuple):
+        table = int(struct.unpack_from("<I", buf, dt[0])[0])
+
+    lib = _load_crw()
+    if lib is None:
+        raise ValueError(f"{path}: CRW decode needs the native decoder "
+                         f"(no C++ compiler available)")
+    lowbits = 1 if _crw_has_lowbits(buf) else 0
+    data_off = 540 + lowbits * raw_h * raw_w // 4
+    data = buf[data_off:]
+    out = np.empty(raw_h * raw_w, np.uint16)
+    rc = lib.crw_decompress(
+        data, len(data), raw_h, raw_w, table,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc == 2:
+        raise ValueError(
+            f"{path}: CRW decoder table {table} is not supported "
+            f"(only table 0; see native/canon_crw.cpp)")
+    if rc != 0:
+        raise ValueError(f"{path}: corrupt CRW compressed stream "
+                         f"(rc={rc})")
+    plane = out.astype(np.uint16)
+    if lowbits:
+        nlow = raw_h * raw_w // 4
+        lb = np.frombuffer(buf, np.uint8, nlow, 26)
+        low = np.empty(raw_h * raw_w, np.uint16)
+        for r in range(4):
+            low[r::4] = (lb >> (2 * r)) & 3
+        plane = (plane << 2) + low
+        if raw_w == 2672:
+            # documented width-2672 sensor quirk
+            plane = np.where(plane < 512, plane + 2, plane)
+    cfa = plane.reshape(raw_h, raw_w)
+    if sensor.size >= 9:
+        left, top = int(sensor[5]), int(sensor[6])
+        right, bottom = int(sensor[7]), int(sensor[8])
+        if 0 <= left < right < raw_w and 0 <= top < bottom < raw_h:
+            cfa = cfa[top: bottom + 1, left: right + 1]
+    from siriltpu.io.conversion import RAW_EXTENSIONS
+    return np.ascontiguousarray(cfa), RAW_EXTENSIONS["crw"]
+
+
 def read_raf_cfa(path: str) -> Tuple[np.ndarray, str]:
     """Decode a Fuji RAF raw for conventional (unrotated Bayer)
     sensors. The reference reaches RAF through libraw and itself flags
@@ -1215,6 +1368,8 @@ def read_raw_cfa(path: str) -> Frame:
             cfa, pattern = read_mrw_cfa(path)
         elif ext == "raf":
             cfa, pattern = read_raf_cfa(path)
+        elif ext == "crw":
+            cfa, pattern = read_crw_cfa(path)
         elif ext in ("srw", "erf", "mef", "raw", "3fr", "kdc", "dcr",
                      "mos"):
             cfa, pattern = read_tiffraw_cfa(path, ext)
@@ -1222,9 +1377,9 @@ def read_raw_cfa(path: str) -> Frame:
             raise ValueError(
                 f"{os.path.basename(path)}: decoding this raw format "
                 f"requires rawpy/libraw (absent); built-in decoders "
-                f"cover DNG (uncompressed or lossless-JPEG), CR2, NEF "
-                f"(compressed or uncompressed), Sony ARW2, PEF, ORF, "
-                f"RW2, MRW, Bayer RAF, and uncompressed TIFF-strip "
+                f"cover DNG (uncompressed or lossless-JPEG), CR2, CRW, "
+                f"NEF (compressed or uncompressed), Sony ARW2, PEF, "
+                f"ORF, RW2, MRW, Bayer RAF, and uncompressed TIFF-strip "
                 f"raws")
     frame = Frame(cfa[::-1].copy())  # mirrorx: top-down -> bottom-up
     frame.meta["bayer_pattern"] = pattern

@@ -65,38 +65,52 @@ def decode_arw2_scalar(strip: bytes, h: int, w: int,
 
 
 def encode_arw2(pix11: np.ndarray) -> bytes:
-    """Encode an (H, W) array of 11-bit sensor values (W % 32 == 0) as
-    ARW2 strip bytes. Blocks with range > 127 quantize exactly the way
-    the decoder's ``sh`` rule dictates (lossy, like the camera)."""
+    """Encode an (H, W) array of 11-bit sensor values as ARW2 strip
+    bytes (one byte per pixel per row). W % 32 == 0 encodes full pairs;
+    W % 32 == 31 additionally encodes the reference's lone trailing
+    EVEN block (dcraw bound ``col < raw_width-30``). Blocks with range
+    > 127 quantize exactly the way the decoder's ``sh`` rule dictates
+    (lossy, like the camera)."""
     pix11 = np.asarray(pix11, np.int64)
     h, w = pix11.shape
-    assert w % 32 == 0, "ARW2 raster width must be a multiple of 32"
+    assert w % 32 in (0, 31), "ARW2 width must be 32k or 32k+31"
+
+    def encode_block(blockpix):
+        blk = bytearray(16)
+        mx, mn = int(blockpix.max()), int(blockpix.min())
+        imax, imin = int(blockpix.argmax()), int(blockpix.argmin())
+        if imax == imin:           # constant block: avoid the
+            imin = (imax + 1) % 16  # 15-field overflow case
+        sh = 0
+        while sh < 4 and 0x80 << sh <= mx - mn:
+            sh += 1
+        hdr = mx | mn << 11 | imax << 22 | imin << 26
+        struct.pack_into("<I", blk, 0, hdr)
+        bit = 30
+        for i in range(16):
+            if i in (imax, imin):
+                continue
+            v = (int(blockpix[i]) - mn) >> sh
+            v = max(0, min(v, 0x7F))
+            for j in range(7):
+                if v >> j & 1:
+                    blk[(bit + j) >> 3] |= 1 << ((bit + j) & 7)
+            bit += 7
+        return bytes(blk)
+
     out = bytearray()
     for row in range(h):
+        nrow = 0
         for p in range(w // 32):
             for parity in (0, 1):
-                blockpix = pix11[row, 32 * p + parity: 32 * p + 32: 2]
-                blk = bytearray(16)
-                mx, mn = int(blockpix.max()), int(blockpix.min())
-                imax, imin = int(blockpix.argmax()), int(blockpix.argmin())
-                if imax == imin:           # constant block: avoid the
-                    imin = (imax + 1) % 16  # 15-field overflow case
-                sh = 0
-                while sh < 4 and 0x80 << sh <= mx - mn:
-                    sh += 1
-                hdr = mx | mn << 11 | imax << 22 | imin << 26
-                struct.pack_into("<I", blk, 0, hdr)
-                bit = 30
-                for i in range(16):
-                    if i in (imax, imin):
-                        continue
-                    v = (int(blockpix[i]) - mn) >> sh
-                    v = max(0, min(v, 0x7F))
-                    for j in range(7):
-                        if v >> j & 1:
-                            blk[(bit + j) >> 3] |= 1 << ((bit + j) & 7)
-                    bit += 7
-                out += blk
+                out += encode_block(
+                    pix11[row, 32 * p + parity: 32 * p + 32: 2])
+                nrow += 16
+        if w % 32 == 31:
+            p = w // 32
+            out += encode_block(pix11[row, 32 * p: 32 * p + 31: 2])
+            nrow += 16
+        out += b"\x00" * (w - nrow)  # rows are raw_width bytes
     return bytes(out)
 
 

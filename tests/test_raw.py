@@ -589,7 +589,8 @@ class TestArw2:
     encoder round-trips through the public read_raw_cfa path."""
 
     @pytest.mark.parametrize("h,w,seed", [(4, 32, 0), (6, 64, 1),
-                                          (3, 128, 2), (5, 96, 3)])
+                                          (3, 128, 2), (5, 96, 3),
+                                          (4, 63, 4), (3, 95, 5)])
     def test_vectorized_matches_scalar_on_random_strips(self, h, w, seed):
         from siriltpu.io.raw import decode_arw2, sony_tone_curve
         from siriltpu.testing.arw import decode_arw2_scalar
@@ -625,6 +626,26 @@ class TestArw2:
         assert frame.meta["bayer_pattern"] == "RGGB"
         np.testing.assert_array_equal(frame.data[0],
                                       (raster[::-1] << 3).astype(np.uint16))
+
+    def test_lone_even_block_at_width_32k_plus_31(self):
+        """dcraw's bound (col < raw_width-30) decodes one extra EVEN
+        block when w % 32 == 31 — its 16 even columns reach w-1 (r4
+        advice fix; previously those columns were silently zeroed)."""
+        from siriltpu.io.raw import decode_arw2, sony_tone_curve
+        from siriltpu.testing.arw import encode_arw2
+        rng = np.random.default_rng(12)
+        h, w = 6, 63
+        base = rng.integers(0, 0x7FF - 127, (h, 1))
+        raster = np.zeros((h, w), np.int64)
+        raster[:] = base + rng.integers(0, 128, (h, w))
+        strip = encode_arw2(raster)
+        dec = decode_arw2(strip, h, w, sony_tone_curve())
+        pix = (dec >> 3).astype(np.int64)
+        even_tail = np.arange(32, w, 2)
+        np.testing.assert_array_equal(pix[:, even_tail],
+                                      raster[:, even_tail])
+        # odd tail columns have no block: left 0, like the reference
+        assert (dec[:, np.arange(33, w, 2)] == 0).all()
 
     def test_lossy_quantization_keeps_extremes_exact(self, tmp_path):
         """Blocks with range > 127 quantize deltas but max/min pixels
@@ -1113,3 +1134,81 @@ class TestRaf:
         frame = read_raw_cfa(p)
         assert frame.meta["bayer_pattern"] == "GBRG"
         np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+
+class TestCRW:
+    """Canon CRW (CIFF): synthetic round trips through the native
+    64-block Huffman decoder (canon_crw.cpp) + CIFF heap walk."""
+
+    def _plane(self, h, w, seed, bits=12):
+        # smooth sensor-ish data: bounded diffs (the synthetic encoder
+        # needs run/len combos that exist in decoder table 0)
+        rng = np.random.default_rng(seed)
+        base = rng.integers(300, 700)
+        img = base + np.cumsum(rng.integers(-9, 10, (h, w)), axis=1)
+        img = np.clip(img, 0, (1 << bits) - 1)
+        return img.astype(np.uint16)
+
+    def test_roundtrip_lowbits(self, tmp_path):
+        from siriltpu.io.raw import read_crw_cfa
+        from siriltpu.testing.crw import write_crw
+        img = self._plane(16, 32, 5)
+        p = str(tmp_path / "a.crw")
+        write_crw(p, img, lowbits=True)
+        got, pattern = read_crw_cfa(p)
+        assert pattern == "RGGB"  # conversion.c:55 vendor table
+        np.testing.assert_array_equal(got, img)
+
+    def test_roundtrip_no_lowbits(self, tmp_path):
+        from siriltpu.io.raw import read_crw_cfa
+        from siriltpu.testing.crw import write_crw
+        # 10-bit file; find a seed whose stream window is 0xff-free
+        for seed in range(50):
+            img = self._plane(8, 16, 100 + seed, bits=10)
+            p = str(tmp_path / f"b{seed}.crw")
+            try:
+                write_crw(p, img, lowbits=False)
+            except ValueError:
+                continue
+            got, pattern = read_crw_cfa(p)
+            np.testing.assert_array_equal(got, img)
+            return
+        raise AssertionError("no 0xff-free stream found in 50 seeds")
+
+    def test_sensorinfo_crop(self, tmp_path):
+        from siriltpu.io.raw import read_crw_cfa
+        from siriltpu.testing.crw import write_crw
+        img = self._plane(24, 48, 7)
+        p = str(tmp_path / "c.crw")
+        write_crw(p, img, lowbits=True, crop=(4, 2, 43, 21))
+        got, _ = read_crw_cfa(p)
+        np.testing.assert_array_equal(got, img[2:22, 4:44])
+
+    def test_zero_runs_and_eob(self, tmp_path):
+        from siriltpu.io.raw import read_crw_cfa
+        from siriltpu.testing.crw import write_crw
+        # constant rows exercise EOB and long zero runs (0xf0 skips)
+        img = np.full((16, 64), 2000, np.uint16)
+        img[3, 10] = 2600
+        img[9, 40:45] = 1500
+        p = str(tmp_path / "d.crw")
+        write_crw(p, img, lowbits=True)
+        got, _ = read_crw_cfa(p)
+        np.testing.assert_array_equal(got, img)
+
+    def test_dispatch(self, tmp_path):
+        from siriltpu.io.raw import read_raw_cfa
+        from siriltpu.testing.crw import write_crw
+        img = self._plane(8, 16, 11)
+        p = str(tmp_path / "e.crw")
+        write_crw(p, img, lowbits=True)
+        frame = read_raw_cfa(p)
+        assert frame.meta["bayer_pattern"] == "RGGB"
+        np.testing.assert_array_equal(frame.data[0], img[::-1])
+
+    def test_not_crw_rejected(self, tmp_path):
+        from siriltpu.io.raw import read_crw_cfa
+        p = str(tmp_path / "n.crw")
+        open(p, "wb").write(b"II\x1a\x00\x00\x00NOTHEAP!" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="not a Canon CRW"):
+            read_crw_cfa(p)
