@@ -137,16 +137,31 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
     # star-finds/warps the current one (the reference reads serially
     # inside its loop, registration.c:666; here IO and device overlap)
     q: "queue.Queue" = queue.Queue(maxsize=1)
+    abort = threading.Event()
+
+    def _put(item) -> bool:
+        # abort-aware put: if the consume loop died, stop instead of
+        # blocking forever on the full queue (r4 advice fix)
+        while not abort.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _loader():
         try:
             for ck in chunks:
+                if abort.is_set():
+                    return
                 frames = [seq.read_frame(i) for i in ck]
                 layers = np.stack([f.layer(layer) for f in frames])
-                q.put((ck, frames, layers))
-            q.put(None)
+                if not _put((ck, frames, layers)):
+                    return
+            _put(None)
         except BaseException as e:  # surface read errors in the main loop
-            q.put(e)
+            _put(e)
 
     loader = threading.Thread(target=_loader, daemon=True)
     loader.start()
@@ -176,105 +191,117 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
                     ImgParam(filenum=seq.imgparam[fidx].filenum))
         new_regparam.append(RegData(fwhm=fwhm_val))
 
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            if new_ser is not None:
-                new_ser.write_and_close()
-            raise item
-        ck, frames, layers = item
-        star_lists, dev_layers = peaker_batch(layers, params=sf_params,
-                                              nmax=2048, mesh=mesh,
-                                              return_device=True)
-        # host stage: triangle match + RANSAC per frame (match.c:125)
-        good: List[int] = []         # positions within the chunk
-        Hs: List[np.ndarray] = []
-        fwhms: List[float] = []
-        for j, fidx in enumerate(ck):
-            if fidx == ref_image:
-                report.homographies.append(np.eye(3))
-                report.fwhm.append(fx_ref)
+    def _consume():
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            ck, frames, layers = item
+            star_lists, dev_layers = peaker_batch(layers, params=sf_params,
+                                                  nmax=2048, mesh=mesh,
+                                                  return_device=True)
+            # host stage: triangle match + RANSAC per frame (match.c:125)
+            good: List[int] = []         # positions within the chunk
+            Hs: List[np.ndarray] = []
+            fwhms: List[float] = []
+            for j, fidx in enumerate(ck):
+                if fidx == ref_image:
+                    report.homographies.append(np.eye(3))
+                    report.fwhm.append(fx_ref)
+                    good.append(j)
+                    Hs.append(np.eye(3))
+                    fwhms.append(fx_ref)
+                    report.registered += 1
+                    continue
+                stars = star_lists[j]
+                if len(stars) < AT_MATCH_MINPAIRS:
+                    report.failed += 1
+                    report.homographies.append(None)
+                    continue
+                nbpoints = min(len(stars), fitted_stars)
+                H = compute_homography(stars, refstars, nbpoints)
+                if H is None:
+                    report.failed += 1
+                    report.homographies.append(None)
+                    continue
+                fx, fy = _fwhm_average(stars, nbpoints)
+                reg[fidx].fwhm = fx
+                report.homographies.append(H)
+                report.fwhm.append(fx)
                 good.append(j)
-                Hs.append(np.eye(3))
-                fwhms.append(fx_ref)
+                Hs.append(H)
+                fwhms.append(fx)
                 report.registered += 1
-                continue
-            stars = star_lists[j]
-            if len(stars) < AT_MATCH_MINPAIRS:
-                report.failed += 1
-                report.homographies.append(None)
-                continue
-            nbpoints = min(len(stars), fitted_stars)
-            H = compute_homography(stars, refstars, nbpoints)
-            if H is None:
-                report.failed += 1
-                report.homographies.append(None)
-                continue
-            fx, fy = _fwhm_average(stars, nbpoints)
-            reg[fidx].fwhm = fx
-            report.homographies.append(H)
-            report.fwhm.append(fx)
-            good.append(j)
-            Hs.append(H)
-            fwhms.append(fx)
-            report.registered += 1
 
-        if translation_only:
+            if translation_only:
+                for j, H, fw in zip(good, Hs, fwhms):
+                    fidx = ck[j]
+                    if fidx != ref_image:
+                        reg[fidx].shiftx = int(round(H[0, 2]))
+                        reg[fidx].shifty = int(round(-H[1, 2]))
+                    seq.imgparam[fidx].incl = True
+                continue
+            if not good:
+                continue
+
+            # device stage 2: ONE batched warp for the chunk's good frames.
+            # The reference frame passes through unwarped (it IS the target
+            # geometry, registration.c:720-722 warps every OTHER frame).
+            warp_pos = [j for j in good if ck[j] != ref_image]
+            warped_np = None
+            if warp_pos:
+                Hmap = {j: H for j, H in zip(good, Hs)}
+                nlayers = frames[0].nlayers
+                if nlayers == 1:
+                    # reuse the star-find upload when available: the warp
+                    # reads the same frames, so indexing the device copy
+                    # halves the per-frame host->device traffic
+                    src = dev_layers if dev_layers is not None else layers
+                    stack = src[np.asarray(warp_pos)]
+                    dev_layers = None   # free the full-chunk upload before
+                    # the warp allocates its padded working set
+                    Hsel = np.stack([Hmap[j] for j in warp_pos])
+                else:
+                    stack = np.concatenate(
+                        [frames[j].data for j in warp_pos])
+                    Hsel = np.stack([Hmap[j] for j in warp_pos
+                                     for _ in range(nlayers)])
+                warped_np = np.asarray(warp_batch_dev(
+                    stack, Hsel, (out_h, out_w), interpolation, mesh=mesh))
+                if nlayers > 1:
+                    warped_np = warped_np.reshape(
+                        len(warp_pos), nlayers, out_h, out_w)
+
+            wi = 0
             for j, H, fw in zip(good, Hs, fwhms):
                 fidx = ck[j]
-                if fidx != ref_image:
-                    reg[fidx].shiftx = int(round(H[0, 2]))
-                    reg[fidx].shifty = int(round(-H[1, 2]))
-                seq.imgparam[fidx].incl = True
-            continue
-        if not good:
-            continue
+                if fidx == ref_image:
+                    _emit(frames[j], fidx, fw)
+                    continue
+                arr = warped_np[wi]
+                wi += 1
+                if arr.ndim == 2:
+                    arr = arr[None]
+                _emit(Frame(arr, dict(frames[j].meta)), fidx, fw)
 
-        # device stage 2: ONE batched warp for the chunk's good frames.
-        # The reference frame passes through unwarped (it IS the target
-        # geometry, registration.c:720-722 warps every OTHER frame).
-        warp_pos = [j for j in good if ck[j] != ref_image]
-        warped_np = None
-        if warp_pos:
-            Hmap = {j: H for j, H in zip(good, Hs)}
-            nlayers = frames[0].nlayers
-            if nlayers == 1:
-                # reuse the star-find upload when available: the warp
-                # reads the same frames, so indexing the device copy
-                # halves the per-frame host->device traffic
-                src = dev_layers if dev_layers is not None else layers
-                stack = src[np.asarray(warp_pos)]
-                dev_layers = None   # free the full-chunk upload before
-                # the warp allocates its padded working set
-                Hsel = np.stack([Hmap[j] for j in warp_pos])
-            else:
-                stack = np.concatenate(
-                    [frames[j].data for j in warp_pos])
-                Hsel = np.stack([Hmap[j] for j in warp_pos
-                                 for _ in range(nlayers)])
-            warped_np = np.asarray(warp_batch_dev(
-                stack, Hsel, (out_h, out_w), interpolation, mesh=mesh))
-            if nlayers > 1:
-                warped_np = warped_np.reshape(
-                    len(warp_pos), nlayers, out_h, out_w)
-
-        wi = 0
-        for j, H, fw in zip(good, Hs, fwhms):
-            fidx = ck[j]
-            if fidx == ref_image:
-                _emit(frames[j], fidx, fw)
-                continue
-            arr = warped_np[wi]
-            wi += 1
-            if arr.ndim == 2:
-                arr = arr[None]
-            _emit(Frame(arr, dict(frames[j].meta)), fidx, fw)
-
-    loader.join()
-    if new_ser is not None:
-        new_ser.write_and_close()
+    try:
+        _consume()
+    finally:
+        # unblock a loader stuck on q.put, reap it, and ALWAYS close the
+        # output SER (write_and_close fixes the header frame count, so
+        # an error mid-sequence leaves a consistent truncated file
+        # instead of an unclosed one)
+        abort.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        loader.join(timeout=10)
+        if new_ser is not None:
+            new_ser.write_and_close()
 
     if write_output and not translation_only and report.registered:
         # build and persist the new sequence (end_register_idle,
@@ -289,7 +316,6 @@ def register_global_star(seq, layer: int, *, prefix: str = "r_",
         write_seqfile(new_seq, seq.seq_dir)
     seq.needs_saving = True
     return report
-
 
 
 def global_align_batch(layers_bu: np.ndarray, ref_index: int = 0, *,

@@ -15,23 +15,25 @@ from __future__ import annotations
 import hashlib
 import os
 import platform
+import sys
 
 _ENABLED = False
 
 
-def _host_key() -> str:
+def _host_key(isa_token: str = "") -> str:
     """Short hash identifying this host's CPU feature set.
 
     XLA:CPU AOT-compiles with the *compiling* machine's CPU features
     baked in; loading such an artifact on a host with different
     features (e.g. ``+prefer-no-scatter`` vs not) silently changes
     numerics or errors in ``cpu_aot_loader``. Keying the cache
-    directory on (machine, flags-from-/proc/cpuinfo) guarantees a
-    cross-machine cache is simply a different directory, never a
+    directory on (machine, flags-from-/proc/cpuinfo, effective max-ISA
+    cap) guarantees a cross-machine cache — or one compiled under a
+    different ISA cap — is simply a different directory, never a
     poisoned one. TPU artifacts are keyed the same way for free —
     harmless, since one host maps to one key.
     """
-    parts = [platform.machine(), platform.system()]
+    parts = [platform.machine(), platform.system(), isa_token]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -43,6 +45,17 @@ def _host_key() -> str:
     except OSError:
         parts.append(platform.processor())
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _backend_initialized() -> bool:
+    """True when a jax backend is already live (XLA_FLAGS consumed)."""
+    if "jax" not in sys.modules:
+        return False
+    try:
+        from jax._src import xla_bridge
+        return bool(getattr(xla_bridge, "_backends", None))
+    except Exception:
+        return True  # cannot tell: be conservative
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
@@ -69,10 +82,6 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         cache_dir = env if env and env.lower() not in ("1", "on", "true") \
             else os.path.join(os.path.expanduser("~"), ".cache",
                               "siriltpu", "jax")
-    cache_dir = os.path.join(cache_dir, _host_key())
-    if _ENABLED:
-        return cache_dir
-    os.makedirs(cache_dir, exist_ok=True)
 
     # XLA:CPU with AVX-512 available compiles with +prefer-no-scatter /
     # +prefer-no-gather tuning flags baked into the serialized AOT
@@ -83,9 +92,35 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # accepts cleanly (verified: 0 errors warm at AVX2, 8 at AVX512).
     # TPU executables don't go through this path; the flag only affects
     # the CPU backend used by tests and virtual-mesh dryruns.
+    #
+    # The append only takes effect if XLA has not consumed XLA_FLAGS
+    # yet (that happens at BACKEND INIT, not jax import); when a
+    # backend is already live the effective ISA is unknowable, so the
+    # cache key gets a distinct token (artifacts compiled with and
+    # without the cap must never share a directory) and we warn the
+    # caller to enable the cache earlier.
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_cpu_max_isa" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
+        if _backend_initialized():
+            import warnings
+            warnings.warn(
+                "enable_compilation_cache() called after the jax backend "
+                "initialized: the xla_cpu_max_isa=AVX2 cap cannot apply "
+                "to this process; using a separate cache key",
+                stacklevel=2)
+            isa_token = "isa-preinit-unknown"
+        else:
+            os.environ["XLA_FLAGS"] = \
+                (flags + " --xla_cpu_max_isa=AVX2").strip()
+            isa_token = "isa-AVX2"
+    else:
+        import re
+        m = re.search(r"xla_cpu_max_isa=(\S+)", flags)
+        isa_token = f"isa-{m.group(1) if m else 'preset'}"
+    cache_dir = os.path.join(cache_dir, _host_key(isa_token))
+    if _ENABLED:
+        return cache_dir
+    os.makedirs(cache_dir, exist_ok=True)
 
     import jax
 

@@ -300,6 +300,52 @@ def test_global_align_batch_sharded(tmp_path):
     np.testing.assert_array_equal(a1, a2)
 
 
+def test_register_global_star_error_cleanup(tmp_path, monkeypatch):
+    """If the consume loop dies mid-sequence (r4 advice fix), the loader
+    thread must not stay blocked on the full queue and the partially
+    written output SER must be closed with a consistent header."""
+    import threading
+
+    import siriltpu.ops.starfind as starfind
+    from siriltpu.io.sequence import check_seq
+    from siriltpu.io.ser import SerFile
+    from siriltpu.registration.global_star import register_global_star
+    from siriltpu.testing.synth import starfield
+
+    h = w = 128
+    rng = np.random.default_rng(3)
+    stars = np.column_stack([
+        rng.uniform(15, w - 15, 24), rng.uniform(15, h - 15, 24),
+        rng.uniform(12000, 30000, 24), rng.uniform(3.5, 5.5, 24)])
+    d = str(tmp_path)
+    ser = SerFile.create(f"{d}/film.ser", width=w, height=h)
+    for i in range(4):
+        data, _ = starfield(h, w, 24, seed=3, background=880,
+                            noise_sigma=4.0, stars=stars)
+        ser.write_frame(Frame(data))
+    ser.write_and_close()
+    seq = check_seq(d)[0]
+
+    def boom(*a, **k):
+        raise RuntimeError("device lost")
+
+    monkeypatch.setattr(starfind, "peaker_batch", boom)
+    # small chunks so the loader would have further chunks to feed
+    n0 = threading.active_count()
+    with pytest.raises(RuntimeError, match="device lost"):
+        register_global_star(seq, 0, chunk_frames=1)
+    # loader reaped (poll briefly: join(timeout) already waited)
+    for _ in range(50):
+        if threading.active_count() <= n0:
+            break
+        import time
+        time.sleep(0.1)
+    assert threading.active_count() <= n0
+    # partial output SER closed with a consistent (0-frame) header
+    out = SerFile.open(f"{d}/r_film.ser")
+    assert out.frame_count == 0
+
+
 # ----------------------------------------------------- tiled banded warp
 
 def test_tiled_warp_matches_gather_warp():
