@@ -15,6 +15,9 @@ cd "$(dirname "$0")"
 REF=${REF:-/root/reference/src}
 OUT=${OUT:-../tests/goldens}
 mkdir -p gen build "$OUT"
+# stale objects from older script revisions must not leak into the
+# gen_goldens link (build/*.o glob below)
+rm -f build/*.o
 
 # --- verbatim extractions (line ranges are stable: the reference is read-only)
 sed -n '60,91p'    "$REF/core/utils.c"        > gen/utils_round.inc
@@ -90,6 +93,15 @@ sed -n '814,827p'  "$REF/io/sequence.c"  >> gen/seq_helpers.inc
 sed -n '37,78p'   "$REF/algos/star_finder.c"  > gen/starfind.inc
 sed -n '94,255p'  "$REF/algos/star_finder.c" >> gen/starfind.inc
 sed -n '336,367p' "$REF/algos/star_finder.c" >> gen/starfind.inc
+# register_shift_dft bookkeeping (driven with precomputed correlation
+# surfaces — FFTW not needed): the registration_args struct,
+# normalizeQualityData, the q_min/q_max/q_index tracking block, and the
+# correlation-peak argmax + wraparound decode
+sed -n '8,9p'     "$REF/registration/registration.h"  > gen/dftreg_args.inc
+sed -n '12,32p'   "$REF/registration/registration.h" >> gen/dftreg_args.inc
+sed -n '163,176p' "$REF/registration/registration.c"  > gen/dftreg_norm.inc
+sed -n '317,324p' "$REF/registration/registration.c"  > gen/dftreg_qmax.inc
+sed -n '337,354p' "$REF/registration/registration.c"  > gen/dftreg_peak.inc
 
 # sanity: the extractions start/end where we think they do
 grep -q '^int round_to_int' gen/utils_round.inc
@@ -137,6 +149,13 @@ grep -q '^static WORD Compute_threshold' gen/starfind.inc
 grep -q '^fitted_PSF \*\*peaker' gen/starfind.inc
 grep -q '^void sort_stars' gen/starfind.inc
 tail -1 gen/starfind.inc | grep -q '^}'
+grep -q '^struct registration_args {' gen/dftreg_args.inc
+tail -1 gen/dftreg_args.inc | grep -q '^};'
+head -1 gen/dftreg_norm.inc | grep -q '^static void normalizeQualityData'
+tail -1 gen/dftreg_norm.inc | grep -q '^}'
+grep -q 'double qual = current_regdata' gen/dftreg_qmax.inc
+grep -q 'int shift = 0;' gen/dftreg_peak.inc
+tail -1 gen/dftreg_peak.inc | grep -q 'shifty = shifty;'
 head -1 gen/imops.inc | grep -q '^#define MAX_ITER 15'
 grep -q '^int threshlo' gen/imops.inc
 grep -q '^int shift' gen/imops.inc
@@ -180,6 +199,9 @@ gcc $CFLAGS -c "$REF/io/seqfile.c" -o build/seqfile.o
 gcc $CFLAGS -c minigsl.c  -o build/minigsl.o
 gcc $CFLAGS -c support.c  -o build/support.o
 gcc $CFLAGS -c harness.c  -o build/harness.o
+# suite-23 objects belong to the separate libav-linked harness_mp4
+# binary; a stale copy in build/ must not leak into this link
+rm -f build/mp4_output*.o
 gcc build/*.o -lm -o build/gen_goldens
 
 ./build/gen_goldens "$OUT"

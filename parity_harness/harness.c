@@ -2189,6 +2189,132 @@ static void suite_wavelets(const char *dir) {
 	fclose(f);
 }
 
+/* ----------------------------- suite: dftreg ----------------------------- */
+/* register_shift_dft bookkeeping (registration.c:163-176,317-324,337-354),
+ * driven with PRECOMPUTED correlation surfaces so FFTW is not needed:
+ * the argmax + wraparound peak decode, the q_min/q_max/q_index tracking,
+ * and normalizeQualityData's selective normalization. <complex.h> is
+ * included HERE (not at the top) so its `I` macro cannot leak into the
+ * suites above; fftw_complex is C99 double complex, exactly FFTW's ABI. */
+#include <complex.h>
+#include <sys/time.h>
+typedef double complex fftw_complex;
+typedef int opencv_interpolation;
+static int get_thread_run(void) { return 1; }
+
+#include "gen/dftreg_args.inc"   /* src/registration/registration.h:8-9,12-32 */
+#include "gen/dftreg_norm.inc"   /* src/registration/registration.c:163-176 */
+
+static void c_dft_peak_block(fftw_complex *out2, int size,
+		regdata *current_regdata, int frame) {
+	int sqsize = size * size;
+	int x;
+	(void) sqsize;
+#include "gen/dftreg_peak.inc"   /* src/registration/registration.c:337-354 */
+}
+
+static void c_dft_qmax_block(regdata *current_regdata, int frame,
+		double *pq_max, double *pq_min, int *pq_index) {
+	double q_max = *pq_max, q_min = *pq_min;
+	int q_index = *pq_index;
+#include "gen/dftreg_qmax.inc"   /* src/registration/registration.c:317-324 */
+	*pq_max = q_max; *pq_min = q_min; *pq_index = q_index;
+}
+
+static void suite_dftreg(const char *dir) {
+	FILE *f = open_out(dir, "c_dftreg.bin");
+	static const int sizes[] = { 16, 32, 64 };
+	int si, c, x, frame;
+
+	/* part 1: peak decode on 12 surfaces per size — random, planted
+	 * wraparound peaks (all four quadrants), ties (first max wins),
+	 * all-negative, and constant surfaces */
+	for (si = 0; si < 3; si++) {
+		int size = sizes[si], sqsize = size * size;
+		fftw_complex *out2 = malloc(sizeof(fftw_complex) * sqsize);
+		for (c = 0; c < 12; c++) {
+			for (x = 0; x < sqsize; x++)
+				out2[x] = (rnd_unit() * 2000.0 - 1000.0)
+						+ (rnd_unit() - 0.5) * I;
+			if (c >= 2 && c < 8) {
+				/* plant a strict peak at a corner-ish offset */
+				int py = (c & 1) ? size - 1 - (c >> 1) : (c >> 1);
+				int px = (c & 2) ? size - 2 : 1;
+				out2[py * size + px] += 5000.0;
+			} else if (c == 8) {       /* tie: both hold the max */
+				out2[3 * size + 5] = 7777.0;
+				out2[9 * size + 2] = 7777.0;
+			} else if (c == 9) {       /* all negative */
+				for (x = 0; x < sqsize; x++)
+					out2[x] = -1000.0 - rnd_unit() * 500.0;
+			} else if (c == 10) {      /* constant */
+				for (x = 0; x < sqsize; x++)
+					out2[x] = 42.0;
+			} else if (c == 11) {      /* peak at index 0 */
+				out2[0] += 9000.0;
+			}
+			{
+				regdata rd;
+				memset(&rd, 0, sizeof rd);
+				c_dft_peak_block(out2, size, &rd, 0);
+				w_u16(f, (uint16_t) size);
+				for (x = 0; x < sqsize; x++)
+					w_f64(f, creal(out2[x]));
+				w_i32(f, rd.shiftx);
+				w_i32(f, rd.shifty);
+			}
+		}
+		free(out2);
+	}
+
+	/* part 2: q tracking + normalizeQualityData over 3 scenarios:
+	 * all frames, selective-with-exclusions, duplicate maxima */
+	for (c = 0; c < 3; c++) {
+		enum { NF = 12 };
+		sequence seq;
+		regdata *rp = calloc(NF, sizeof(regdata));
+		regdata *rparr[1] = { rp };
+		imgdata *ip = calloc(NF, sizeof(imgdata));
+		struct registration_args args;
+		double q_max = 0, q_min = DBL_MAX;
+		int q_index = -1;
+
+		memset(&seq, 0, sizeof seq);
+		memset(&args, 0, sizeof args);
+		seq.number = NF;
+		seq.regparam = rparr;
+		seq.imgparam = ip;
+		args.seq = &seq;
+		args.layer = 0;
+		args.process_all_frames = (c == 0);
+		args.run_in_thread = FALSE;
+
+		for (frame = 0; frame < NF; frame++) {
+			ip[frame].incl = (c == 0) ? TRUE : (frame % 3 != 1);
+			rp[frame].quality = rnd_unit() * 100.0;
+			if (c == 2 && (frame == 4 || frame == 7))
+				rp[frame].quality = 250.0;   /* duplicate max: first wins */
+			/* the C tracks q only for processed frames */
+			if (args.process_all_frames || ip[frame].incl)
+				c_dft_qmax_block(rp, frame, &q_max, &q_min, &q_index);
+		}
+		w_u16(f, (uint16_t) NF);
+		w_u16(f, (uint16_t) (args.process_all_frames ? 1 : 0));
+		for (frame = 0; frame < NF; frame++) {
+			w_u16(f, (uint16_t) (ip[frame].incl ? 1 : 0));
+			w_f64(f, rp[frame].quality);
+		}
+		normalizeQualityData(&args, q_min, q_max);
+		w_f64(f, q_min);
+		w_f64(f, q_max);
+		w_i32(f, q_index);
+		for (frame = 0; frame < NF; frame++)
+			w_f64(f, rp[frame].quality);
+		free(rp); free(ip);
+	}
+	fclose(f);
+}
+
 int main(int argc, char **argv) {
 	const char *dir = (argc > 1) ? argv[1] : ".";
 	rng_state = 0x9E3779B97F4A7C15ULL;
@@ -2223,6 +2349,8 @@ int main(int argc, char **argv) {
 	suite_starfind(dir);
 	rng_state = 0x7A1A61357A1A6135ULL;
 	suite_match(dir);
+	rng_state = 0xD47263A1D47263A1ULL;
+	suite_dftreg(dir);
 	rng_state = 0x5E55E55E55E55E55ULL;
 	suite_ser(dir);
 	suite_seqfile(dir);   /* fully deterministic, no rng */

@@ -57,6 +57,24 @@ def phase_correlate(ref_fft: Array, frames: Array):
     return shiftx, shifty
 
 
+def decode_corr_peak(corr: np.ndarray):
+    """Decode (shiftx, shifty) from a real correlation surface exactly
+    like the reference scan (registration.c:337-354): first strict
+    maximum in row-major order, (shifty, shiftx) = divmod(idx, size),
+    values > size/2 wrap negative. This is the host mirror of the
+    argmax+decode inside :func:`phase_correlate` (same semantics,
+    anchored by tests/goldens/c_dftreg.bin)."""
+    corr = np.asarray(corr)
+    size = corr.shape[-1]
+    idx = int(np.argmax(corr.reshape(-1)))
+    shifty, shiftx = divmod(idx, size)
+    if shifty > size // 2:
+        shifty -= size
+    if shiftx > size // 2:
+        shiftx -= size
+    return shiftx, shifty
+
+
 def register_shift_frames(ref_sel: np.ndarray, frame_sels: np.ndarray,
                           chunk: int = 64):
     """Host driver: phase-correlate every frame selection against the
@@ -77,4 +95,5 @@ def register_shift_frames(ref_sel: np.ndarray, frame_sels: np.ndarray,
     return sx, sy
 
 
-__all__ = ["phase_correlate", "register_shift_frames"]
+__all__ = ["phase_correlate", "register_shift_frames",
+           "decode_corr_peak"]
