@@ -1048,7 +1048,8 @@ def process_rgbcomp(state, args):
 
 @command("lightcurve", 0, "lightcurve [outfile.dat] (seqpsf photometry)")
 def process_lightcurve(state, args):
-    from siriltpu.pipelines.plots import export_light_curve_dat
+    from siriltpu.pipelines.plots import (export_light_curve_dat,
+                                          light_curve, plot_svg)
     from siriltpu.registration.onestar import seqpsf
     seq = state.require_seq()
     if state.selection is None:
@@ -1056,22 +1057,33 @@ def process_lightcurve(state, args):
     res = seqpsf(seq, 0, state.selection, for_registration=False)
     out = state.path(args[0] if args else "light_curve.dat")
     export_light_curve_dat(res, out)
+    # rendered artifact alongside the data (gui/plot.c:751 + gnuplot_i
+    # deliver a drawn curve in the reference)
+    svg = os.path.splitext(out)[0] + ".svg"
+    plot_svg(light_curve(res), svg, ylabel="magnitude", err_column=2,
+             title="Light curve")
     n = sum(1 for r in res if r.ok and r.photometry is not None)
-    state.log(f"Light curve with {n} points -> {out}")
+    state.log(f"Light curve with {n} points -> {out} (+ {svg})")
 
 
 @command("regplot", 0, "regplot [outfile.dat] [layer] (quality/FWHM curve)")
 def process_regplot(state, args):
     """Export the registration quality/FWHM-vs-frame data the reference
-    plots in gui/plot.c (kplot); gnuplot-ready columns."""
-    from siriltpu.pipelines.plots import export_registration_dat
+    plots in gui/plot.c (kplot) as gnuplot-ready columns AND a rendered
+    SVG curve (the kplot-artifact counterpart)."""
+    from siriltpu.pipelines.plots import (export_registration_dat,
+                                          plot_svg, registration_curve)
     seq = state.require_seq()
     out = state.path(args[0] if args else "registration.dat")
     layer = int(args[1]) if len(args) > 1 else 0
     if not seq.regparam.get(layer):
         raise CommandError("No registration data for this layer")
     export_registration_dat(seq, out, layer)
-    state.log(f"Registration curve ({seq.number} frames) -> {out}")
+    svg = os.path.splitext(out)[0] + ".svg"
+    plot_svg(registration_curve(seq, layer), svg, ylabel="quality",
+             title="Registration quality")
+    state.log(f"Registration curve ({seq.number} frames) -> {out} "
+              f"(+ {svg})")
 
 
 @command("align_rgb", 0, "align_rgb (align the 3 channels of the image)")

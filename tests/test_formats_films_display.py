@@ -177,6 +177,19 @@ def test_plots_exports(tmp_path):
     png = plot_png(rows, str(tmp_path / "reg.png"))
     if png:
         assert os.path.getsize(png) > 0
+    # dependency-free SVG renderer: valid XML with axes, grid, labels,
+    # the series polyline and one marker per point
+    import xml.etree.ElementTree as ET
+
+    from siriltpu.pipelines.plots import plot_svg
+    svg = plot_svg(rows, str(tmp_path / "reg.svg"),
+                   title="Registration quality")
+    root = ET.parse(svg).getroot()
+    ns = "{http://www.w3.org/2000/svg}"
+    assert root.tag == ns + "svg"
+    assert len(root.findall(f"{ns}polyline")) == 1
+    assert len(root.findall(f"{ns}circle")) == 5
+    assert len(root.findall(f"{ns}text")) > 4  # ticks + labels + title
 
 
 def test_light_curve_export(tmp_path):
@@ -190,6 +203,18 @@ def test_light_curve_export(tmp_path):
            for i in range(6)]
     p = export_light_curve_dat(res, str(tmp_path / "lc.dat"))
     assert len(open(p).read().splitlines()) == 7
+    # rendered light curve with error bars
+    import xml.etree.ElementTree as ET
+
+    from siriltpu.pipelines.plots import light_curve, plot_svg
+    svg = plot_svg(light_curve(res), str(tmp_path / "lc.svg"),
+                   ylabel="magnitude", err_column=2)
+    root = ET.parse(svg).getroot()
+    ns = "{http://www.w3.org/2000/svg}"
+    assert len(root.findall(f"{ns}circle")) == 6
+    bars = [e for e in root.findall(f"{ns}line")
+            if e.get("stroke") == "#888"]
+    assert len(bars) == 6
 
 
 # ------------------------------------------------------------------ AHD

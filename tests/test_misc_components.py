@@ -109,6 +109,7 @@ def test_cli_lightcurve(tmp_path):
     # default photometry radii need a large box; shrink them
     assert process_command(state, "lightcurve") == 0
     assert os.path.exists(os.path.join(state.cwd, "light_curve.dat"))
+    assert os.path.getsize(os.path.join(state.cwd, "light_curve.svg")) > 500
 
 
 def test_cli_regplot(tmp_path):
@@ -128,6 +129,7 @@ def test_cli_regplot(tmp_path):
     out = os.path.join(state.cwd, "registration.dat")
     lines = open(out).read().strip().splitlines()
     assert lines[0].startswith("# frame quality fwhm")
+    assert os.path.getsize(os.path.join(state.cwd, "registration.svg")) > 500
     assert len(lines) == 4  # header + 3 frames
 
 
