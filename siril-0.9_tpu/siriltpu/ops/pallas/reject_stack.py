@@ -397,6 +397,26 @@ def _on_tpu() -> bool:
         return False
 
 
+#: rough count of live (n_rows, tile) arrays per rejection (sorted data,
+#: comparison copy, winsorized working set, Mosaic temporaries)
+_VMEM_FACTOR = {"sigma": 6, "percentile": 5, "sigmedian": 6,
+                "winsorized": 9}
+_VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
+
+
+def pick_tile(f: int, rejection: str, p: int):
+    """Largest lane-aligned tile that keeps the kernel's working set
+    within VMEM (None when even the smallest tile cannot fit — the
+    caller must use the HBM block path). Frame counts in the hundreds
+    shrink the tile instead of failing."""
+    n_rows = -(-f // _SUBLANE) * _SUBLANE
+    factor = _VMEM_FACTOR[rejection]
+    for tile in (2048, 1024, 512, 256, 128):
+        if p % tile == 0 and factor * n_rows * tile * 4 <= _VMEM_BUDGET:
+            return tile
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("rejection", "siglow",
                                              "sighigh", "tile", "interpret"))
 def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
@@ -439,7 +459,8 @@ def reject_stack_pallas(vals: jnp.ndarray, rejection: str, siglow: float,
     """Rejection stack of (F, P) uint16 values -> (P,) uint16, fused in
     VMEM, bit-exact vs ``reject_and_mean``.
 
-    P must be a multiple of ``tile`` (pad at the call site). For sigma
+    P must be a multiple of ``tile`` (pad at the call site; use
+    :func:`pick_tile` to fit the VMEM budget for large F). For sigma
     and winsorized, up to DEGEN_K pixels that hit the reference's
     degenerate mid-scan-break path are re-run on-device through the
     exact masked kernel (a (F, DEGEN_K) gather — static shapes, no
@@ -478,5 +499,5 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
                                interpret=interpret)
 
 
-__all__ = ["sigma_stack_pallas", "reject_stack_pallas",
+__all__ = ["sigma_stack_pallas", "reject_stack_pallas", "pick_tile",
            "PALLAS_REJECTIONS", "DEGEN_K"]

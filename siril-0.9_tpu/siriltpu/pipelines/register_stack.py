@@ -148,14 +148,17 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
         aligned = (align_frames_keep if keep_frames
                    else align_frames)(frames_dev, sx, sy)
     from siriltpu.ops.pallas.reject_stack import (PALLAS_REJECTIONS,
-                                                  _on_tpu,
+                                                  _on_tpu, pick_tile,
                                                   reject_stack_pallas)
-    if rejection in PALLAS_REJECTIONS and (h * w) % 2048 == 0 and _on_tpu():
+    tile = (pick_tile(f, rejection, h * w)
+            if rejection in PALLAS_REJECTIONS else None)
+    if tile is not None and _on_tpu():
         # fused Pallas kernel: sort + rejection + mean in VMEM, one pass
-        # (sigma/winsorized include the exact degenerate-pixel fallback)
+        # (sigma/winsorized include the exact degenerate-pixel fallback;
+        # the tile is sized so the working set fits VMEM at any F)
         stacked = reject_stack_pallas(
             aligned.reshape(f, h * w), rejection, float(sig[0]),
-            float(sig[1])).reshape(h, w)
+            float(sig[1]), tile=tile).reshape(h, w)
     else:
         kernel = _make_stack_block(rejection, sig)
         out_blocks = []
