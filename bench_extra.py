@@ -17,6 +17,8 @@ if _PKG not in sys.path:
     sys.path.insert(0, _PKG)
 
 SCALE = float(os.environ.get("BENCHX_SCALE", "1.0"))
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_HISTORY.json")
 
 
 def dim(x):
@@ -24,9 +26,43 @@ def dim(x):
     return max(128, int(x * SCALE) & ~63)
 
 
-def report(metric, seconds, unit="s"):
-    print(json.dumps({"metric": metric, "value": round(seconds, 3),
-                      "unit": unit}))
+def _history_append(metric, value, unit):
+    """Per-stage history gate (committed BENCH_HISTORY.json): append the
+    stage result and flag a >15% regression vs the previous run of the
+    same stage at the same scale (lower is better for seconds, higher
+    for rates). Annotates only — never fails the run."""
+    if SCALE != 1.0:
+        return None   # off-scale runs aren't comparable across rounds
+    try:
+        with open(HISTORY) as fh:
+            hist = json.load(fh)
+    except (OSError, ValueError):
+        hist = []
+    prev = next((h for h in reversed(hist)
+                 if h.get("metric") == metric and h.get("kind") == "stage"),
+                None)
+    entry = {"ts": int(time.time()), "kind": "stage", "metric": metric,
+             "value": value, "unit": unit}
+    reg = None
+    if prev and prev.get("value"):
+        ratio = value / prev["value"]
+        worse = ratio > 1.15 if unit == "s" else ratio < 0.85
+        if worse:
+            entry["regression_flag"] = True
+            reg = round(abs(1 - ratio) * 100, 1)
+    hist.append(entry)
+    with open(HISTORY, "w") as fh:
+        json.dump(hist, fh, indent=1)
+    return reg
+
+
+def report(metric, seconds, unit="s", **extra):
+    value = round(seconds, 4 if unit != "s" else 3)
+    reg = _history_append(metric, value, unit)
+    if reg is not None:
+        extra["regression_vs_prev_pct"] = reg
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      **extra}))
 
 
 def main():
@@ -245,13 +281,11 @@ def main():
     assert rep4.failed == 0, rep4
     payload = 2 * Fc4 * Hc4 * Wc4 * 2  # up + down, uint16
     ach_mbps = payload / dt / 1e6
-    print(json.dumps({
-        "metric": f"config4 FILE-BACKED global alignment {Fc4}x{Wc4}x{Hc4} "
-                  "SER->register->SER (frames/s)",
-        "value": round(Fc4 / dt, 3), "unit": "frames/s",
-        "payload_mbps": round(ach_mbps, 1),
-        "raw_link_mbps": round(raw_mbps, 1),
-        "link_saturation": round(ach_mbps / raw_mbps, 3)}))
+    report(f"config4 FILE-BACKED global alignment {Fc4}x{Wc4}x{Hc4} "
+           "SER->register->SER (frames/s)", Fc4 / dt, unit="frames/s",
+           payload_mbps=round(ach_mbps, 1),
+           raw_link_mbps=round(raw_mbps, 1),
+           link_saturation=round(ach_mbps / raw_mbps, 3))
 
     # config 5 END-TO-END: the full chain as ONE pipeline call
     # (pipelines/full.py): SER convert -> per-frame bgextract ->
@@ -285,10 +319,8 @@ def main():
     dt = time.perf_counter() - t0
     assert rep5.failed == 0, rep5
     stages = {k: round(v, 2) for k, v in rep5.stage_seconds.items()}
-    print(json.dumps({"metric": f"config5 FULL CHAIN {F5}x{W5}x{H5} RGB "
-                                "(frames/s incl. I/O)",
-                      "value": round(F5 / dt, 4), "unit": "frames/s",
-                      "stages_s": stages}))
+    report(f"config5 FULL CHAIN {F5}x{W5}x{H5} RGB (frames/s incl. I/O)",
+           F5 / dt, unit="frames/s", stages_s=stages)
 
 
 if __name__ == "__main__":
