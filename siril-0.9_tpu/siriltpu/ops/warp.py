@@ -225,6 +225,32 @@ def _warp_perspective_tiled(img: Array, H_inv: Array,
     yr = jax.lax.broadcasted_iota(jnp.float32, (_TILE_H, _TILE_W), 0)
     xr = jax.lax.broadcasted_iota(jnp.float32, (_TILE_H, _TILE_W), 1)
 
+    if interpolation == INTER_LANCZOS4:
+        # Lanczos tap weights via the shift identity: for integer k,
+        #   sin(π(d−k))   = (−1)^k · sin(πd)
+        #   sin(π(d−k)/4) = sin(πd/4)cos(πk/4) − cos(πd/4)sin(πk/4)
+        # so the WHOLE band needs three transcendentals of d per axis
+        # (precomputed once per tile) instead of two sins per tap —
+        # the taps reduce to a handful of FMAs each. Same math as
+        # _kernel_eval to within f32 argument-reduction rounding.
+        PI = np.float32(np.pi)
+
+        def l4_trig(d):
+            return (jnp.sin(PI * d), jnp.sin(PI * d / 4),
+                    jnp.cos(PI * d / 4))
+
+        def l4_weight(trig, d, kf):
+            sd, s4, c4 = trig
+            sign = 1.0 - 2.0 * jnp.abs(kf % 2.0)       # (−1)^k
+            c4k = jnp.cos(PI * kf / 4.0)               # scalar trig
+            s4k = jnp.sin(PI * kf / 4.0)
+            dk = d - kf
+            den = (PI * PI / 4.0) * dk * dk
+            w = (sign * sd * (s4 * c4k - c4 * s4k)
+                 / jnp.where(jnp.abs(dk) < 1e-7, 1.0, den))
+            w = jnp.where(jnp.abs(dk) < 1e-7, 1.0, w)
+            return jnp.where(jnp.abs(dk) < 4.0, w, 0.0)
+
     def one_tile(tidx):
         ty = tidx // ntx
         tx = tidx % ntx
@@ -249,16 +275,26 @@ def _warp_perspective_tiled(img: Array, H_inv: Array,
             src, (oy, ox), (_TILE_H + band_y, _TILE_W + band_x))
         dy = ys - (oy - pad).astype(jnp.float32) - yr   # in [0, band_y)
         dx = xs - (ox - pad).astype(jnp.float32) - xr   # in [0, band_x)
+        if interpolation == INTER_LANCZOS4:
+            trig_y = l4_trig(dy)
+            trig_x = l4_trig(dx)
 
         def col_pass(k, acc):
-            wy = _kernel_eval(interpolation, dy - k.astype(jnp.float32))
+            kf = k.astype(jnp.float32)
+            if interpolation == INTER_LANCZOS4:
+                wy = l4_weight(trig_y, dy, kf)
+            else:
+                wy = _kernel_eval(interpolation, dy - kf)
             rowwin = jax.lax.dynamic_slice(
                 window, (k, 0), (_TILE_H, _TILE_W + band_x))
 
             def tap_x(j, inner):
                 num, den = inner
-                wx = _kernel_eval(interpolation,
-                                  dx - j.astype(jnp.float32))
+                jf = j.astype(jnp.float32)
+                if interpolation == INTER_LANCZOS4:
+                    wx = l4_weight(trig_x, dx, jf)
+                else:
+                    wx = _kernel_eval(interpolation, dx - jf)
                 v = jax.lax.dynamic_slice(rowwin, (0, j),
                                           (_TILE_H, _TILE_W))
                 return (num + wy * wx * v, den + wy * wx)
