@@ -81,15 +81,8 @@ align_frames_keep = jax.jit(_align_frames_impl)
 ALIGN_MARGIN = 64  # static zero-pad for the sliced align fast path
 
 
-@functools.partial(jax.jit, static_argnames=("margin",))
-def align_frames_slice(frames: Array, sx: Array, sy: Array,
-                       margin: int = ALIGN_MARGIN) -> Array:
-    """Same zero-fill shift semantics as ``align_frames`` for
-    |shift| <= margin, as a scanned per-frame ``dynamic_slice`` over a
-    zero-padded copy — a straight HBM copy instead of a clipped double
-    gather (measured 53 ms vs 123 ms for 100x4K^2 u16). Callers must
-    check the shift bound (dynamic_slice CLAMPS out-of-range starts,
-    which would silently change the semantics beyond the margin)."""
+def _align_frames_slice_impl(frames: Array, sx: Array, sy: Array,
+                             margin: int = ALIGN_MARGIN) -> Array:
     f, h, w = frames.shape
     padded = jnp.pad(frames, ((0, 0), (margin, margin), (margin, margin)))
 
@@ -100,6 +93,36 @@ def align_frames_slice(frames: Array, sx: Array, sy: Array,
 
     _, out = jax.lax.scan(body, 0, jnp.arange(f))
     return out
+
+
+# Same zero-fill shift semantics as ``align_frames`` for
+# |shift| <= margin, as a scanned per-frame ``dynamic_slice`` over a
+# zero-padded copy — a straight HBM copy instead of a clipped double
+# gather (measured 53 ms vs 123 ms for 100x4K^2 u16). Callers must
+# check the shift bound (dynamic_slice CLAMPS out-of-range starts,
+# which would silently change the semantics beyond the margin).
+align_frames_slice = jax.jit(_align_frames_slice_impl,
+                             static_argnames=("margin",))
+
+
+def _align_frames_auto_impl(frames: Array, sx: Array, sy: Array,
+                            margin: int = ALIGN_MARGIN) -> Array:
+    """Pick the sliced fast path vs the clipped-gather general path ON
+    DEVICE (lax.cond on the shift bound): the pipeline stays fully
+    async — no host scalar sync between registration and stacking."""
+    maxshift = jnp.max(jnp.maximum(jnp.abs(sx), jnp.abs(sy)))
+    return jax.lax.cond(
+        maxshift <= margin,
+        lambda fr: _align_frames_slice_impl(fr, sx, sy, margin),
+        lambda fr: _align_frames_impl(fr, sx, sy),
+        frames)
+
+
+align_frames_auto = jax.jit(_align_frames_auto_impl,
+                            static_argnames=("margin",),
+                            donate_argnums=(0,))
+align_frames_auto_keep = jax.jit(_align_frames_auto_impl,
+                                 static_argnames=("margin",))
 
 
 @functools.lru_cache(maxsize=None)
@@ -136,17 +159,12 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
         x0, y0, s = sel
         sels = jax.lax.dynamic_slice(frames_dev, (0, y0, x0), (f, s, s))
         quality = quality_estimate_batch(sels)
-    # fast path: sliced align (plain HBM copies). The shift-bound check
-    # costs one scalar sync; the device is busy with the upstream
-    # programs during the wait, so only dispatch overlap (~ms) is lost.
-    maxshift = int(jnp.max(jnp.maximum(jnp.abs(sx), jnp.abs(sy))))
-    if maxshift <= ALIGN_MARGIN:
-        aligned = align_frames_slice(frames_dev, sx, sy)
-        if not keep_frames:
-            frames_dev = None  # caller donated; drop our reference
-    else:
-        aligned = (align_frames_keep if keep_frames
-                   else align_frames)(frames_dev, sx, sy)
+    # slice-vs-gather align selection happens on device (lax.cond), so
+    # the whole register+stack chain dispatches without a host sync
+    aligned = (align_frames_auto_keep if keep_frames
+               else align_frames_auto)(frames_dev, sx, sy)
+    if not keep_frames:
+        frames_dev = None  # donated; drop our reference
     from siriltpu.ops.pallas.reject_stack import (PALLAS_REJECTIONS,
                                                   _on_tpu, pick_tile,
                                                   reject_stack_pallas)
