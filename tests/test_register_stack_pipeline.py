@@ -52,3 +52,24 @@ def test_align_slice_matches_gather_align():
     want = np.asarray(_align_frames_impl(frames, sx, sy))
     got = np.asarray(align_frames_slice(frames, sx, sy, margin=ALIGN_MARGIN))
     np.testing.assert_array_equal(got, want)
+
+
+def test_align_frames_auto_device_branch():
+    """The on-device slice-vs-gather selection (lax.cond, r4: removes
+    the per-batch host sync) must match the gather reference on BOTH
+    sides of the margin."""
+    import jax.numpy as jnp
+
+    from siriltpu.pipelines.register_stack import (ALIGN_MARGIN,
+                                                   _align_frames_impl,
+                                                   align_frames_auto_keep)
+
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.integers(0, 65535, (5, 96, 128)).astype(
+        np.uint16))
+    for lo, hi in ((-6, 6), (-(ALIGN_MARGIN + 30), ALIGN_MARGIN + 30)):
+        sx = jnp.asarray(rng.integers(lo, hi + 1, 5).astype(np.int32))
+        sy = jnp.asarray(rng.integers(lo, hi + 1, 5).astype(np.int32))
+        want = np.asarray(_align_frames_impl(frames, sx, sy))
+        got = np.asarray(align_frames_auto_keep(frames, sx, sy))
+        np.testing.assert_array_equal(got, want)
