@@ -140,7 +140,8 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
 
     iota_shape = (n_rows, tile)
 
-    def kernel(masks_ref, x_ref, out_ref, degen_ref):
+    def kernel(masks_ref, x_ref, out_ref, degen_ref, rejl_ref,
+               rejh_ref):
         # (f_real, tile) block; pad rows (constant 65535) are appended
         # IN VMEM so the (n_rows, P) padded copy never exists in HBM —
         # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
@@ -235,6 +236,10 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             out_ref[:] = exact_mean_u16(
                 x, mask, hi_w - lo_w).astype(jnp.uint16)
             degen_ref[:] = jnp.zeros((1, tile), jnp.int32)
+            # reject_percentile counts ALL flags, even when the
+            # all-flagged carve-out keeps the last element
+            rejl_ref[:] = nlow
+            rejh_ref[:] = nhigh
             return
 
         if rejection == "sigmedian":
@@ -243,11 +248,11 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             real = iota < f_real
 
             def s_cond(state):
-                _, done, it = state
+                _, done, _, _, it = state
                 return jnp.logical_and(jnp.min(done) == 0, it < MAX_ITERS)
 
             def s_body(state):
-                v, done, it = state
+                v, done, rl, rh, it = state
                 anchor = jnp.sum(jnp.where(iota == f_real // 2, v, 0),
                                  axis=0, keepdims=True)
                 sigma = exact_sd(v, real, full_n, anchor)
@@ -263,19 +268,27 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 upd = done == 0
                 v_new = jnp.where(flags & upd, medw, v)
                 v_new = run_network(v_new, masks_ref)
+                rl = rl + jnp.where(upd, jnp.sum(
+                    low, axis=0, keepdims=True).astype(jnp.int32), 0)
+                rh = rh + jnp.where(upd, jnp.sum(
+                    high, axis=0, keepdims=True).astype(jnp.int32), 0)
                 done = jnp.maximum(
                     done, ((nrep == 0) | (full_n <= 3)).astype(jnp.int32))
-                return v_new, done, it + 1
+                return v_new, done, rl, rh, it + 1
 
             # first pass always executes (matches reject_sigmedian: done
             # is evaluated AFTER the replacement)
-            v, _, _ = jax.lax.while_loop(
+            v, _, rl, rh, _ = jax.lax.while_loop(
                 s_cond, s_body,
-                (x, jnp.zeros((1, tile), jnp.int32), jnp.int32(0)))
+                (x, jnp.zeros((1, tile), jnp.int32),
+                 jnp.zeros((1, tile), jnp.int32),
+                 jnp.zeros((1, tile), jnp.int32), jnp.int32(0)))
             real_mask = iota < f_real
             out_ref[:] = exact_mean_u16(
                 v, real_mask, full_n).astype(jnp.uint16)
             degen_ref[:] = jnp.zeros((1, tile), jnp.int32)
+            rejl_ref[:] = rl
+            rejh_ref[:] = rh
             return
 
         # ---- windowed iterative clips: sigma / winsorized ----
@@ -386,6 +399,11 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
         mask = (iota >= lo) & (iota < hi)
         out_ref[:] = exact_mean_u16(x, mask, hi - lo).astype(jnp.uint16)
         degen_ref[:] = degen
+        # window movements ARE the counters: every counted low reject
+        # advanced lo, every high reject lowered hi (degenerate pixels
+        # are overridden by the exact fallback)
+        rejl_ref[:] = lo
+        rejh_ref[:] = full_n - hi
 
     return kernel
 
@@ -431,9 +449,13 @@ def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
     for ri, (_, _, lo, hi) in enumerate(roll_stages):
         masks[2 * ri] = lo
         masks[2 * ri + 1] = hi
-    out, degen = pl.pallas_call(
+    row = pl.BlockSpec((1, tile), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    out, degen, rejl, rejh = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((1, p), jnp.uint16),
+                   jax.ShapeDtypeStruct((1, p), jnp.int32),
+                   jax.ShapeDtypeStruct((1, p), jnp.int32),
                    jax.ShapeDtypeStruct((1, p), jnp.int32)],
         grid=(p // tile,),
         in_specs=[
@@ -442,22 +464,22 @@ def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
             pl.BlockSpec((f, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, tile), lambda i: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, tile), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)],
+        out_specs=[row, row, row, row],
         interpret=interpret,
     )(jnp.asarray(masks), vals)
-    return out[0], degen[0]
+    return out[0], degen[0], rejl[0], rejh[0]
 
 
 @functools.partial(jax.jit, static_argnames=("rejection", "siglow",
-                                             "sighigh", "tile", "interpret"))
+                                             "sighigh", "tile",
+                                             "interpret", "with_counters"))
 def reject_stack_pallas(vals: jnp.ndarray, rejection: str, siglow: float,
                         sighigh: float, tile: int = 2048,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Rejection stack of (F, P) uint16 values -> (P,) uint16, fused in
-    VMEM, bit-exact vs ``reject_and_mean``.
+                        interpret: bool = False,
+                        with_counters: bool = False):
+    """Rejection stack of (F, P) uint16 values -> (P,) uint16 (or
+    (mean, rejlow, rejhigh) with ``with_counters``), fused in VMEM,
+    bit-exact vs ``reject_and_mean`` including the counters.
 
     P must be a multiple of ``tile`` (pad at the call site; use
     :func:`pick_tile` to fit the VMEM budget for large F). For sigma
@@ -467,26 +489,33 @@ def reject_stack_pallas(vals: jnp.ndarray, rejection: str, siglow: float,
     host sync); beyond DEGEN_K the window result stands.
     """
     f, p = vals.shape
-    mean, degen = _reject_stack_raw(vals, rejection, float(siglow),
-                                    float(sighigh), tile, interpret)
-    if rejection not in ("sigma", "winsorized"):
-        return mean
-    from siriltpu.ops.rejection import (_mean_of_survivors, reject_sigma,
-                                        reject_winsorized)
-    degen_b = degen != 0
-    idx = jnp.nonzero(degen_b, size=DEGEN_K, fill_value=p)[0]
-    safe = jnp.minimum(idx, p - 1)
-    cols = jnp.take(vals, safe, axis=1).astype(jnp.float32)
-    sel = jnp.take(degen_b, safe)
-    if rejection == "sigma":
-        valid, v, _, _ = reject_sigma(cols, float(siglow), float(sighigh),
-                                      active=sel)
-    else:
-        valid, v, _, _ = reject_winsorized(cols, float(siglow),
-                                           float(sighigh))
-    fix = _mean_of_survivors(v, valid)
-    cur = jnp.take(mean, safe)
-    return mean.at[safe].set(jnp.where(sel, fix, cur))
+    mean, degen, rejl, rejh = _reject_stack_raw(
+        vals, rejection, float(siglow), float(sighigh), tile, interpret)
+    if rejection in ("sigma", "winsorized"):
+        from siriltpu.ops.rejection import (_mean_of_survivors,
+                                            reject_sigma,
+                                            reject_winsorized)
+        degen_b = degen != 0
+        idx = jnp.nonzero(degen_b, size=DEGEN_K, fill_value=p)[0]
+        safe = jnp.minimum(idx, p - 1)
+        cols = jnp.take(vals, safe, axis=1).astype(jnp.float32)
+        sel = jnp.take(degen_b, safe)
+        if rejection == "sigma":
+            valid, v, srl, srh = reject_sigma(
+                cols, float(siglow), float(sighigh), active=sel)
+        else:
+            valid, v, srl, srh = reject_winsorized(
+                cols, float(siglow), float(sighigh))
+        fix = _mean_of_survivors(v, valid)
+        mean = mean.at[safe].set(
+            jnp.where(sel, fix, jnp.take(mean, safe)))
+        rejl = rejl.at[safe].set(
+            jnp.where(sel, srl, jnp.take(rejl, safe)))
+        rejh = rejh.at[safe].set(
+            jnp.where(sel, srh, jnp.take(rejh, safe)))
+    if with_counters:
+        return mean, rejl, rejh
+    return mean
 
 
 @functools.partial(jax.jit, static_argnames=("siglow", "sighigh", "tile",

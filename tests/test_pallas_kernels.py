@@ -100,8 +100,8 @@ def test_reject_stack_pallas_degenerate_fallback():
     # under reject_sigma_window); the random columns never do
     for c in range(0, P, 17):
         vals[:, c] = np.geomspace(1, 65535, F).astype(np.uint16)
-    _, degen = _reject_stack_raw(jnp.asarray(vals), "sigma", 2.5, 2.5,
-                                 256, True)
+    _, degen, _, _ = _reject_stack_raw(jnp.asarray(vals), "sigma",
+                                       2.5, 2.5, 256, True)
     ndeg = int((np.asarray(degen) != 0).sum())
     assert 0 < ndeg <= 16, ndeg
     got = np.asarray(reject_stack_pallas(jnp.asarray(vals), "sigma",
@@ -127,3 +127,33 @@ def test_reject_stack_pallas_winsorized_degenerate():
     want, _, _ = reject_and_mean(
         jnp.asarray(vals).astype(jnp.float32), "winsorized", (2.0, 2.0))
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+@pytest.mark.parametrize("rejection", ["sigma", "winsorized",
+                                       "percentile", "sigmedian"])
+def test_reject_stack_pallas_counters_parity(rejection):
+    """with_counters returns the same rejlow/rejhigh as the HBM kernels
+    (window movements for sigma/winsorized incl. the degenerate exact
+    fallback; flag counts for percentile; per-pass accumulation for
+    sigmedian)."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import reject_stack_pallas
+
+    rng = np.random.default_rng(77)
+    F, P = 25, 512
+    vals = rng.integers(800, 1200, size=(F, P)).astype(np.uint16)
+    vals[1, ::4] = 60000
+    vals[3, 2::7] = 0
+    for c in range(0, P, 31):            # a few degenerate columns
+        vals[:, c] = np.geomspace(1, 65535, F).astype(np.uint16)
+    sig = (0.2, 0.2) if rejection == "percentile" else (2.5, 2.5)
+    mean, rejl, rejh = reject_stack_pallas(
+        jnp.asarray(vals), rejection, sig[0], sig[1], tile=256,
+        interpret=True, with_counters=True)
+    want, wl, wh = reject_and_mean(
+        jnp.asarray(vals) if rejection == "sigma"
+        else jnp.asarray(vals).astype(jnp.float32), rejection, sig)
+    np.testing.assert_array_equal(np.asarray(mean), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(rejl), np.asarray(wl))
+    np.testing.assert_array_equal(np.asarray(rejh), np.asarray(wh))
