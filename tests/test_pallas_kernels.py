@@ -157,3 +157,35 @@ def test_reject_stack_pallas_counters_parity(rejection):
     np.testing.assert_array_equal(np.asarray(mean), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(rejl), np.asarray(wl))
     np.testing.assert_array_equal(np.asarray(rejh), np.asarray(wh))
+
+
+def test_reject_and_mean_tpu_route_padding(monkeypatch):
+    """The TPU routing inside reject_and_mean lane-pads the pixel axis
+    to a tile multiple and slices it back; simulate the route on CPU
+    (interpret mode) and pin it against the plain HBM path, odd P."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import siriltpu.ops.pallas.reject_stack as rs
+
+    monkeypatch.setattr(rs, "_on_tpu", lambda: True)
+    real = rs.reject_stack_pallas
+    monkeypatch.setattr(
+        rs, "reject_stack_pallas",
+        functools.partial(real, interpret=True))
+
+    rng = np.random.default_rng(5)
+    F, P = 12, 500                    # pads to 512
+    vals = rng.integers(700, 1300, size=(F, P)).astype(np.uint16)
+    vals[2, ::9] = 55000
+    for rej in ("sigma", "winsorized", "percentile", "sigmedian"):
+        sig = (0.2, 0.2) if rej == "percentile" else (2.5, 2.5)
+        v = (jnp.asarray(vals) if rej == "sigma"
+             else jnp.asarray(vals).astype(jnp.float32))
+        got = reject_and_mean(v, rej, sig)
+        monkeypatch.setattr(rs, "_on_tpu", lambda: False)
+        want = reject_and_mean(v, rej, sig)
+        monkeypatch.setattr(rs, "_on_tpu", lambda: True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
