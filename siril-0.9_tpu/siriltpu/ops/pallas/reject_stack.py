@@ -421,6 +421,24 @@ _VMEM_FACTOR = {"sigma": 6, "percentile": 5, "sigmedian": 6,
                 "winsorized": 9}
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
 
+#: rejections whose kernel failed to compile on this backend at runtime
+#: (callers then use the HBM path); per-process memo so a Mosaic
+#: limitation degrades to the slow-but-correct path instead of crashing
+_RUNTIME_DISABLED: set = set()
+
+
+def fused_usable(rejection: str) -> bool:
+    return (rejection in PALLAS_REJECTIONS
+            and rejection not in _RUNTIME_DISABLED)
+
+
+def disable_fused(rejection: str, exc: BaseException) -> None:
+    import warnings
+    _RUNTIME_DISABLED.add(rejection)
+    warnings.warn(f"fused {rejection} kernel unavailable on this "
+                  f"backend ({type(exc).__name__}); using the HBM path",
+                  stacklevel=3)
+
 
 def pick_tile(f: int, rejection: str, p: int):
     """Largest lane-aligned tile that keeps the kernel's working set

@@ -596,14 +596,15 @@ def reject_and_mean(vals: Array, rejection: str, sig=(3.0, 3.0)):
     the reference-exact masked kernel. ``sigma_masked`` forces the masked
     loop for everything.
     """
-    from siriltpu.ops.pallas.reject_stack import (PALLAS_REJECTIONS,
-                                                  _on_tpu, pick_tile,
+    from siriltpu.ops.pallas.reject_stack import (_on_tpu, disable_fused,
+                                                  fused_usable, pick_tile,
                                                   reject_stack_pallas)
-    if rejection in PALLAS_REJECTIONS and _on_tpu():
+    if fused_usable(rejection) and _on_tpu():
         # on TPU every windowable rejection runs the fused VMEM kernel
         # (bit-exact incl. counters; sigma/winsorized keep the exact
         # degenerate fallback). Pixel columns are independent, so the
-        # lane padding is sliced back off.
+        # lane padding is sliced back off. A Mosaic compile failure
+        # disables the rejection's fused path for the process.
         f, p = vals.shape
         pad = (-p) % 128
         tile = pick_tile(f, rejection, p + pad)
@@ -613,10 +614,13 @@ def reject_and_mean(vals: Array, rejection: str, sig=(3.0, 3.0)):
             if pad:
                 v16 = jnp.concatenate(
                     [v16, jnp.zeros((f, pad), jnp.uint16)], axis=1)
-            mean, rejl, rejh = reject_stack_pallas(
-                v16, rejection, float(sig[0]), float(sig[1]), tile=tile,
-                with_counters=True)
-            return mean[:p], rejl[:p], rejh[:p]
+            try:
+                mean, rejl, rejh = reject_stack_pallas(
+                    v16, rejection, float(sig[0]), float(sig[1]),
+                    tile=tile, with_counters=True)
+                return mean[:p], rejl[:p], rejh[:p]
+            except Exception as e:  # Mosaic limitation -> HBM path
+                disable_fused(rejection, e)
     if rejection == "sigma":
         # sort ONCE in the input dtype (uint16 halves sort bandwidth),
         # run the fast window kernel, then the exact masked kernel with

@@ -165,19 +165,23 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
                else align_frames_auto)(frames_dev, sx, sy)
     if not keep_frames:
         frames_dev = None  # donated; drop our reference
-    from siriltpu.ops.pallas.reject_stack import (PALLAS_REJECTIONS,
-                                                  _on_tpu, pick_tile,
+    from siriltpu.ops.pallas.reject_stack import (_on_tpu, disable_fused,
+                                                  fused_usable, pick_tile,
                                                   reject_stack_pallas)
     tile = (pick_tile(f, rejection, h * w)
-            if rejection in PALLAS_REJECTIONS else None)
+            if fused_usable(rejection) else None)
+    stacked = None
     if tile is not None and _on_tpu():
         # fused Pallas kernel: sort + rejection + mean in VMEM, one pass
         # (sigma/winsorized include the exact degenerate-pixel fallback;
         # the tile is sized so the working set fits VMEM at any F)
-        stacked = reject_stack_pallas(
-            aligned.reshape(f, h * w), rejection, float(sig[0]),
-            float(sig[1]), tile=tile).reshape(h, w)
-    else:
+        try:
+            stacked = reject_stack_pallas(
+                aligned.reshape(f, h * w), rejection, float(sig[0]),
+                float(sig[1]), tile=tile).reshape(h, w)
+        except Exception as e:  # Mosaic limitation -> HBM block path
+            disable_fused(rejection, e)
+    if stacked is None:
         kernel = _make_stack_block(rejection, sig)
         out_blocks = []
         for r0 in range(0, h, block_rows):
