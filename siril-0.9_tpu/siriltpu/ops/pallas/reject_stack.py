@@ -188,9 +188,11 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
         def exact_mean_u16(vals_i32, mask, n):
             """round_to_WORD(mean of masked values): exact integer
             round-half-up m = (2s + n) // (2n), computed with an f32
-            quotient + integer fixup (Mosaic has no vector i32 divide;
-            2s + n <= 2*100*65535 + 100 is f32-exact to within the
-            fixup's reach)."""
+            quotient + integer fixup (Mosaic has no vector i32 divide).
+            The f32 quotient errs by ~q * 2^-24 <= 65536 * 2^-24 < 0.01
+            for ANY frame count (the relative error of num and the
+            division is bounded, and q <= 65535.5), so the +-1 integer
+            fixup always lands on the exact floor."""
             s = jnp.sum(jnp.where(mask, vals_i32, 0), axis=0,
                         keepdims=True)
             num = 2 * s + n
