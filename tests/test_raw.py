@@ -1212,3 +1212,30 @@ class TestCRW:
         open(p, "wb").write(b"II\x1a\x00\x00\x00NOTHEAP!" + b"\x00" * 64)
         with pytest.raises(ValueError, match="not a Canon CRW"):
             read_crw_cfa(p)
+
+    def test_fuzz_roundtrip(self, tmp_path):
+        """Seeded fuzz over plane statistics: smooth, stepped, spiky
+        (escape-adjacent diffs), and near-full-range planes all survive
+        the encode/decode round trip exactly."""
+        from siriltpu.io.raw import read_crw_cfa
+        from siriltpu.testing.crw import write_crw
+        rng = np.random.default_rng(77)
+        for trial in range(6):
+            h = 8 * int(rng.integers(1, 4))
+            w = 16 * int(rng.integers(1, 5))
+            kind = trial % 3
+            if kind == 0:
+                img = np.cumsum(rng.integers(-9, 10, (h, w)),
+                                axis=1) + 2000
+            elif kind == 1:
+                img = np.repeat(rng.integers(0, 4096, (h, w // 8)),
+                                8, axis=1)
+                img[:, 1::16] += rng.integers(0, 500, (h, w // 16))
+            else:
+                img = rng.integers(1800, 2400, (h, w))
+                img[rng.integers(0, h, 10), rng.integers(0, w, 10)] = 4095
+            img = np.clip(img, 0, 4095).astype(np.uint16)
+            p = str(tmp_path / f"f{trial}.crw")
+            write_crw(p, img, lowbits=True)
+            got, _ = read_crw_cfa(p)
+            np.testing.assert_array_equal(got, img, err_msg=str(trial))
