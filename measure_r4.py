@@ -117,6 +117,49 @@ def main():
                       "value": round(time.perf_counter() - t0, 3),
                       "unit": "s", "r3_was": 0.143}))
 
+    # 5. north-star STAGE PROFILE at 100x4096^2: attributes the batch
+    #    time across shifts/quality/align/kernel plus the bare
+    #    scalar-sync round-trip, so a headline move between captures can
+    #    be pinned on the chip vs the tunnel (r3 profile: shifts ~43 ms,
+    #    quality ~17 ms, align ~36 ms, kernel ~170-200 ms, sync ~32 ms).
+    from siriltpu.pipelines.register_stack import (RegisterStackBench,
+                                                   align_frames_auto_keep,
+                                                   compute_shifts)
+    from siriltpu.ops.quality import quality_estimate_batch
+    bench = RegisterStackBench()
+    fps = bench.run(repeats=1)  # warms master + all programs
+    master = bench._master
+    x0, y0, s = bench.sel
+
+    def timed(fn, *a):
+        out = fn(*a)
+        sync(out if isinstance(out, jnp.ndarray) else out[0])
+        t0 = time.perf_counter()
+        out = fn(*a)
+        sync(out if isinstance(out, jnp.ndarray) else out[0])
+        return time.perf_counter() - t0, out
+
+    t_sync = timed(lambda: master)[0]  # bare scalar round-trip
+    t_sh, (sx, sy) = timed(compute_shifts, master, 0, bench.sel)
+    t_q, _ = timed(
+        jax.jit(lambda fr: quality_estimate_batch(
+            jax.lax.dynamic_slice(fr, (0, y0, x0), (fr.shape[0], s, s)))),
+        master)
+    t_al, aligned = timed(align_frames_auto_keep, master, sx, sy)
+    t2k = pick_tile(100, "sigma", 4096 * 4096)
+    t_k, _ = timed(lambda a: reject_stack_pallas(
+        a.reshape(100, 4096 * 4096), "sigma", 3.0, 3.0, tile=t2k), aligned)
+    print(json.dumps({
+        "metric": "north-star stage profile 100x4096^2",
+        "fps_batch": round(fps, 1),
+        "scalar_sync_ms": round(t_sync * 1e3, 1),
+        "shifts_ms": round(t_sh * 1e3, 1),
+        "quality_ms": round(t_q * 1e3, 1),
+        "align_ms": round(t_al * 1e3, 1),
+        "kernel_ms": round(t_k * 1e3, 1),
+        "stage_sum_ms": round((t_sh + t_q + t_al + t_k) * 1e3, 1),
+        "batch_ms": round(100.0 / fps * 1e3, 1)}))
+
 
 if __name__ == "__main__":
     main()

@@ -346,11 +346,14 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 anch = jnp.sum(jnp.where(iota == lo + n // 2, wv, 0),
                                axis=0, keepdims=True)
                 sig_new = 1.134 * exact_sd(wv, mask, n, anch)
-                newconv = jnp.where(
-                    sig_c > 0,
+                # logical_or of comparisons, NOT jnp.where(cond, bool,
+                # True): a select with a scalar bool broadcast lowers to
+                # an i8->i1 trunci that this libtpu's Mosaic rejects
+                # ("Unsupported target bitwidth for truncation")
+                newconv = jnp.logical_or(
+                    sig_c <= 0,
                     jnp.abs(sig_new - sig_c)
-                    / jnp.maximum(sig_c, 1e-30) <= 0.0005,
-                    True)
+                    / jnp.maximum(sig_c, 1e-30) <= 0.0005)
                 convb = conv != 0
                 w = jnp.where(convb, w, wv)
                 med_c = jnp.where(convb, med_c, med_new)
@@ -418,10 +421,17 @@ def _on_tpu() -> bool:
 
 
 #: rough count of live (n_rows, tile) arrays per rejection (sorted data,
-#: comparison copy, winsorized working set, Mosaic temporaries)
+#: comparison copy, winsorized working set, Mosaic temporaries).
+#: winsorized is MEASURED: at f=1000, tile=256 the compiler's scoped
+#: allocation was 16.78 MB = 16.4 buffers (v5e, 2026-08); the factor is
+#: a planning estimate only — reject_stack_auto retries smaller tiles
+#: when a shape still overflows the scoped-VMEM limit.
 _VMEM_FACTOR = {"sigma": 6, "percentile": 5, "sigmedian": 6,
-                "winsorized": 9}
+                "winsorized": 17}
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
+
+#: lane-aligned tile candidates, largest first
+_TILES = (2048, 1024, 512, 256, 128)
 
 #: rejections whose kernel failed to compile on this backend at runtime
 #: (callers then use the HBM path); per-process memo so a Mosaic
@@ -449,9 +459,46 @@ def pick_tile(f: int, rejection: str, p: int):
     shrink the tile instead of failing."""
     n_rows = -(-f // _SUBLANE) * _SUBLANE
     factor = _VMEM_FACTOR[rejection]
-    for tile in (2048, 1024, 512, 256, 128):
+    for tile in _TILES:
         if p % tile == 0 and factor * n_rows * tile * 4 <= _VMEM_BUDGET:
             return tile
+    return None
+
+
+def _is_vmem_oom(exc: BaseException) -> bool:
+    s = str(exc).lower()
+    return "vmem" in s and ("out of memory" in s or "exceeded" in s)
+
+
+def reject_stack_auto(vals: jnp.ndarray, rejection: str, siglow: float,
+                      sighigh: float, with_counters: bool = False):
+    """Fused VMEM stack with automatic tile sizing and OOM retry.
+
+    Walks lane-aligned tiles downward from :func:`pick_tile`'s
+    estimate; a scoped-VMEM OOM (the static factor table
+    underestimating a shape's live set) retries the next smaller tile
+    instead of abandoning the fused path, while any other Mosaic
+    failure disables the rejection for the process
+    (:func:`disable_fused`). Returns ``None`` when the fused path is
+    unavailable — the caller falls back to the HBM block kernels.
+    ``vals.shape[1]`` must be divisible by some tile candidate (pad to
+    a multiple of 128 at the call site)."""
+    if not (fused_usable(rejection) and _on_tpu()):
+        return None
+    f, p = vals.shape
+    first = pick_tile(f, rejection, p)
+    if first is None:
+        return None
+    for tile in [t for t in _TILES if t <= first and p % t == 0]:
+        try:
+            return reject_stack_pallas(vals, rejection, float(siglow),
+                                       float(sighigh), tile=tile,
+                                       with_counters=with_counters)
+        except Exception as e:
+            if _is_vmem_oom(e) and tile > _TILES[-1]:
+                continue
+            disable_fused(rejection, e)
+            return None
     return None
 
 
@@ -548,5 +595,6 @@ def sigma_stack_pallas(vals: jnp.ndarray, siglow: float, sighigh: float,
                                interpret=interpret)
 
 
-__all__ = ["sigma_stack_pallas", "reject_stack_pallas", "pick_tile",
-           "PALLAS_REJECTIONS", "DEGEN_K"]
+__all__ = ["sigma_stack_pallas", "reject_stack_pallas",
+           "reject_stack_auto", "pick_tile", "PALLAS_REJECTIONS",
+           "DEGEN_K"]

@@ -596,31 +596,27 @@ def reject_and_mean(vals: Array, rejection: str, sig=(3.0, 3.0)):
     the reference-exact masked kernel. ``sigma_masked`` forces the masked
     loop for everything.
     """
-    from siriltpu.ops.pallas.reject_stack import (_on_tpu, disable_fused,
-                                                  fused_usable, pick_tile,
-                                                  reject_stack_pallas)
+    from siriltpu.ops.pallas.reject_stack import (_on_tpu, fused_usable,
+                                                  reject_stack_auto)
     if fused_usable(rejection) and _on_tpu():
         # on TPU every windowable rejection runs the fused VMEM kernel
         # (bit-exact incl. counters; sigma/winsorized keep the exact
         # degenerate fallback). Pixel columns are independent, so the
-        # lane padding is sliced back off. A Mosaic compile failure
-        # disables the rejection's fused path for the process.
+        # lane padding is sliced back off. reject_stack_auto shrinks
+        # the tile on scoped-VMEM overflow and disables the rejection's
+        # fused path on any other Mosaic compile failure.
         f, p = vals.shape
         pad = (-p) % 128
-        tile = pick_tile(f, rejection, p + pad)
-        if tile is not None:
-            v16 = (vals if vals.dtype == jnp.uint16
-                   else jnp.clip(vals, 0, 65535).astype(jnp.uint16))
-            if pad:
-                v16 = jnp.concatenate(
-                    [v16, jnp.zeros((f, pad), jnp.uint16)], axis=1)
-            try:
-                mean, rejl, rejh = reject_stack_pallas(
-                    v16, rejection, float(sig[0]), float(sig[1]),
-                    tile=tile, with_counters=True)
-                return mean[:p], rejl[:p], rejh[:p]
-            except Exception as e:  # Mosaic limitation -> HBM path
-                disable_fused(rejection, e)
+        v16 = (vals if vals.dtype == jnp.uint16
+               else jnp.clip(vals, 0, 65535).astype(jnp.uint16))
+        if pad:
+            v16 = jnp.concatenate(
+                [v16, jnp.zeros((f, pad), jnp.uint16)], axis=1)
+        res = reject_stack_auto(v16, rejection, float(sig[0]),
+                                float(sig[1]), with_counters=True)
+        if res is not None:
+            mean, rejl, rejh = res
+            return mean[:p], rejl[:p], rejh[:p]
     if rejection == "sigma":
         # sort ONCE in the input dtype (uint16 halves sort bandwidth),
         # run the fast window kernel, then the exact masked kernel with

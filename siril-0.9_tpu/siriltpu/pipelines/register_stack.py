@@ -165,22 +165,15 @@ def register_and_stack(frames_dev: Array, *, sel: Tuple[int, int, int],
                else align_frames_auto)(frames_dev, sx, sy)
     if not keep_frames:
         frames_dev = None  # donated; drop our reference
-    from siriltpu.ops.pallas.reject_stack import (_on_tpu, disable_fused,
-                                                  fused_usable, pick_tile,
-                                                  reject_stack_pallas)
-    tile = (pick_tile(f, rejection, h * w)
-            if fused_usable(rejection) else None)
-    stacked = None
-    if tile is not None and _on_tpu():
-        # fused Pallas kernel: sort + rejection + mean in VMEM, one pass
-        # (sigma/winsorized include the exact degenerate-pixel fallback;
-        # the tile is sized so the working set fits VMEM at any F)
-        try:
-            stacked = reject_stack_pallas(
-                aligned.reshape(f, h * w), rejection, float(sig[0]),
-                float(sig[1]), tile=tile).reshape(h, w)
-        except Exception as e:  # Mosaic limitation -> HBM block path
-            disable_fused(rejection, e)
+    from siriltpu.ops.pallas.reject_stack import reject_stack_auto
+    # fused Pallas kernel: sort + rejection + mean in VMEM, one pass
+    # (sigma/winsorized include the exact degenerate-pixel fallback;
+    # the tile is sized to the VMEM budget at any F, shrinking on a
+    # scoped-VMEM overflow; None -> HBM block path)
+    stacked = reject_stack_auto(aligned.reshape(f, h * w), rejection,
+                                float(sig[0]), float(sig[1]))
+    if stacked is not None:
+        stacked = stacked.reshape(h, w)
     if stacked is None:
         kernel = _make_stack_block(rejection, sig)
         out_blocks = []
