@@ -79,23 +79,42 @@ def main():
     print(json.dumps({"metric": "tpu sigma fused kernel 100x4096^2",
                       "value": round(time.perf_counter() - t0, 3),
                       "unit": "s", "r3_was": 0.307, "target": 0.250}))
+    del big, out  # 3.3 GB: later steps need the HBM
 
-    # 3. winsorized fused at the config-3 shape
+    # 3. winsorized fused at the config-3 shape. F=1000 is KNOWN to
+    #    overflow this Mosaic's 16 MB scoped-VMEM stack at every tile
+    #    (measured: 16.78M@256, 16.06M@128 pre-trim; 16.55M@128 after
+    #    freeing two buffers — the stack is ~15 MB tile-independent
+    #    nested-loop state), so reject_stack_auto may fall back; report
+    #    which path ran.
+    from siriltpu.ops.pallas.reject_stack import reject_stack_auto
     F3, H3, W3 = 1000, 480, 640
-    t3 = pick_tile(F3, "winsorized", H3 * W3)
     pl = jnp.clip(1200 + 60 * jax.random.normal(
         jax.random.PRNGKey(1), (F3, H3 * W3)), 0, 65535).astype(jnp.uint16)
     sync(pl)
-    out3 = reject_stack_pallas(pl, "winsorized", 3.0, 3.0, tile=t3)
-    sync(out3)
-    t0 = time.perf_counter()
-    out3 = reject_stack_pallas(pl, "winsorized", 3.0, 3.0, tile=t3)
-    sync(out3)
-    dt = time.perf_counter() - t0
-    print(json.dumps({"metric": f"tpu winsorized fused {F3}x{H3}x{W3} "
-                                f"(tile {t3})",
-                      "value": round(dt, 3), "unit": "s",
-                      "frames_per_s": round(F3 / dt, 1)}))
+    out3 = reject_stack_auto(pl, "winsorized", 3.0, 3.0)
+    if out3 is not None:
+        sync(out3)
+        t0 = time.perf_counter()
+        out3 = reject_stack_auto(pl, "winsorized", 3.0, 3.0)
+        sync(out3)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"metric": f"tpu winsorized fused {F3}x{H3}x{W3}",
+                          "value": round(dt, 3), "unit": "s",
+                          "frames_per_s": round(F3 / dt, 1)}))
+    else:
+        from siriltpu.ops.rejection import reject_and_mean
+        hbm = jax.jit(lambda v: reject_and_mean(
+            v.astype(jnp.float32), "winsorized", (3.0, 3.0))[0])
+        o = hbm(pl); sync(o)
+        t0 = time.perf_counter(); o = hbm(pl); sync(o)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"metric": f"tpu winsorized HBM-path (fused "
+                                    f"OOM at F={F3}) {F3}x{H3}x{W3}",
+                          "value": round(dt, 3), "unit": "s",
+                          "frames_per_s": round(F3 / dt, 1)}))
+        del o
+    del pl, out3  # free before the warp + stage-profile steps
 
     # 4. Lanczos4 tiled warp per 6 Mpx frame
     from siriltpu.ops.warp import (INTER_LANCZOS4, _tiled_plan,

@@ -185,16 +185,23 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 / jnp.maximum(nf - 1.0, 1.0)
             return jnp.where(n > 1, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
 
-        def exact_mean_u16(vals_i32, mask, n):
+        def exact_mean_u16(vals_i32, mask, n, offset=None):
             """round_to_WORD(mean of masked values): exact integer
             round-half-up m = (2s + n) // (2n), computed with an f32
             quotient + integer fixup (Mosaic has no vector i32 divide).
             The f32 quotient errs by ~q * 2^-24 <= 65536 * 2^-24 < 0.01
             for ANY frame count (the relative error of num and the
             division is bounded, and q <= 65535.5), so the +-1 integer
-            fixup always lands on the exact floor."""
+            fixup always lands on the exact floor.
+
+            ``offset`` (a (1, tile) i32) shifts values back to the
+            original domain without materializing them: the mean of
+            (vals + offset) adds n*offset to the sum — exact in i32 for
+            |offset| <= 65535 and n <= ~16k."""
             s = jnp.sum(jnp.where(mask, vals_i32, 0), axis=0,
                         keepdims=True)
+            if offset is not None:
+                s = s + n * offset
             num = 2 * s + n
             den = jnp.maximum(2 * n, 1)
             q = jnp.floor(num.astype(jnp.float32)
@@ -301,10 +308,14 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             # the full sorted vector (integer)
             anchor = jnp.sum(jnp.where(iota == f_real // 2, x, 0),
                              axis=0, keepdims=True)
-            sv = (x - anchor).astype(jnp.float32)
             svi = x - anchor
             lo_clip = -anchor.astype(jnp.float32)
             hi_clip = 65535.0 - anchor.astype(jnp.float32)
+            # x and its f32 comparison copy are DEAD from here: the
+            # clip loop works on svi, comparisons cast svi on the fly,
+            # and the final mean is reconstructed from svi + anchor —
+            # freeing two full (n_rows, tile) VMEM buffers (at f=1000
+            # the kernel otherwise overflows the ~16 MB scoped limit)
 
             def round_shift(t):
                 r = jnp.floor(t + 0.5)
@@ -366,7 +377,10 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             _, med, sig, _, _ = jax.lax.while_loop(w_cond, w_body, ws)
             return med, sig
 
-        cmp_vals = sv if rejection == "winsorized" else x.astype(jnp.float32)
+        # comparison values are cast per outer iteration (a (n_rows,
+        # tile) VPU cast, ~free vs estimate()) instead of held live in
+        # f32 across the whole loop
+        cmp_src = svi if rejection == "winsorized" else x
 
         def cond(state):
             lo, hi, r, done, degen, it = state
@@ -378,6 +392,7 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             n = hi - lo
             mask = (iota >= lo) & (iota < hi)
             median, sigma = estimate(lo, hi)
+            cmp_vals = cmp_src.astype(jnp.float32)
             low = mask & (median - cmp_vals > siglow * sigma)
             high = mask & (cmp_vals - median > sighigh * sigma)
             nlow = jnp.sum(low, axis=0, keepdims=True).astype(jnp.int32)
@@ -402,7 +417,14 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                  jnp.zeros((1, tile), jnp.int32), jnp.int32(0))
         lo, hi, r, done, degen, _ = jax.lax.while_loop(cond, body, state)
         mask = (iota >= lo) & (iota < hi)
-        out_ref[:] = exact_mean_u16(x, mask, hi - lo).astype(jnp.uint16)
+        if rejection == "winsorized":
+            # mean of x over the window == mean of svi, shifted back by
+            # the anchor inside the exact integer sum (x is dead above)
+            out_ref[:] = exact_mean_u16(
+                svi, mask, hi - lo, offset=anchor).astype(jnp.uint16)
+        else:
+            out_ref[:] = exact_mean_u16(x, mask, hi - lo
+                                        ).astype(jnp.uint16)
         degen_ref[:] = degen
         # window movements ARE the counters: every counted low reject
         # advanced lo, every high reject lowered hi (degenerate pixels
@@ -422,13 +444,27 @@ def _on_tpu() -> bool:
 
 #: rough count of live (n_rows, tile) arrays per rejection (sorted data,
 #: comparison copy, winsorized working set, Mosaic temporaries).
-#: winsorized is MEASURED: at f=1000, tile=256 the compiler's scoped
-#: allocation was 16.78 MB = 16.4 buffers (v5e, 2026-08); the factor is
-#: a planning estimate only — reject_stack_auto retries smaller tiles
-#: when a shape still overflows the scoped-VMEM limit.
-_VMEM_FACTOR = {"sigma": 6, "percentile": 5, "sigmedian": 6,
+#: MEASURED calibration points (v5e, 2026-08): winsorized f=1000
+#: tile=256 → 16.78 MB scoped = 16.4 buffers; sigma f=256 tile=1024 →
+#: 16.65 MB scoped = 15.9 buffers (OOM; tile=512 compiles and runs
+#: 0.043 s steady at 640x480) while f=100 tile=2048 runs the north-star
+#: batches — 12 keeps the f=100/tile-2048 pick AND lands f=256 on
+#: tile 512 first try. The factor is a planning estimate only —
+#: reject_stack_auto retries smaller tiles when a shape still
+#: overflows the scoped-VMEM limit.
+_VMEM_FACTOR = {"sigma": 12, "percentile": 5, "sigmedian": 12,
                 "winsorized": 17}
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
+
+#: measured frame-count ceilings for the fused kernels on this Mosaic
+#: (v5e, 2026-08): the winsorized nested fixed point carries ~15 KB of
+#: loop state PER ROW regardless of tile — F=768 compiles and runs
+#: (0.14 s per 640x480x1000-class plane), F=896+ fails (scoped-VMEM
+#: OOM / backend InvalidArgument). Shapes beyond the ceiling use the
+#: HBM block path without attempting a compile that is known to fail
+#: (each failed remote compile costs ~10-60 s and can wedge the
+#: tunnel).
+_F_MAX = {"winsorized": 768}
 
 #: lane-aligned tile candidates, largest first
 _TILES = (2048, 1024, 512, 256, 128)
@@ -457,10 +493,15 @@ def pick_tile(f: int, rejection: str, p: int):
     within VMEM (None when even the smallest tile cannot fit — the
     caller must use the HBM block path). Frame counts in the hundreds
     shrink the tile instead of failing."""
+    if f > _F_MAX.get(rejection, 1 << 30):
+        return None
     n_rows = -(-f // _SUBLANE) * _SUBLANE
     factor = _VMEM_FACTOR[rejection]
     for tile in _TILES:
-        if p % tile == 0 and factor * n_rows * tile * 4 <= _VMEM_BUDGET:
+        # strict <: a pick exactly AT budget (sigma f=256/tile=1024,
+        # 12.58M) was measured borderline — 16.65M scoped on one
+        # compile, under 16M on another — so land one tile lower
+        if p % tile == 0 and factor * n_rows * tile * 4 < _VMEM_BUDGET:
             return tile
     return None
 
@@ -468,6 +509,43 @@ def pick_tile(f: int, rejection: str, p: int):
 def _is_vmem_oom(exc: BaseException) -> bool:
     s = str(exc).lower()
     return "vmem" in s and ("out of memory" in s or "exceeded" in s)
+
+
+def _is_transient(exc: BaseException) -> bool:
+    """Errors that say nothing about the KERNEL: HBM exhaustion from
+    other live arrays, a dropped tunnel. Fall back for this call
+    without disabling the fused path for the process."""
+    s = str(exc)
+    return ("RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
+            or "UNAVAILABLE" in s or "DEADLINE_EXCEEDED" in s)
+
+
+#: (rejection, f) shapes that overflowed scoped VMEM even at the
+#: smallest tile — those shapes use the HBM path, WITHOUT disabling the
+#: fused kernel for other frame counts (OOM is a property of the shape,
+#: not the backend)
+_OOM_SHAPES: set = set()
+
+#: (rejection, f, tile, p) shapes whose kernel has been compiled AND
+#: executed on this backend — steady-state calls skip the validation
+#: sync below and stay fully async
+_OK_SHAPES: set = set()
+
+
+def _force(result) -> bool:
+    """Materialize one scalar so a DEFERRED compile/launch error
+    surfaces here, inside reject_stack_auto's handler. On the axon
+    backend Pallas compilation happens at consumption, not dispatch —
+    ``jax.block_until_ready`` does not block there, so fetch an
+    element (one u16 transfer). Under an outer jit trace the value is
+    abstract and cannot be forced — returns False so the caller does
+    not mark the shape validated (the deferred error, if any, will
+    surface at the outer jit's consumption)."""
+    arr = result[0] if isinstance(result, tuple) else result
+    if isinstance(arr, jax.core.Tracer):
+        return False
+    float(arr[0])
+    return True
 
 
 def reject_stack_auto(vals: jnp.ndarray, rejection: str, siglow: float,
@@ -486,17 +564,31 @@ def reject_stack_auto(vals: jnp.ndarray, rejection: str, siglow: float,
     if not (fused_usable(rejection) and _on_tpu()):
         return None
     f, p = vals.shape
+    if (rejection, f) in _OOM_SHAPES:
+        return None
     first = pick_tile(f, rejection, p)
     if first is None:
         return None
     for tile in [t for t in _TILES if t <= first and p % t == 0]:
         try:
-            return reject_stack_pallas(vals, rejection, float(siglow),
-                                       float(sighigh), tile=tile,
-                                       with_counters=with_counters)
+            out = reject_stack_pallas(vals, rejection, float(siglow),
+                                      float(sighigh), tile=tile,
+                                      with_counters=with_counters)
+            # first run of a new shape: force the (deferred) compile to
+            # finish so a scoped-VMEM OOM is caught HERE and the tile
+            # walk proceeds; validated shapes stay fully async
+            key = (rejection, f, tile, p)
+            if key not in _OK_SHAPES and _force(out):
+                _OK_SHAPES.add(key)
+            return out
         except Exception as e:
-            if _is_vmem_oom(e) and tile > _TILES[-1]:
-                continue
+            if _is_vmem_oom(e):
+                if tile > _TILES[-1]:
+                    continue
+                _OOM_SHAPES.add((rejection, f))
+                return None
+            if _is_transient(e):
+                return None
             disable_fused(rejection, e)
             return None
     return None

@@ -189,3 +189,116 @@ def test_reject_and_mean_tpu_route_padding(monkeypatch):
         monkeypatch.setattr(rs, "_on_tpu", lambda: True)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+# ------------------------------------------------ reject_stack_auto routing
+
+def _auto_env(monkeypatch, rs):
+    """Pretend the backend is a TPU and isolate the process memos."""
+    monkeypatch.setattr(rs, "_on_tpu", lambda: True)
+    monkeypatch.setattr(rs, "_OK_SHAPES", set())
+    monkeypatch.setattr(rs, "_OOM_SHAPES", set())
+    monkeypatch.setattr(rs, "_RUNTIME_DISABLED", set())
+
+
+def test_auto_deferred_oom_walks_tiles(monkeypatch):
+    """A scoped-VMEM OOM that only surfaces at CONSUMPTION (axon defers
+    Pallas compiles past dispatch) must be caught by the first-call
+    validation sync and retried at the next smaller tile."""
+    import jax.numpy as jnp
+    import siriltpu.ops.pallas.reject_stack as rs
+
+    _auto_env(monkeypatch, rs)
+    vals = jnp.zeros((16, 512), jnp.uint16)
+    calls = []
+
+    class _Deferred:
+        """Array whose first element access raises like a deferred
+        Mosaic compile (np.asarray-time scoped-VMEM OOM)."""
+        def __getitem__(self, i):
+            raise RuntimeError(
+                "Scoped allocation ... exceeded scoped vmem limit ... "
+                "out of memory in memory space vmem")
+
+    def fake_pallas(v, rejection, lo, hi, tile, with_counters=False):
+        calls.append(tile)
+        if tile > 128:
+            return _Deferred()
+        return jnp.full((512,), 7, jnp.uint16)
+
+    monkeypatch.setattr(rs, "reject_stack_pallas", fake_pallas)
+    out = rs.reject_stack_auto(vals, "sigma", 3.0, 3.0)
+    assert out is not None and int(out[0]) == 7
+    assert calls == sorted(calls, reverse=True) and calls[-1] == 128
+    assert ("sigma", 16, 128, 512) in rs._OK_SHAPES
+    assert not rs._RUNTIME_DISABLED
+
+
+def test_auto_oom_at_smallest_tile_memoizes_shape(monkeypatch):
+    import jax.numpy as jnp
+    import siriltpu.ops.pallas.reject_stack as rs
+
+    _auto_env(monkeypatch, rs)
+    vals = jnp.zeros((16, 512), jnp.uint16)
+
+    def always_oom(v, rejection, lo, hi, tile, with_counters=False):
+        raise RuntimeError("exceeded scoped vmem limit: out of memory "
+                           "in memory space vmem")
+
+    monkeypatch.setattr(rs, "reject_stack_pallas", always_oom)
+    assert rs.reject_stack_auto(vals, "sigma", 3.0, 3.0) is None
+    assert ("sigma", 16) in rs._OOM_SHAPES
+    assert not rs._RUNTIME_DISABLED  # other frame counts stay fused
+    # memoized: the second call must not attempt any compile
+    monkeypatch.setattr(rs, "reject_stack_pallas",
+                        lambda *a, **k: pytest.fail("compile retried"))
+    assert rs.reject_stack_auto(vals, "sigma", 3.0, 3.0) is None
+
+
+def test_auto_transient_error_does_not_disable(monkeypatch):
+    import jax.numpy as jnp
+    import siriltpu.ops.pallas.reject_stack as rs
+
+    _auto_env(monkeypatch, rs)
+    vals = jnp.zeros((16, 512), jnp.uint16)
+
+    def transient(v, rejection, lo, hi, tile, with_counters=False):
+        raise RuntimeError("RESOURCE_EXHAUSTED: HBM full of other arrays")
+
+    monkeypatch.setattr(rs, "reject_stack_pallas", transient)
+    assert rs.reject_stack_auto(vals, "sigma", 3.0, 3.0) is None
+    assert not rs._RUNTIME_DISABLED and not rs._OOM_SHAPES
+
+
+def test_auto_force_skips_tracers(monkeypatch):
+    """Under an outer jit trace the result is abstract: _force must
+    decline (no ConcretizationTypeError, no disable_fused) and the
+    shape must NOT be marked validated."""
+    import jax
+    import jax.numpy as jnp
+    import siriltpu.ops.pallas.reject_stack as rs
+    from siriltpu.ops.rejection import reject_and_mean
+
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.integers(900, 1100, (16, 512)).astype(np.uint16))
+    # reference BEFORE patching _on_tpu — afterwards reject_and_mean
+    # itself would route through the fused path and validate the shape
+    want, _, _ = reject_and_mean(vals, "sigma", (3.0, 3.0))
+
+    _auto_env(monkeypatch, rs)
+    # interpret=True so the real kernel runs on the CPU test backend
+    real = rs.reject_stack_pallas
+    monkeypatch.setattr(
+        rs, "reject_stack_pallas",
+        lambda v, rej, lo, hi, tile, with_counters=False: real(
+            v, rej, lo, hi, tile=tile, interpret=True,
+            with_counters=with_counters))
+
+    @jax.jit
+    def run(v):
+        return rs.reject_stack_auto(v, "sigma", 3.0, 3.0)
+
+    out = run(vals)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    assert not rs._RUNTIME_DISABLED
+    assert not rs._OK_SHAPES  # traced first call cannot validate
