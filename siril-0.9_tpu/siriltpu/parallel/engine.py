@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Any, Callable, List, Optional
 
 from siriltpu.core.frame import Frame
+from siriltpu.utils.hostmem import relieve_map_pressure
 
 
 class CancelledError(Exception):
@@ -71,6 +72,10 @@ class SequenceEngine:
             t.join()
             pos += self.chunk
             pending = nxt
+            # long campaigns compile many distinct programs; purge jax's
+            # executable caches before the process nears the kernel's
+            # mapping limit (see utils.hostmem.relieve_map_pressure)
+            relieve_map_pressure()
         return results
 
 

@@ -28,3 +28,21 @@ if _PKG not in sys.path:
 from siriltpu.utils.compcache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+import pytest  # noqa: E402
+
+from siriltpu.utils.hostmem import relieve_map_pressure  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _map_pressure_guard():
+    """The full suite jits ~19k distinct programs; every loaded XLA:CPU
+    executable pins ~3 anonymous code mappings, so one pytest process
+    crosses the kernel's vm.max_map_count (65530) around test ~380 and
+    SEGFAULTS in whatever mmaps next (observed inside the jax
+    compilation cache's serialize/deserialize). Purge jax's executable
+    caches whenever the mapping table nears the limit — recompiles are
+    persistent-cache disk hits, so the purge costs seconds, not
+    minutes."""
+    yield
+    relieve_map_pressure()

@@ -162,3 +162,24 @@ def test_siril_cfg_import(tmp_path):
     # the CLI -i flag routes .cfg files through the importer
     st = make_state(str(tmp_path), str(cfg))
     assert st.settings.stack_rejection == "winsorized"
+
+
+def test_map_pressure_relief():
+    """map_count reads this process's mapping table; a zero-threshold
+    relieve purges jax's executable caches (the guard that keeps long
+    processes under the kernel's vm.max_map_count — each loaded XLA:CPU
+    executable pins ~3 code mappings until collected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from siriltpu.utils.hostmem import map_count, relieve_map_pressure
+
+    n0 = map_count()
+    assert n0 > 100  # a live jax process holds at least hundreds
+
+    # create a few distinct executables, then force a purge
+    for i in range(5):
+        jax.jit(lambda x, i=i: (x + i).sum())(jnp.ones((4,)))
+    assert relieve_map_pressure(frac=0.0) is True
+    # under the real threshold, a freshly purged process does not purge
+    assert relieve_map_pressure() is False
