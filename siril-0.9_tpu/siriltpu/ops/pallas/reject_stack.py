@@ -141,7 +141,7 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
     iota_shape = (n_rows, tile)
 
     def kernel(masks_ref, x_ref, out_ref, degen_ref, rejl_ref,
-               rejh_ref):
+               rejh_ref, work_ref=None):
         # (f_real, tile) block; pad rows (constant 65535) are appended
         # IN VMEM so the (n_rows, P) padded copy never exists in HBM —
         # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
@@ -253,15 +253,21 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
 
         if rejection == "sigmedian":
             # replace-and-resort loop (stacking.c:1696-1708); n never
-            # shrinks, no window, no degenerate path
+            # shrinks, no window, no degenerate path. The working
+            # vector lives in a VMEM scratch ref, NOT in the while_loop
+            # carry: a big carried value makes Mosaic double-buffer the
+            # loop state (two (n_rows, tile) buffers plus spills), while
+            # a ref is one buffer mutated in place.
             real = iota < f_real
+            work_ref[:] = x
 
             def s_cond(state):
-                _, done, _, _, it = state
+                done, _, _, it = state
                 return jnp.logical_and(jnp.min(done) == 0, it < MAX_ITERS)
 
             def s_body(state):
-                v, done, rl, rh, it = state
+                done, rl, rh, it = state
+                v = work_ref[:]
                 anchor = jnp.sum(jnp.where(iota == f_real // 2, v, 0),
                                  axis=0, keepdims=True)
                 sigma = exact_sd(v, real, full_n, anchor)
@@ -276,22 +282,26 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                                 ).astype(jnp.int32)
                 upd = done == 0
                 v_new = jnp.where(flags & upd, medw, v)
-                v_new = run_network(v_new, masks_ref)
+                # done pixels are untouched: resorting their already-
+                # sorted column is the identity, so one unconditional
+                # network pass is correct for every pixel
+                work_ref[:] = run_network(v_new, masks_ref)
                 rl = rl + jnp.where(upd, jnp.sum(
                     low, axis=0, keepdims=True).astype(jnp.int32), 0)
                 rh = rh + jnp.where(upd, jnp.sum(
                     high, axis=0, keepdims=True).astype(jnp.int32), 0)
                 done = jnp.maximum(
                     done, ((nrep == 0) | (full_n <= 3)).astype(jnp.int32))
-                return v_new, done, rl, rh, it + 1
+                return done, rl, rh, it + 1
 
             # first pass always executes (matches reject_sigmedian: done
             # is evaluated AFTER the replacement)
-            v, _, rl, rh, _ = jax.lax.while_loop(
+            _, rl, rh, _ = jax.lax.while_loop(
                 s_cond, s_body,
-                (x, jnp.zeros((1, tile), jnp.int32),
+                (jnp.zeros((1, tile), jnp.int32),
                  jnp.zeros((1, tile), jnp.int32),
                  jnp.zeros((1, tile), jnp.int32), jnp.int32(0)))
+            v = work_ref[:]
             real_mask = iota < f_real
             out_ref[:] = exact_mean_u16(
                 v, real_mask, full_n).astype(jnp.uint16)
@@ -334,18 +344,25 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 sig = exact_sd(x, mask, n, anchor_w)
                 return med, sig
             # winsorized: fixed point over a working copy w (integers in
-            # the shifted domain; round_shift keeps them integer)
+            # the shifted domain; round_shift keeps them integer). The
+            # working copy lives in a VMEM scratch ref, NOT in the
+            # while_loop carry — a big carried value in a NESTED loop
+            # made Mosaic hold a ~15 MB tile-independent loop-state
+            # stack that capped the fused path at F<=768; the ref is a
+            # single in-place buffer.
             med0 = win_median(svi, lo, n)
             anch0 = jnp.sum(jnp.where(iota == lo + n // 2, svi, 0),
                             axis=0, keepdims=True)
             sig0 = exact_sd(svi, mask, n, anch0)
+            work_ref[:] = svi
 
             def w_cond(ws):
-                _, _, _, conv, it = ws
+                _, _, conv, it = ws
                 return jnp.logical_and(jnp.min(conv) == 0, it < MAX_ITERS)
 
             def w_body(ws):
-                w, med_c, sig_c, conv, it = ws
+                med_c, sig_c, conv, it = ws
+                w = work_ref[:]
                 m0 = med_c - 1.5 * sig_c
                 m1 = med_c + 1.5 * sig_c
                 wf = w.astype(jnp.float32)
@@ -366,15 +383,15 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                     jnp.abs(sig_new - sig_c)
                     / jnp.maximum(sig_c, 1e-30) <= 0.0005)
                 convb = conv != 0
-                w = jnp.where(convb, w, wv)
+                work_ref[:] = jnp.where(convb, w, wv)
                 med_c = jnp.where(convb, med_c, med_new)
                 sig_c = jnp.where(convb, sig_c, sig_new)
                 conv = jnp.maximum(conv, newconv.astype(jnp.int32))
-                return w, med_c, sig_c, conv, it + 1
+                return med_c, sig_c, conv, it + 1
 
-            ws = (svi, med0, sig0, jnp.zeros((1, tile), jnp.int32),
+            ws = (med0, sig0, jnp.zeros((1, tile), jnp.int32),
                   jnp.int32(0))
-            _, med, sig, _, _ = jax.lax.while_loop(w_cond, w_body, ws)
+            med, sig, _, _ = jax.lax.while_loop(w_cond, w_body, ws)
             return med, sig
 
         # comparison values are cast per outer iteration (a (n_rows,
@@ -457,10 +474,13 @@ _VMEM_FACTOR = {"sigma": 12, "percentile": 5, "sigmedian": 12,
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
 
 #: measured frame-count ceilings for the fused kernels on this Mosaic
-#: (v5e, 2026-08): the winsorized nested fixed point carries ~15 KB of
-#: loop state PER ROW regardless of tile — F=768 compiles and runs
-#: (0.14 s per 640x480x1000-class plane), F=896+ fails (scoped-VMEM
-#: OOM / backend InvalidArgument). Shapes beyond the ceiling use the
+#: (v5e, 2026-08): F=768 compiles and runs (0.14 s per
+#: 640x480x1000-class plane), F=896+ fails. Moving the winsorized
+#: working copy from while_loop carry to a VMEM scratch ref did NOT
+#: lift the ceiling — F=1000 then fails as a hard compiler crash
+#: (tpu_compile_helper subprocess exit 1, HTTP 500) rather than a
+#: scoped-VMEM OOM, i.e. the limit is inside Mosaic's nested-loop
+#: lowering, not our buffer budget. Shapes beyond the ceiling use the
 #: HBM block path without attempting a compile that is known to fail
 #: (each failed remote compile costs ~10-60 s and can wedge the
 #: tunnel).
@@ -610,6 +630,11 @@ def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
         masks[2 * ri + 1] = hi
     row = pl.BlockSpec((1, tile), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
+    # winsorized/sigmedian mutate a working copy across loop iterations;
+    # it lives in a VMEM scratch ref (one buffer, in-place) instead of
+    # the while_loop carry (which Mosaic double-buffers + spills)
+    scratch = ([pltpu.VMEM((n_rows, tile), jnp.int32)]
+               if rejection in ("winsorized", "sigmedian") else [])
     out, degen, rejl, rejh = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((1, p), jnp.uint16),
@@ -624,6 +649,7 @@ def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[row, row, row, row],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(masks), vals)
     return out[0], degen[0], rejl[0], rejh[0]
