@@ -11,6 +11,11 @@ vs_baseline = value / 50.
 Metric definitions (both are emitted every round, r04+):
   fps_compute     — compute-sustained throughput, synced per batch by a
                     scalar fetch (the r03+ headline; `value` is this).
+  fps_pipelined   — same pipeline, but batch N's scalar is fetched after
+                    batch N+1 is dispatched (production consumer
+                    pattern: the ~30 ms tunnel round-trip + host
+                    dispatch overlap device compute). Extra field only —
+                    never the headline.
   fps_incl_drain  — steady-state throughput when the full stacked-image
                     drain overlaps the next batch (max(compute, transfer);
                     this environment's host<->TPU tunnel moves ~35 MB/s,
@@ -96,6 +101,15 @@ def worker():
         emit({"phase": "run", "i": i, "fps": round(fps_i, 2),
               "drain": drain})
 
+    # extra figure, NOT the headline: batch N's scalar fetched after
+    # batch N+1 is dispatched, overlapping the tunnel round-trip and
+    # host dispatch with device compute (the production consumer
+    # pattern). The headline `value` stays the per-batch-blocking v2
+    # definition for round-over-round comparability.
+    fps_pipe = bench.run(repeats=reps, pipelined=True) if reps > 1 else None
+    if fps_pipe is not None:
+        emit({"phase": "pipelined", "fps": round(fps_pipe, 2)})
+
     srt = sorted(runs)
     fps = srt[len(srt) // 2]
     result = {
@@ -104,6 +118,7 @@ def worker():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "fps_compute": round(fps, 2),
+        "fps_pipelined": None if fps_pipe is None else round(fps_pipe, 2),
         "fps_incl_drain": (drain or {}).get("fps_incl_drain"),
         "drain_s": (drain or {}).get("drain_s"),
         "drain_mbps": (drain or {}).get("drain_mbps"),
@@ -243,6 +258,7 @@ def _update_history(result):
     entry = {"ts": int(time.time()), "metric": result["metric"],
              "metric_def": result.get("metric_def"),
              "fps_compute": result.get("fps_compute"),
+             "fps_pipelined": result.get("fps_pipelined"),
              "fps_incl_drain": result.get("fps_incl_drain"),
              "partial": bool(result.get("partial"))}
     if prev and prev.get("fps_compute"):

@@ -133,14 +133,29 @@ def main():
     t0 = time.perf_counter(); found = peaker(img[0])
     report(f"starfind {W4}x{H4} ({len(found)} stars)",
            time.perf_counter() - t0)
-    Hm = jnp.asarray(np.linalg.inv(np.array(
-        [[1.0, 0.001, 2.3], [-0.001, 1.0, -1.7], [0, 0, 1.0]])), jnp.float32)
+    Hinv_np = np.linalg.inv(np.array(
+        [[1.0, 0.001, 2.3], [-0.001, 1.0, -1.7], [0, 0, 1.0]]))
+    Hm = jnp.asarray(Hinv_np, jnp.float32)
     d = jnp.asarray(img[0].astype(np.float32))
+    # the production registration path is the TILED banded sampler
+    # (warp.py); the gather fallback only runs for far-from-identity
+    # warps — measure both, with the tiled one as the headline stage
+    from siriltpu.ops.warp import _tiled_plan, _warp_perspective_tiled
+    plan = _tiled_plan(Hinv_np, (H4, W4), (H4, W4), INTER_CUBIC)
+    assert plan is not None
+    w = _warp_perspective_tiled(d, Hm, (H4, W4), INTER_CUBIC, *plan)
+    _ = float(w[0, 0])
+    t0 = time.perf_counter()
+    w = _warp_perspective_tiled(d, Hm, (H4, W4), INTER_CUBIC, *plan)
+    _ = float(w[0, 0])
+    report(f"warp cubic {W4}x{H4} (tiled, production path)",
+           time.perf_counter() - t0)
     wfn = jax.jit(lambda im, h: warp_perspective(im, h, (H4, W4),
                                                  INTER_CUBIC))
     w = wfn(d, Hm); _ = float(w[0, 0])
     t0 = time.perf_counter(); w = wfn(d, Hm); _ = float(w[0, 0])
-    report(f"warp cubic {W4}x{H4}", time.perf_counter() - t0)
+    report(f"warp cubic {W4}x{H4} (gather fallback)",
+           time.perf_counter() - t0)
 
     # config 4: VNG + AHD demosaic at DSLR scale
     from siriltpu.ops.demosaic import debayer_buffer

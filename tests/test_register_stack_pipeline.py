@@ -33,6 +33,10 @@ def test_pipeline_small_bench_runs():
     bench = RegisterStackBench(size=128, nframes=8, block_rows=64)
     fps = bench.run()
     assert fps > 0
+    # pipelined consumer mode: batch N's scalar fetched after batch N+1
+    # is dispatched; still observes every batch, must also run green
+    fps_pipe = bench.run(repeats=2, pipelined=True)
+    assert fps_pipe > 0
 
 
 def test_align_slice_matches_gather_align():
