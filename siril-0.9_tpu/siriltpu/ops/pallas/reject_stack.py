@@ -508,6 +508,13 @@ def disable_fused(rejection: str, exc: BaseException) -> None:
                   stacklevel=3)
 
 
+#: measured per-rejection tile caps: for sigma at the north-star shape
+#: (F=100, 4096^2) tile 1024 runs 4% faster than 2048 (0.368 vs 0.383 s
+#: per batch, 3-rep same-window A/B, 2026-08) — the shorter grid step
+#: pipelines the HBM->VMEM DMA better than the larger block amortizes
+_TILE_CAP = {"sigma": 1024}
+
+
 def pick_tile(f: int, rejection: str, p: int):
     """Largest lane-aligned tile that keeps the kernel's working set
     within VMEM (None when even the smallest tile cannot fit — the
@@ -517,7 +524,8 @@ def pick_tile(f: int, rejection: str, p: int):
         return None
     n_rows = -(-f // _SUBLANE) * _SUBLANE
     factor = _VMEM_FACTOR[rejection]
-    for tile in _TILES:
+    cap = _TILE_CAP.get(rejection, _TILES[0])
+    for tile in (t for t in _TILES if t <= cap):
         # strict <: a pick exactly AT budget (sigma f=256/tile=1024,
         # 12.58M) was measured borderline — 16.65M scoped on one
         # compile, under 16M on another — so land one tile lower
