@@ -548,6 +548,17 @@ def _is_transient(exc: BaseException) -> bool:
             or "UNAVAILABLE" in s or "DEADLINE_EXCEEDED" in s)
 
 
+def _is_compiler_crash(exc: BaseException) -> bool:
+    """A remote-compile hard failure (HTTP 500 / compile-helper exit).
+    Observed both as a per-shape Mosaic crash (winsorized F>=896) and
+    as a wedged-tunnel transient — either way it condemns at most the
+    SHAPE, never the rejection: fall back to the HBM path for this
+    frame count and keep the fused kernel for others."""
+    s = str(exc)
+    return "remote_compile" in s or "compile_helper" in s \
+        or "tpu_compile_helper" in s
+
+
 #: (rejection, f) shapes that overflowed scoped VMEM even at the
 #: smallest tile — those shapes use the HBM path, WITHOUT disabling the
 #: fused kernel for other frame counts (OOM is a property of the shape,
@@ -613,6 +624,9 @@ def reject_stack_auto(vals: jnp.ndarray, rejection: str, siglow: float,
             if _is_vmem_oom(e):
                 if tile > _TILES[-1]:
                     continue
+                _OOM_SHAPES.add((rejection, f))
+                return None
+            if _is_compiler_crash(e):
                 _OOM_SHAPES.add((rejection, f))
                 return None
             if _is_transient(e):

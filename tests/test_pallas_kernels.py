@@ -270,6 +270,36 @@ def test_auto_transient_error_does_not_disable(monkeypatch):
     assert not rs._RUNTIME_DISABLED and not rs._OOM_SHAPES
 
 
+def test_auto_compiler_crash_condemns_shape_not_rejection(monkeypatch):
+    """A remote-compile hard failure (HTTP 500 / tpu_compile_helper
+    crash — seen both as a per-shape Mosaic crash and as a wedged
+    tunnel) must fall back for THIS frame count only: the shape is
+    memoized like an OOM, and the fused kernel stays enabled for other
+    frame counts."""
+    import jax.numpy as jnp
+    import siriltpu.ops.pallas.reject_stack as rs
+
+    _auto_env(monkeypatch, rs)
+    vals = jnp.zeros((16, 512), jnp.uint16)
+
+    def crash(v, rejection, lo, hi, tile, with_counters=False):
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1")
+
+    monkeypatch.setattr(rs, "reject_stack_pallas", crash)
+    assert rs.reject_stack_auto(vals, "winsorized", 3.0, 3.0) is None
+    assert ("winsorized", 16) in rs._OOM_SHAPES
+    assert not rs._RUNTIME_DISABLED
+    # other frame counts still attempt the fused kernel
+    ok = jnp.full((512,), 3, jnp.uint16)
+    monkeypatch.setattr(rs, "reject_stack_pallas",
+                        lambda *a, **k: ok)
+    out = rs.reject_stack_auto(jnp.zeros((24, 512), jnp.uint16),
+                               "winsorized", 3.0, 3.0)
+    assert out is not None and int(out[0]) == 3
+
+
 def test_auto_force_skips_tracers(monkeypatch):
     """Under an outer jit trace the result is abstract: _force must
     decline (no ConcretizationTypeError, no disable_fused) and the
