@@ -60,7 +60,8 @@ _SUBLANE = 8  # sublane-tile granularity for i32; unaligned sublane
 #: see tests for a constructed case; real stacks hit 0)
 DEGEN_K = 128
 
-PALLAS_REJECTIONS = ("sigma", "winsorized", "percentile", "sigmedian")
+PALLAS_REJECTIONS = ("sigma", "winsorized", "percentile", "sigmedian",
+                     "median")
 
 
 def _plan_stages(f_real: int):
@@ -224,6 +225,22 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
 
         z = jnp.zeros((1, tile), jnp.int32)
         full_n = jnp.full((1, tile), f_real, jnp.int32)
+
+        if rejection == "median":
+            # median stack pixel op (stacking.c:765-767): GSL sorted
+            # median of the full window, C-truncated to WORD on
+            # assignment (astype from f32 truncates toward zero). The
+            # pad rows sort to the end and the [0, f_real) window never
+            # sees them.
+            med = win_median(x, z, full_n)
+            # f32 -> i32 -> u16: Mosaic has no f32->u16 cast, and the
+            # i32 truncation toward zero IS the C truncation (med >= 0)
+            out_ref[:] = jnp.clip(med, 0.0, 65535.0).astype(
+                jnp.int32).astype(jnp.uint16)
+            degen_ref[:] = z
+            rejl_ref[:] = z
+            rejh_ref[:] = z
+            return
 
         if rejection == "percentile":
             # single pass (stacking.c:1130-1143, 1656-1673)
@@ -470,7 +487,7 @@ def _on_tpu() -> bool:
 #: reject_stack_auto retries smaller tiles when a shape still
 #: overflows the scoped-VMEM limit.
 _VMEM_FACTOR = {"sigma": 12, "percentile": 5, "sigmedian": 12,
-                "winsorized": 17}
+                "winsorized": 17, "median": 5}
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
 
 #: measured frame-count ceilings for the fused kernels on this Mosaic

@@ -685,8 +685,23 @@ def linearfit_hybrid_block(flat, sig=(3.0, 3.0)):
 
 def masked_median(vals: Array) -> Array:
     """Median stack pixel op (stacking.c:765-767): GSL sorted median,
-    C-truncated to WORD on assignment."""
+    C-truncated to WORD on assignment. Inputs are always WORD-valued
+    (raw uint16 or round_to_word-normalized floats), so on TPU the
+    fused VMEM kernel sorts in uint16 and returns the same truncated
+    median — one HBM pass instead of the HBM Batcher network."""
+    from siriltpu.ops.pallas.reject_stack import (_on_tpu, fused_usable,
+                                                  reject_stack_auto)
     f, p = vals.shape
+    if fused_usable("median") and _on_tpu():
+        pad = (-p) % 128
+        v16 = (vals if vals.dtype == jnp.uint16
+               else jnp.clip(vals, 0, 65535).astype(jnp.uint16))
+        if pad:
+            v16 = jnp.concatenate(
+                [v16, jnp.zeros((f, pad), jnp.uint16)], axis=1)
+        res = reject_stack_auto(v16, "median", 0.0, 0.0)
+        if res is not None:
+            return res[:p]
     sv = sort_axis0(vals)
     valid = jnp.ones((f, p), dtype=bool)
     n = jnp.full((p,), f, jnp.int32)

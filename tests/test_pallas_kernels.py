@@ -159,6 +159,31 @@ def test_reject_stack_pallas_counters_parity(rejection):
     np.testing.assert_array_equal(np.asarray(rejh), np.asarray(wh))
 
 
+def test_median_stack_pallas_matches_hbm():
+    """The fused median branch returns the HBM path's GSL sorted median
+    (mean of the two middle order statistics, C-truncated to WORD) —
+    bit-for-bit, odd and even frame counts, incl. extreme columns."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import reject_stack_pallas
+    from siriltpu.ops.rejection import _gsl_median, sort_axis0
+
+    rng = np.random.default_rng(5)
+    for F in (24, 25):
+        P = 512
+        vals = rng.integers(0, 65536, size=(F, P)).astype(np.uint16)
+        vals[:, 0] = 0
+        vals[:, 1] = 65535
+        vals[:, 2::61] = np.geomspace(1, 65535, F).astype(np.uint16)[:, None]
+        got = reject_stack_pallas(jnp.asarray(vals), "median", 0.0, 0.0,
+                                  tile=256, interpret=True)
+        sv = sort_axis0(jnp.asarray(vals).astype(jnp.float32))
+        valid = jnp.ones((F, P), dtype=bool)
+        n = jnp.full((P,), F, jnp.int32)
+        want = _gsl_median(sv, valid, n).astype(jnp.uint16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_reject_and_mean_tpu_route_padding(monkeypatch):
     """The TPU routing inside reject_and_mean lane-pads the pixel axis
     to a tile multiple and slices it back; simulate the route on CPU
