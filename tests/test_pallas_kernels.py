@@ -357,3 +357,20 @@ def test_auto_force_skips_tracers(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
     assert not rs._RUNTIME_DISABLED
     assert not rs._OK_SHAPES  # traced first call cannot validate
+
+
+def test_pick_tile_caps_and_budget():
+    """pick_tile respects the measured per-rejection tile caps (sigma
+    1024 — 4% faster than 2048 at the north-star shape), the VMEM
+    budget (tiles shrink as F grows), and the F ceilings (winsorized
+    F>768 -> None, HBM path)."""
+    from siriltpu.ops.pallas.reject_stack import pick_tile
+
+    P = 4096 * 4096
+    assert pick_tile(100, "sigma", P) == 1024          # capped, fits
+    assert pick_tile(100, "percentile", P) == 2048     # uncapped
+    assert pick_tile(100, "median", P) == 2048
+    t_small = pick_tile(600, "sigma", P)
+    assert t_small is not None and t_small < 1024      # budget shrinks
+    assert pick_tile(1000, "winsorized", 480 * 640) is None  # F ceiling
+    assert pick_tile(768, "winsorized", 480 * 640) is not None
