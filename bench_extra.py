@@ -26,11 +26,14 @@ def dim(x):
     return max(128, int(x * SCALE) & ~63)
 
 
-def _history_append(metric, value, unit):
+def _history_append(metric, value, unit, transfer_bound):
     """Per-stage history gate (committed BENCH_HISTORY.json): append the
     stage result and flag a >15% regression vs the previous run of the
     same stage at the same scale (lower is better for seconds, higher
-    for rates). Annotates only — never fails the run."""
+    for rates). Stages marked ``transfer_bound`` record history but are
+    never flagged: their value is dominated by this environment's
+    10-60 MB/s tunnel, whose round-to-round weather would fire the gate
+    on every run. Annotates only — never fails the run."""
     if SCALE != 1.0:
         return None   # off-scale runs aren't comparable across rounds
     try:
@@ -43,8 +46,10 @@ def _history_append(metric, value, unit):
                 None)
     entry = {"ts": int(time.time()), "kind": "stage", "metric": metric,
              "value": value, "unit": unit}
+    if transfer_bound:
+        entry["transfer_bound"] = True
     reg = None
-    if prev and prev.get("value"):
+    if not transfer_bound and prev and prev.get("value"):
         ratio = value / prev["value"]
         worse = ratio > 1.15 if unit == "s" else ratio < 0.85
         if worse:
@@ -56,13 +61,27 @@ def _history_append(metric, value, unit):
     return reg
 
 
-def report(metric, seconds, unit="s", **extra):
+def report(metric, seconds, unit="s", transfer_bound=False, **extra):
     value = round(seconds, 4 if unit != "s" else 3)
-    reg = _history_append(metric, value, unit)
+    reg = _history_append(metric, value, unit, transfer_bound)
     if reg is not None:
         extra["regression_vs_prev_pct"] = reg
+    if transfer_bound:
+        extra["transfer_bound"] = True
     print(json.dumps({"metric": metric, "value": value, "unit": unit,
                       **extra}))
+
+
+def best_of(fn, n=3):
+    """Min wall time of n calls (fn must sync internally) — short
+    device stages are dominated by the tunnel's scalar round-trip
+    jitter, and the min is the stable estimator."""
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def main():
@@ -85,15 +104,13 @@ def main():
     v = frames.reshape(F, H * W)
     out = sigma_stack_pallas(v, 3.0, 3.0)
     _ = float(out[0])
-    t0 = time.perf_counter()
-    out = sigma_stack_pallas(v, 3.0, 3.0)
-    _ = float(out[0])
-    report(f"sigma-clip stack {F}x{H}x{W}", time.perf_counter() - t0)
+    report(f"sigma-clip stack {F}x{H}x{W}", best_of(
+        lambda: float(sigma_stack_pallas(v, 3.0, 3.0)[0])))
     med = jax.jit(masked_median)
-    out = med(v.astype(jnp.float32)); _ = float(out[0])
-    t0 = time.perf_counter()
-    out = med(v.astype(jnp.float32)); _ = float(out[0])
-    report(f"median stack {F}x{H}x{W}", time.perf_counter() - t0)
+    vf = v.astype(jnp.float32)
+    out = med(vf); _ = float(out[0])
+    report(f"median stack {F}x{H}x{W}", best_of(
+        lambda: float(med(vf)[0])))
 
     # config 3: register + winsorized, 1000 x 480x640
     from siriltpu.pipelines.register_stack import register_and_stack
@@ -145,26 +162,34 @@ def main():
     assert plan is not None
     w = _warp_perspective_tiled(d, Hm, (H4, W4), INTER_CUBIC, *plan)
     _ = float(w[0, 0])
-    t0 = time.perf_counter()
-    w = _warp_perspective_tiled(d, Hm, (H4, W4), INTER_CUBIC, *plan)
-    _ = float(w[0, 0])
-    report(f"warp cubic {W4}x{H4} (tiled, production path)",
-           time.perf_counter() - t0)
+    report(f"warp cubic {W4}x{H4} (tiled, production path)", best_of(
+        lambda: float(_warp_perspective_tiled(
+            d, Hm, (H4, W4), INTER_CUBIC, *plan)[0, 0])))
     wfn = jax.jit(lambda im, h: warp_perspective(im, h, (H4, W4),
                                                  INTER_CUBIC))
     w = wfn(d, Hm); _ = float(w[0, 0])
-    t0 = time.perf_counter(); w = wfn(d, Hm); _ = float(w[0, 0])
-    report(f"warp cubic {W4}x{H4} (gather fallback)",
-           time.perf_counter() - t0)
+    report(f"warp cubic {W4}x{H4} (gather fallback)", best_of(
+        lambda: float(wfn(d, Hm)[0, 0])))
 
-    # config 4: VNG + AHD demosaic at DSLR scale
-    from siriltpu.ops.demosaic import debayer_buffer
+    # config 4: VNG + AHD demosaic at DSLR scale. The DEVICE figure
+    # (scalar-synced, input resident) is the comparable one; the
+    # buffer-level call moves ~150 MB over the tunnel per frame and is
+    # reported transfer-bound.
+    from siriltpu.ops.demosaic import (_VNG_FILTERS, _ahd_jax_fn,
+                                       _vng_jax_fn, debayer_buffer)
     H5, W5 = dim(3672), dim(5496)
     cfa = rng.integers(0, 16000, (H5, W5)).astype(np.uint16)
-    for m in ("vng", "ahd"):
-        debayer_buffer(cfa, "RGGB", m)
+    cfad = jnp.asarray(cfa)
+    _ = float(cfad[0, 0])
+    filters = _VNG_FILTERS["RGGB"]
+    for m, fn in (("vng", _vng_jax_fn(H5, W5, filters)),
+                  ("ahd", _ahd_jax_fn(H5, W5, filters))):
+        out = fn(cfad); _ = float(out[0, 0, 0])
+        report(f"{m} demosaic {W5}x{H5} (device)", best_of(
+            lambda: float(fn(cfad)[0, 0, 0])))
         t0 = time.perf_counter(); debayer_buffer(cfa, "RGGB", m)
-        report(f"{m} demosaic {W5}x{H5}", time.perf_counter() - t0)
+        report(f"{m} demosaic {W5}x{H5} (incl. host round-trip)",
+               time.perf_counter() - t0, transfer_bound=True)
 
     # config 5: bgextract + autostretch at 6K x 4K RGB
     from siriltpu.ops.background import subtract_background
@@ -174,9 +199,11 @@ def main():
     rgb = np.clip(rng.normal(800 + 0.08 * yy + 0.05 * xx, 40, (3, H6, W6)),
                   0, 65535).astype(np.uint16)
     t0 = time.perf_counter(); sub = subtract_background(rgb)
-    report(f"bgextract order4 {W6}x{H6} RGB", time.perf_counter() - t0)
+    report(f"bgextract order4 {W6}x{H6} RGB", time.perf_counter() - t0,
+           transfer_bound=True)
     t0 = time.perf_counter(); autostretch(sub)
-    report(f"autostretch {W6}x{H6} RGB", time.perf_counter() - t0)
+    report(f"autostretch {W6}x{H6} RGB", time.perf_counter() - t0,
+           transfer_bound=True)
 
     # batched ECC registration throughput (the reference's OpenMP-over-
     # frames loop, registration.c:849-852 / ecc.cpp:307) — frames/s for
@@ -197,9 +224,7 @@ def main():
     fre8 = jnp.minimum(fre / 257.0, 255.0)
     ecc_fn = jax.jit(ecc_translation_batch)
     tx, ty, rho = ecc_fn(tmpl8, fre8); _ = float(tx[0])
-    t0 = time.perf_counter()
-    tx, ty, rho = ecc_fn(tmpl8, fre8); _ = float(tx[0])
-    dt = time.perf_counter() - t0
+    dt = best_of(lambda: float(ecc_fn(tmpl8, fre8)[0][0]))
     report(f"ECC registration batched {Fe}x{We}x{He} (frames/s)", Fe / dt,
            unit="frames/s")
 
@@ -236,7 +261,7 @@ def main():
     assert res.data.shape[0] == 1
     dt = time.perf_counter() - t0
     report(f"FILE-BACKED SER register+stack {Ff}x{Wf}x{Hf} incl. I/O "
-           f"(frames/s)", Ff / dt, unit="frames/s")
+           f"(frames/s)", Ff / dt, unit="frames/s", transfer_bound=True)
 
     # config 4 END-TO-END: global star alignment (peaker -> triangle
     # match -> RANSAC homography -> warp) over an in-memory sequence of
@@ -256,7 +281,7 @@ def main():
     dt = time.perf_counter() - t0
     assert rep.registered >= Fg - 1, rep
     report(f"global star alignment {Fg}x{Wg}x{Hg} (frames/s)", Fg / dt,
-           unit="frames/s")
+           unit="frames/s", transfer_bound=True)
 
     # config 4 FILE-BACKED: the chunked register path end-to-end from a
     # SER on disk (loader thread -> batched star find -> host match ->
@@ -298,6 +323,7 @@ def main():
     ach_mbps = payload / dt / 1e6
     report(f"config4 FILE-BACKED global alignment {Fc4}x{Wc4}x{Hc4} "
            "SER->register->SER (frames/s)", Fc4 / dt, unit="frames/s",
+           transfer_bound=True,
            payload_mbps=round(ach_mbps, 1),
            raw_link_mbps=round(raw_mbps, 1),
            link_saturation=round(ach_mbps / raw_mbps, 3))
@@ -335,7 +361,7 @@ def main():
     assert rep5.failed == 0, rep5
     stages = {k: round(v, 2) for k, v in rep5.stage_seconds.items()}
     report(f"config5 FULL CHAIN {F5}x{W5}x{H5} RGB (frames/s incl. I/O)",
-           F5 / dt, unit="frames/s", stages_s=stages)
+           F5 / dt, unit="frames/s", transfer_bound=True, stages_s=stages)
 
 
 if __name__ == "__main__":

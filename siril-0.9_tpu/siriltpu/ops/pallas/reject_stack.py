@@ -97,8 +97,15 @@ def _plan_stages(f_real: int):
         hi[np.where(hi)[0][dead]] = False
         if not lo.any():
             continue
-        lo = lo[:n_rows]
-        hi = hi[:n_rows]
+        if len(lo) < n_rows:
+            # f_real <= 4: the power-of-two network (n_net = 1, 2 or 4)
+            # is SHORTER than the 8-row sublane buffer — pad the stage
+            # masks with False so the pad rows are never exchanged
+            lo = np.pad(lo, (0, n_rows - len(lo)))
+            hi = np.pad(hi, (0, n_rows - len(hi)))
+        else:
+            lo = lo[:n_rows]
+            hi = hi[:n_rows]
         segs = (slice_segments(k, lo, hi, n_rows, _SUBLANE)
                 if k >= _SUBLANE else None)
         if segs is not None:
@@ -538,6 +545,12 @@ def pick_tile(f: int, rejection: str, p: int):
     caller must use the HBM block path). Frame counts in the hundreds
     shrink the tile instead of failing."""
     if f > _F_MAX.get(rejection, 1 << 30):
+        return None
+    if rejection in ("sigma", "winsorized") and f <= 4:
+        # N <= 4 hits the reference's mid-scan break on EVERY pixel
+        # (stacking.c:1684), so the whole plane would be degenerate —
+        # far beyond the DEGEN_K exact-fixup budget. Tiny stacks run
+        # the bit-exact HBM path (they're cheap there anyway).
         return None
     n_rows = -(-f // _SUBLANE) * _SUBLANE
     factor = _VMEM_FACTOR[rejection]

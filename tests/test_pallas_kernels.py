@@ -374,3 +374,53 @@ def test_pick_tile_caps_and_budget():
     assert t_small is not None and t_small < 1024      # budget shrinks
     assert pick_tile(1000, "winsorized", 480 * 640) is None  # F ceiling
     assert pick_tile(768, "winsorized", 480 * 640) is not None
+
+
+@pytest.mark.parametrize("rejection", ["percentile", "sigmedian",
+                                       "median"])
+@pytest.mark.parametrize("F", [2, 3, 4, 5])
+def test_reject_stack_pallas_tiny_frame_counts(rejection, F):
+    """F <= 4 makes the power-of-two sort network SHORTER than the
+    8-row sublane buffer; the stage masks must pad, not crash (a crash
+    here used to disable the fused path for the whole process when a
+    short stack hit it first). Parity vs the HBM kernels holds down to
+    F=2 for the non-windowed rejections; sigma/winsorized at F <= 4 are
+    ENTIRELY degenerate (every pixel hits the reference's mid-scan
+    break), so pick_tile refuses them — see
+    test_pick_tile_refuses_tiny_windowed."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import reject_stack_pallas
+    from siriltpu.ops.rejection import _gsl_median, sort_axis0
+
+    rng = np.random.default_rng(200 + F)
+    P = 256
+    vals = rng.integers(100, 60000, size=(F, P)).astype(np.uint16)
+    sig = (0.2, 0.2) if rejection == "percentile" else (2.5, 2.5)
+    got = np.asarray(reject_stack_pallas(jnp.asarray(vals), rejection,
+                                         sig[0], sig[1], tile=256,
+                                         interpret=True))
+    if rejection == "median":
+        sv = sort_axis0(jnp.asarray(vals).astype(jnp.float32))
+        want = np.asarray(_gsl_median(
+            sv, jnp.ones((F, P), bool),
+            jnp.full((P,), F, jnp.int32)).astype(jnp.uint16))
+    else:
+        want, _, _ = reject_and_mean(
+            jnp.asarray(vals) if rejection == "sigma"
+            else jnp.asarray(vals).astype(jnp.float32), rejection, sig)
+        want = np.asarray(want)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pick_tile_refuses_tiny_windowed():
+    """sigma/winsorized at F <= 4 are entirely degenerate (the C break
+    fires on every pixel), beyond the DEGEN_K fixup — pick_tile must
+    route them to the HBM path; the non-windowed rejections stay."""
+    from siriltpu.ops.pallas.reject_stack import pick_tile
+
+    for rej in ("sigma", "winsorized"):
+        assert pick_tile(4, rej, 2048) is None
+        assert pick_tile(5, rej, 2048) is not None
+    for rej in ("percentile", "sigmedian", "median"):
+        assert pick_tile(4, rej, 2048) is not None
