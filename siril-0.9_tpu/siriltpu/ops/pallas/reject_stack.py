@@ -356,36 +356,46 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 r = jnp.where(t <= lo_clip, lo_clip, r)
                 return jnp.where(t > hi_clip, hi_clip, r)
 
-        def estimate(lo, hi):
-            """(median, sigma) of the window in the comparison domain."""
-            n = hi - lo
-            mask = (iota >= lo) & (iota < hi)
-            if rejection == "sigma":
-                med = win_median(x, lo, n)
-                anchor_w = jnp.sum(
-                    jnp.where(iota == lo + (n - 1) // 2, x, 0),
-                    axis=0, keepdims=True)
-                sig = exact_sd(x, mask, n, anchor_w)
-                return med, sig
-            # winsorized: fixed point over a working copy w (integers in
-            # the shifted domain; round_shift keeps them integer). The
-            # working copy lives in a VMEM scratch ref, NOT in the
-            # while_loop carry — a big carried value in a NESTED loop
-            # made Mosaic hold a ~15 MB tile-independent loop-state
-            # stack that capped the fused path at F<=768; the ref is a
-            # single in-place buffer.
-            med0 = win_median(svi, lo, n)
-            anch0 = jnp.sum(jnp.where(iota == lo + n // 2, svi, 0),
-                            axis=0, keepdims=True)
-            sig0 = exact_sd(svi, mask, n, anch0)
+            def win_init(lo, hi):
+                """Starting (median, sigma) of the fixed point for the
+                window [lo, lo+n): statistics of svi before any
+                winsorization step (reject_winsorized's sigma/median
+                head, stacking.c:1713-1716)."""
+                n = hi - lo
+                mask = (iota >= lo) & (iota < hi)
+                med0 = win_median(svi, lo, n)
+                anch0 = jnp.sum(jnp.where(iota == lo + n // 2, svi, 0),
+                                axis=0, keepdims=True)
+                sig0 = exact_sd(svi, mask, n, anch0)
+                return med0, sig0
+
+            # FLAT loop: the winsorization fixed point (stacking.c:
+            # 1718-1736) nested inside the outer clip loop crashed
+            # Mosaic's nested-while lowering for F >= 896 (hard
+            # tpu_compile_helper exit, ROUND4.md) — the per-shape
+            # _F_MAX ceiling that forced config 3's 1000-frame stack
+            # onto the HBM path. The nesting is unnecessary: the inner
+            # loop already synchronises the whole tile (it runs until
+            # EVERY pixel's sigma converges; converged pixels are
+            # frozen) before each outer window step, so the two loops
+            # interleave exactly as a single while_loop with a scalar
+            # phase flag — phase 0 runs one winsorization step for all
+            # unconverged pixels, phase 1 runs one outer clip step and
+            # re-seeds the fixed point for pixels that continue.
+            # TWO SEQUENTIAL one-armed lax.conds execute only the live
+            # step per iteration — and, unlike one two-armed cond,
+            # their big temporaries are never simultaneously live, so
+            # the scoped-VMEM stack is max(inner, outer), not the sum
+            # (one two-armed cond measured 21.4M at F=1000, over the
+            # 16M limit; the phase rides in the state tuple).
+            med_i0, sig_i0 = win_init(z, full_n)
             work_ref[:] = svi
 
-            def w_cond(ws):
-                _, _, conv, it = ws
-                return jnp.logical_and(jnp.min(conv) == 0, it < MAX_ITERS)
-
-            def w_body(ws):
-                med_c, sig_c, conv, it = ws
+            def w_inner(state):
+                (lo, hi, r, done, degen, med_c, sig_c, conv, oit, iit,
+                 _) = state
+                n = hi - lo
+                mask = (iota >= lo) & (iota < hi)
                 w = work_ref[:]
                 m0 = med_c - 1.5 * sig_c
                 m1 = med_c + 1.5 * sig_c
@@ -407,21 +417,106 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                     jnp.abs(sig_new - sig_c)
                     / jnp.maximum(sig_c, 1e-30) <= 0.0005)
                 convb = conv != 0
+                # branches write work_ref IN PLACE and return only the
+                # small (1, tile) state: returning the big buffer
+                # through lax.cond materialized an extra (n_rows, tile)
+                # cond output (measured +5.4 MB scoped VMEM at F=1000)
                 work_ref[:] = jnp.where(convb, w, wv)
                 med_c = jnp.where(convb, med_c, med_new)
                 sig_c = jnp.where(convb, sig_c, sig_new)
                 conv = jnp.maximum(conv, newconv.astype(jnp.int32))
-                return med_c, sig_c, conv, it + 1
+                iit = iit + 1
+                # all active pixels converged (or the fixed-point
+                # iteration cap hit) -> next iteration runs the outer
+                # clip step
+                phase = jnp.where(
+                    jnp.logical_or(jnp.min(conv) != 0, iit >= MAX_ITERS),
+                    jnp.int32(1), jnp.int32(0))
+                return (lo, hi, r, done, degen, med_c, sig_c, conv,
+                        oit, iit, phase)
 
-            ws = (med0, sig0, jnp.zeros((1, tile), jnp.int32),
-                  jnp.int32(0))
-            med, sig, _, _ = jax.lax.while_loop(w_cond, w_body, ws)
+            def w_outer(state):
+                (lo, hi, r, done, degen, med_c, sig_c, conv, oit, iit,
+                 _) = state
+                n = hi - lo
+                mask = (iota >= lo) & (iota < hi)
+                cmp_vals = svi.astype(jnp.float32)
+                low = mask & (med_c - cmp_vals > siglow * sig_c)
+                high = mask & (cmp_vals - med_c > sighigh * sig_c)
+                nlow = jnp.sum(low, axis=0, keepdims=True
+                               ).astype(jnp.int32)
+                nhigh = jnp.sum(high, axis=0, keepdims=True
+                                ).astype(jnp.int32)
+                hits_break = ((n - r - (nlow + nhigh)) <= 4
+                              ).astype(jnp.int32)
+                removed = nlow + nhigh
+                upd = (done == 0) & (hits_break == 0)
+                lo = jnp.where(upd, lo + nlow, lo)
+                hi = jnp.where(upd, hi - nhigh, hi)
+                r = jnp.where(upd, r + removed, r)
+                degen = jnp.maximum(
+                    degen, jnp.where(done == 0, hits_break, 0))
+                newdone = hits_break | ((removed == 0)
+                                        | ((hi - lo) <= 3)).astype(jnp.int32)
+                done = jnp.maximum(done, newdone)
+                # re-seed the fixed point for pixels that continue;
+                # finished pixels keep conv=1 so the inner step skips
+                # them (their med/sig are dead once done)
+                cont = done == 0
+                med0, sig0 = win_init(lo, hi)
+                med_c = jnp.where(cont, med0, med_c)
+                sig_c = jnp.where(cont, sig0, sig_c)
+                conv = jnp.where(cont, 0, 1)
+                work_ref[:] = jnp.where(cont, svi, work_ref[:])
+                return (lo, hi, r, done, degen, med_c, sig_c, conv,
+                        oit + 1, jnp.int32(0), jnp.int32(0))
+
+            def f_cond(fs):
+                done, oit = fs[3], fs[8]
+                return jnp.logical_and(jnp.min(done) == 0,
+                                       oit < MAX_ITERS)
+
+            def f_body(fs):
+                # inner first; if it just converged (phase -> 1) the
+                # outer step runs IN THE SAME ITERATION — identical
+                # semantics to alternating iterations, fewer of them
+                fs = jax.lax.cond(fs[10] == 0, w_inner, lambda s: s, fs)
+                fs = jax.lax.cond(fs[10] == 1, w_outer, lambda s: s, fs)
+                return fs
+
+            fs0 = (z, full_n, z, jnp.zeros((1, tile), jnp.int32),
+                   jnp.zeros((1, tile), jnp.int32), med_i0, sig_i0,
+                   jnp.zeros((1, tile), jnp.int32), jnp.int32(0),
+                   jnp.int32(0), jnp.int32(0))
+            lo, hi, r, done, degen = jax.lax.while_loop(
+                f_cond, f_body, fs0)[:5]
+            mask = (iota >= lo) & (iota < hi)
+            # mean of x over the window == mean of svi, shifted back by
+            # the anchor inside the exact integer sum (x is dead above)
+            out_ref[:] = exact_mean_u16(
+                svi, mask, hi - lo, offset=anchor).astype(jnp.uint16)
+            degen_ref[:] = degen
+            rejl_ref[:] = lo
+            rejh_ref[:] = full_n - hi
+            return
+
+        # ---- sigma: windowed iterative clip ----
+
+        def estimate(lo, hi):
+            """(median, sigma) of the window."""
+            n = hi - lo
+            mask = (iota >= lo) & (iota < hi)
+            med = win_median(x, lo, n)
+            anchor_w = jnp.sum(
+                jnp.where(iota == lo + (n - 1) // 2, x, 0),
+                axis=0, keepdims=True)
+            sig = exact_sd(x, mask, n, anchor_w)
             return med, sig
 
         # comparison values are cast per outer iteration (a (n_rows,
         # tile) VPU cast, ~free vs estimate()) instead of held live in
         # f32 across the whole loop
-        cmp_src = svi if rejection == "winsorized" else x
+        cmp_src = x
 
         def cond(state):
             lo, hi, r, done, degen, it = state
@@ -458,14 +553,7 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                  jnp.zeros((1, tile), jnp.int32), jnp.int32(0))
         lo, hi, r, done, degen, _ = jax.lax.while_loop(cond, body, state)
         mask = (iota >= lo) & (iota < hi)
-        if rejection == "winsorized":
-            # mean of x over the window == mean of svi, shifted back by
-            # the anchor inside the exact integer sum (x is dead above)
-            out_ref[:] = exact_mean_u16(
-                svi, mask, hi - lo, offset=anchor).astype(jnp.uint16)
-        else:
-            out_ref[:] = exact_mean_u16(x, mask, hi - lo
-                                        ).astype(jnp.uint16)
+        out_ref[:] = exact_mean_u16(x, mask, hi - lo).astype(jnp.uint16)
         degen_ref[:] = degen
         # window movements ARE the counters: every counted low reject
         # advanced lo, every high reject lowered hi (degenerate pixels
@@ -498,17 +586,15 @@ _VMEM_FACTOR = {"sigma": 12, "percentile": 5, "sigmedian": 12,
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
 
 #: measured frame-count ceilings for the fused kernels on this Mosaic
-#: (v5e, 2026-08): F=768 compiles and runs (0.14 s per
-#: 640x480x1000-class plane), F=896+ fails. Moving the winsorized
-#: working copy from while_loop carry to a VMEM scratch ref did NOT
-#: lift the ceiling — F=1000 then fails as a hard compiler crash
-#: (tpu_compile_helper subprocess exit 1, HTTP 500) rather than a
-#: scoped-VMEM OOM, i.e. the limit is inside Mosaic's nested-loop
-#: lowering, not our buffer budget. Shapes beyond the ceiling use the
-#: HBM block path without attempting a compile that is known to fail
-#: (each failed remote compile costs ~10-60 s and can wedge the
-#: tunnel).
-_F_MAX = {"winsorized": 768}
+#: (v5e, 2026-08). History: the NESTED winsorized loop (fixed point
+#: inside the clip loop) hard-crashed Mosaic's nested-while lowering at
+#: F>=896 (_F_MAX was 768). The FLAT phase-machine loop (r5) lowers
+#: cleanly — F=896 compiles and runs — but F=1000 still overflows the
+#: 16 MB scoped-VMEM stack (21.42M measured at tile 128, invariant
+#: across cond restructurings). Shapes beyond the ceiling use the HBM
+#: block path without attempting a compile that is known to fail
+#: (each failed remote compile costs ~10-60 s).
+_F_MAX = {"winsorized": 896}
 
 #: lane-aligned tile candidates, largest first
 _TILES = (2048, 1024, 512, 256, 128)

@@ -129,6 +129,32 @@ def test_reject_stack_pallas_winsorized_degenerate():
     np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_reject_stack_pallas_winsorized_f1000():
+    """The config-3 frame count (1000, stacking.c:1710-1748) through the
+    FLAT phase-machine winsorized loop: bit-exact vs the HBM hybrid,
+    counters included. The flat loop replaced the nested while that
+    crashed Mosaic's lowering at F>=896 (the _F_MAX=768 ceiling);
+    interpret mode pins its semantics at full config-3 scale."""
+    import jax.numpy as jnp
+
+    from siriltpu.ops.pallas.reject_stack import reject_stack_pallas
+
+    rng = np.random.default_rng(55)
+    F, P = 1000, 256
+    vals = rng.integers(800, 1200, size=(F, P)).astype(np.uint16)
+    vals[1, ::4] = 60000
+    vals[3, 2::7] = 0
+    vals[:2, ::11] = 65535
+    mean, rejl, rejh = reject_stack_pallas(
+        jnp.asarray(vals), "winsorized", 3.0, 3.0, tile=128,
+        interpret=True, with_counters=True)
+    want, wl, wh = reject_and_mean(
+        jnp.asarray(vals).astype(jnp.float32), "winsorized", (3.0, 3.0))
+    np.testing.assert_array_equal(np.asarray(mean), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(rejl), np.asarray(wl))
+    np.testing.assert_array_equal(np.asarray(rejh), np.asarray(wh))
+
+
 @pytest.mark.parametrize("rejection", ["sigma", "winsorized",
                                        "percentile", "sigmedian"])
 def test_reject_stack_pallas_counters_parity(rejection):
@@ -363,7 +389,8 @@ def test_pick_tile_caps_and_budget():
     """pick_tile respects the measured per-rejection tile caps (sigma
     1024 — 4% faster than 2048 at the north-star shape), the VMEM
     budget (tiles shrink as F grows), and the F ceilings (winsorized
-    F>768 -> None, HBM path)."""
+    F>896 -> None, HBM path; the flat phase-machine loop lifted the
+    nested-lowering crash ceiling from 768)."""
     from siriltpu.ops.pallas.reject_stack import pick_tile
 
     P = 4096 * 4096
@@ -373,7 +400,7 @@ def test_pick_tile_caps_and_budget():
     t_small = pick_tile(600, "sigma", P)
     assert t_small is not None and t_small < 1024      # budget shrinks
     assert pick_tile(1000, "winsorized", 480 * 640) is None  # F ceiling
-    assert pick_tile(768, "winsorized", 480 * 640) is not None
+    assert pick_tile(896, "winsorized", 480 * 640) is not None
 
 
 @pytest.mark.parametrize("rejection", ["percentile", "sigmedian",
