@@ -16,11 +16,14 @@ Metric definitions (both are emitted every round, r04+):
                     pattern: the ~30 ms tunnel round-trip + host
                     dispatch overlap device compute). Extra field only —
                     never the headline.
-  fps_incl_drain  — steady-state throughput when the full stacked-image
-                    drain overlaps the next batch (max(compute, transfer);
-                    this environment's host<->TPU tunnel moves ~35 MB/s,
-                    so this figure measures the tunnel, not the chip; it
-                    was the r01/r02 headline).
+  fps_incl_drain  — MEASURED steady-state throughput with the full
+                    stacked-image drain overlapping the next batch's
+                    compute (batch N+1 dispatched before batch N's
+                    32 MB fetch; r05+ — earlier rounds reported the
+                    max(compute, transfer) model). On this ~35 MB/s
+                    tunnel the figure still bounds at the link when
+                    transfer > compute; a PCIe host drains at GB/s
+                    where it equals fps_compute.
 
 Reliability: the axon tunnel in this environment intermittently WEDGES
 (every jax call, including backend init, hangs forever in futex wait).
@@ -269,6 +272,7 @@ def _update_history(result):
     hist.append(entry)
     with open(HISTORY, "w") as fh:
         json.dump(hist, fh, indent=1)
+        fh.write("\n")
     return result
 
 
@@ -286,6 +290,7 @@ def _finish(result):
         with open(LASTGOOD, "w") as fh:
             json.dump(dict(result, captured_at=int(time.time())), fh,
                       indent=1)
+            fh.write("\n")
     print(json.dumps(result), flush=True)
     return 0
 

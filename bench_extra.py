@@ -26,6 +26,28 @@ def dim(x):
     return max(128, int(x * SCALE) & ~63)
 
 
+#: measured tunnel throughput (MB/s) for this run, set once by
+#: _measure_tunnel() at main() start; recorded alongside every
+#: transfer_bound history entry so an exempted drop can be attributed
+#: to the environment (tunnel weather) vs a real regression
+_TUNNEL_MBS = None
+
+
+def _measure_tunnel():
+    """Device->host throughput of one ~8 MB fetch (the transfer_bound
+    stages' bottleneck). Stored module-wide for history annotation."""
+    global _TUNNEL_MBS
+    import jax.numpy as jnp
+    import numpy as np
+    arr = jnp.zeros((2048, 2048), jnp.uint16)  # 8 MB
+    _ = float(arr[0, 0])                       # materialize on device
+    t0 = time.perf_counter()
+    np.asarray(arr)
+    dt = max(time.perf_counter() - t0, 1e-6)
+    _TUNNEL_MBS = round(8.0 / dt, 1)
+    return _TUNNEL_MBS
+
+
 def _history_append(metric, value, unit, transfer_bound):
     """Per-stage history gate (committed BENCH_HISTORY.json): append the
     stage result and flag a >15% regression vs the previous run of the
@@ -33,7 +55,9 @@ def _history_append(metric, value, unit, transfer_bound):
     for rates). Stages marked ``transfer_bound`` record history but are
     never flagged: their value is dominated by this environment's
     10-60 MB/s tunnel, whose round-to-round weather would fire the gate
-    on every run. Annotates only — never fails the run."""
+    on every run; the measured tunnel MB/s is recorded with each such
+    entry so exempted drops can be attributed. Annotates only — never
+    fails the run."""
     if SCALE != 1.0:
         return None   # off-scale runs aren't comparable across rounds
     try:
@@ -48,6 +72,8 @@ def _history_append(metric, value, unit, transfer_bound):
              "value": value, "unit": unit}
     if transfer_bound:
         entry["transfer_bound"] = True
+        if _TUNNEL_MBS is not None:
+            entry["tunnel_mbs"] = _TUNNEL_MBS
     reg = None
     if not transfer_bound and prev and prev.get("value"):
         ratio = value / prev["value"]
@@ -58,6 +84,7 @@ def _history_append(metric, value, unit, transfer_bound):
     hist.append(entry)
     with open(HISTORY, "w") as fh:
         json.dump(hist, fh, indent=1)
+        fh.write("\n")
     return reg
 
 
@@ -68,6 +95,8 @@ def report(metric, seconds, unit="s", transfer_bound=False, **extra):
         extra["regression_vs_prev_pct"] = reg
     if transfer_bound:
         extra["transfer_bound"] = True
+        if _TUNNEL_MBS is not None:
+            extra["tunnel_mbs"] = _TUNNEL_MBS
     print(json.dumps({"metric": metric, "value": value, "unit": unit,
                       **extra}))
 
@@ -92,6 +121,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    print(json.dumps({"metric": "tunnel device->host",
+                      "value": _measure_tunnel(), "unit": "MB/s"}))
     rng = np.random.default_rng(0)
 
     # config 2: sigma-clip + median stacks, 50 x 2048^2

@@ -37,6 +37,11 @@ def test_pipeline_small_bench_runs():
     # is dispatched; still observes every batch, must also run green
     fps_pipe = bench.run(repeats=2, pipelined=True)
     assert fps_pipe > 0
+    # overlapped-drain measurement (fps_incl_drain source) must run and
+    # report positive throughput with the overlap marker
+    fps2, drain = bench.run(repeats=2, with_drain_stats=True)
+    assert fps2 > 0 and drain["fps_incl_drain"] > 0
+    assert drain["drain_overlapped"] is True
 
 
 def test_align_slice_matches_gather_align():
