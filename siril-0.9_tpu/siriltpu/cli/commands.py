@@ -972,7 +972,8 @@ def process_convert(state, args):
     to_ser = "-ser" in args
     debayer = "-debayer" in args
     n = convert_dir(state.cwd, args[0], to_ser=to_ser, debayer=debayer,
-                    fits_ext=state.settings.fits_extension)
+                    fits_ext=state.settings.fits_extension,
+                    settings=state.settings)
     state.log(f"Converted {n} files to sequence {args[0]}")
 
 

@@ -17,6 +17,20 @@ from typing import Tuple
 class Settings:
     # working directory (initfile.c working-directory section)
     working_directory: str = "."
+    # libraw settings (struct libraw_config siril.h:447-453; defaults
+    # conversion.c:233-245) — drive the demosaiced raw path's
+    # postprocess (io/rawproc.py): WB multipliers, brightness, gamma
+    # pair, black-point, interpolation quality
+    raw_mul_0: float = 1.0       # red multiplier (green fixed at 1)
+    raw_mul_2: float = 1.0       # blue multiplier
+    raw_bright: float = 1.0
+    raw_auto_mul: bool = True    # daylight/default multipliers
+    raw_cam_wb: bool = False     # camera white balance when available
+    raw_auto_wb: bool = False    # gray-world auto white balance
+    raw_user_qual: int = 1       # 0 bilinear, 1 AHD, 2 VNG, 3 PPG->VNG
+    raw_user_black: bool = False  # force black level to 0 (dcraw -k 0)
+    raw_gamm_0: float = 1.0      # user gamma (libraw gets 1/gamm_0)
+    raw_gamm_1: float = 1.0      # toe slope
     # debayer settings (siril.h:462-468)
     debayer_use_header: bool = True
     debayer_pattern: str = "RGGB"
@@ -109,14 +123,28 @@ def _parse_libconfig(text: str) -> dict:
 def from_siril_cfg(path: str) -> Settings:
     """Import a REFERENCE ``~/.siril/siril.cfg`` (libconfig format,
     initfile.c) into Settings — the switch-over path for existing Siril
-    users. Unknown keys are ignored; libraw multipliers have no analog
-    (the built-in DNG path reads calibration from the file)."""
+    users. Unknown keys are ignored. The libraw-settings section
+    (initfile.c:70-91) maps onto the raw_* knobs that drive the
+    demosaiced raw path's postprocess (io/rawproc.py)."""
     with open(path) as f:
         cfg = _parse_libconfig(f.read())
     s = Settings()
     wd = cfg.get("working-directory")
     if isinstance(wd, str) and wd:
         s.working_directory = wd
+    raw = cfg.get("libraw-settings", {})
+    if isinstance(raw, dict):
+        s.raw_mul_0 = float(raw.get("mul_0", s.raw_mul_0))
+        s.raw_mul_2 = float(raw.get("mul_2", s.raw_mul_2))
+        s.raw_bright = float(raw.get("bright", s.raw_bright))
+        s.raw_auto_mul = bool(raw.get("auto", s.raw_auto_mul))
+        s.raw_cam_wb = bool(raw.get("cam_wb", s.raw_cam_wb))
+        s.raw_auto_wb = bool(raw.get("auto_wb", s.raw_auto_wb))
+        if isinstance(raw.get("user_qual"), int):
+            s.raw_user_qual = raw["user_qual"]
+        s.raw_user_black = bool(raw.get("user_black", s.raw_user_black))
+        s.raw_gamm_0 = float(raw.get("gamm_0", s.raw_gamm_0))
+        s.raw_gamm_1 = float(raw.get("gamm_1", s.raw_gamm_1))
     bay = cfg.get("debayer-settings", {})
     if isinstance(bay, dict):
         s.debayer_use_header = bool(bay.get("ser_use_bayer_header",

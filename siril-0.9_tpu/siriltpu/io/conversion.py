@@ -50,7 +50,8 @@ def convertible_files(directory: str) -> List[str]:
 
 
 def convert_dir(directory: str, basename: str, *, to_ser: bool = False,
-                fits_ext: str = "fit", debayer: bool = False) -> int:
+                fits_ext: str = "fit", debayer: bool = False,
+                settings=None) -> int:
     """Convert every supported file in ``directory`` into a numbered FITS
     sequence ``<basename>NNNNN.<ext>`` (or one SER when ``to_ser``)."""
     files = convertible_files(directory)
@@ -83,7 +84,7 @@ def convert_dir(directory: str, basename: str, *, to_ser: bool = False,
             # (conversion.c:753-767).
             from siriltpu.io.raw import read_raw
             try:
-                frame = read_raw(path, cfa=not debayer)
+                frame = read_raw(path, cfa=not debayer, settings=settings)
             except (ValueError, OSError) as exc:
                 print(f"Skipping {os.path.basename(path)}: {exc}")
                 continue

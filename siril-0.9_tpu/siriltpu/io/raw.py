@@ -1386,17 +1386,41 @@ def read_raw_cfa(path: str) -> Frame:
     return frame
 
 
-def read_raw(path: str, *, cfa: bool = False, method: str = "vng") -> Frame:
+def read_raw(path: str, *, cfa: bool = False, method: str = "vng",
+             settings=None) -> Frame:
     """Load a camera raw; ``cfa=False`` also demosaics (the ``readraw``
     counterpart: decode + debayer with the configured method,
     conversion.c:736-781 semantics: flip to top-down, debayer, flip back).
-    """
+
+    When ``settings`` (a :class:`siriltpu.core.config.Settings`) is
+    given, the demosaiced path applies the reference's libraw
+    postprocess knobs around the debayer (WB multipliers / brightness /
+    gamma, ``readraw`` image_formats_libraries.c:686-720 — see
+    :mod:`siriltpu.io.rawproc`) and the interpolation follows
+    ``raw_user_qual`` instead of ``method``. With the default knobs
+    every postprocess stage is the identity, matching the reference's
+    defaults (conversion.c:233-245). Decoders that recover camera
+    neutral values may set ``meta['cam_mul']`` / ``meta['black']`` /
+    ``meta['maximum']``; absent metadata means daylight multipliers of
+    1 and a 0 black level (documented divergence, PARITY.md)."""
     frame = read_raw_cfa(path)
     if cfa:
         return frame
     from siriltpu.ops.demosaic import debayer_buffer
     topdown = frame.data[0][::-1]
-    rgb = debayer_buffer(topdown, frame.meta["bayer_pattern"], method)
+    pattern = frame.meta["bayer_pattern"]
+    lut = None
+    if settings is not None:
+        from siriltpu.io.rawproc import USER_QUAL_METHODS, postprocess_cfa
+        topdown, lut = postprocess_cfa(
+            topdown, pattern, settings,
+            cam_mul=frame.meta.get("cam_mul"),
+            maximum=int(frame.meta.get("maximum", 65535)),
+            black=int(frame.meta.get("black", 0)))
+        method = USER_QUAL_METHODS.get(settings.raw_user_qual, "ahd")
+    rgb = debayer_buffer(topdown, pattern, method)
+    if lut is not None:
+        rgb = lut[rgb]
     out = Frame(np.ascontiguousarray(rgb[:, ::-1]))
     out.meta.update(frame.meta)
     return out
