@@ -35,6 +35,9 @@ class Config5Report:
     autostretch_m: List[float] = field(default_factory=list)
     rejection_percent: tuple = (0.0, 0.0)
     stage_seconds: dict = field(default_factory=dict)
+    # per-component times of the overlapped bgextract stage
+    # (read_s + compute_s + save_s > wall_s when threads overlapped)
+    overlap_seconds: dict = field(default_factory=dict)
 
 
 def config5_pipeline(ser_path: str, *, layer: int = 1,
@@ -82,17 +85,29 @@ def config5_pipeline(ser_path: str, *, layer: int = 1,
     lap("convert")
 
     # 2) per-frame background extraction into a new bkg_ SER (the
-    # seq-apply form of bgextract, gradient.c's poly model per frame)
+    # seq-apply form of bgextract, gradient.c's poly model per frame),
+    # through the sequence engine: a reader thread prefetches the next
+    # chunk and a writer thread encodes/writes results (incl. their
+    # device->host fetch) while the device computes the current frame —
+    # the reference's P5 loader pattern (ser.c:671-683) across the
+    # stage's read/compute/write boundaries. rep.overlap_seconds
+    # records the component times (read+compute+save > bgextract wall
+    # when the overlap engaged).
     d = seq.seq_dir
     bkg_path = os.path.join(d, f"bkg_{seq.seqname}.ser")
     from siriltpu.io.ser import SER_MONO, SER_RGB
+    from siriltpu.parallel.engine import SequenceEngine
     bkg = SerFile.create(bkg_path, width=seq.rx, height=seq.ry,
                          color_id=SER_MONO if seq.nb_layers == 1 else SER_RGB)
-    for i in range(seq.number):
-        fr = seq.read_frame(i)
-        bkg.write_frame(Frame(
-            subtract_background(fr.data, BackgroundParams(order=bg_order)),
-            dict(fr.meta)))
+    bg_params = BackgroundParams(order=bg_order)
+    eng = SequenceEngine(chunk=4)
+    eng.map_frames(
+        seq,
+        lambda i, fr: Frame(subtract_background(fr.data, bg_params),
+                            dict(fr.meta)),
+        filter_fn=lambda i: True,
+        save_hook=lambda i, out: bkg.write_frame(out),
+        async_save=True, stats=rep.overlap_seconds)
     bkg.write_and_close()
     bseq = ser_sequence(bkg_path)
     lap("bgextract")

@@ -95,3 +95,49 @@ def test_rows_slab_stack_2d_mesh():
         jnp.asarray(frames.reshape(f, h * w), jnp.float32), "sigma",
         (3.0, 3.0))
     np.testing.assert_array_equal(got, np.asarray(want).reshape(h, w))
+
+
+def test_engine_async_save_order_and_stats():
+    """async_save: writes land in frame order on the writer thread, and
+    the stats dict records read/compute/save/wall components."""
+    import time
+
+    from siriltpu.core.frame import Frame
+    from siriltpu.io.sequence import internal_sequence
+
+    frames = [Frame(np.full((1, 4, 4), i, np.uint16)) for i in range(12)]
+    seq = internal_sequence(frames)
+    saved = []
+    stats = {}
+    eng = SequenceEngine(chunk=4)
+
+    def slow_save(i, out):
+        time.sleep(0.005)        # make the writer measurably busy
+        saved.append((i, out))
+
+    out = eng.map_frames(seq, lambda i, f: int(f.data[0, 0, 0]),
+                         save_hook=slow_save, async_save=True,
+                         stats=stats)
+    assert out == list(range(12))
+    assert [i for i, _ in saved] == list(range(12))   # FIFO preserved
+    assert [v for _, v in saved] == list(range(12))
+    assert stats["wall_s"] > 0 and stats["save_s"] > 0
+    # the writer ran concurrently: components may exceed the wall
+    assert stats["read_s"] >= 0 and stats["compute_s"] >= 0
+
+
+def test_engine_async_save_error_propagates():
+    from siriltpu.core.frame import Frame
+    from siriltpu.io.sequence import internal_sequence
+
+    frames = [Frame(np.full((1, 4, 4), i, np.uint16)) for i in range(8)]
+    seq = internal_sequence(frames)
+    eng = SequenceEngine(chunk=2)
+
+    def bad_save(i, out):
+        if i == 3:
+            raise OSError("disk full")
+
+    with pytest.raises(OSError, match="disk full"):
+        eng.map_frames(seq, lambda i, f: i, save_hook=bad_save,
+                       async_save=True)
