@@ -545,3 +545,59 @@ int fcodec_enc_close(void *handle, char *errbuf, int errlen) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Independent lossless-JPEG (SOF3) decode through libavcodec's mjpeg
+// decoder — a THIRD-PARTY anchor for the in-repo LJ92 machinery
+// (native/lj92.cpp + the Python test encoder), breaking the
+// encoder/decoder circularity for the lossless-JPEG raw family
+// (DNG/CR2; see PARITY.md raw-provenance note). Test-only surface.
+
+extern "C" {
+
+// Decode a complete SOI..EOI lossless-JPEG stream. Returns 0 and fills
+// out (row-major u16), w, h, on success; negative on failure.
+// out_cap = capacity of out in u16 samples. Grayscale (1-component)
+// streams only: ffmpeg maps them to GRAY16LE.
+int lj92_av_decode(const uint8_t *buf, int len, uint16_t *out,
+                   long out_cap, int *w, int *h) {
+    const AVCodec *codec = avcodec_find_decoder(AV_CODEC_ID_MJPEG);
+    if (!codec) return -1;
+    AVCodecContext *ctx = avcodec_alloc_context3(codec);
+    if (!ctx) return -2;
+    if (avcodec_open2(ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&ctx);
+        return -3;
+    }
+    AVPacket *pkt = av_packet_alloc();
+    AVFrame *fr = av_frame_alloc();
+    int ret = -4;
+    if (pkt && fr && av_new_packet(pkt, len) == 0) {
+        memcpy(pkt->data, buf, len);
+        int rc = avcodec_send_packet(ctx, pkt);
+        if (rc >= 0) rc = avcodec_receive_frame(ctx, fr);
+        if (rc >= 0) {
+            *w = fr->width;
+            *h = fr->height;
+            if (fr->format == AV_PIX_FMT_GRAY16LE) {
+                if ((long)fr->width * fr->height <= out_cap) {
+                    for (int y = 0; y < fr->height; y++)
+                        memcpy(out + (long)y * fr->width,
+                               fr->data[0] + (long)y * fr->linesize[0],
+                               (size_t)fr->width * 2);
+                    ret = 0;
+                } else {
+                    ret = -5;
+                }
+            } else {
+                ret = -(100 + fr->format);  // unexpected pix fmt
+            }
+        }
+    }
+    if (fr) av_frame_free(&fr);
+    if (pkt) av_packet_free(&pkt);
+    avcodec_free_context(&ctx);
+    return ret;
+}
+
+}  // extern "C"
