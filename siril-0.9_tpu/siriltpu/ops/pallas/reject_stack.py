@@ -119,8 +119,14 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                  rejection: str):
     n_rows, plan = _plan_stages(f_real)
 
-    def run_network(x, masks_ref):
-        """One full Batcher pass over the (n_rows, tile) i32 buffer."""
+    def run_network(x, masks_ref, stage_ref=None):
+        """One full Batcher pass over the (n_rows, tile) i32 buffer.
+
+        With ``stage_ref`` (a (n_rows, tile) i32 VMEM scratch ref) each
+        stage's result is written to the ref and re-read, so Mosaic's
+        stack allocator frees the previous stage's temporaries instead
+        of keeping the whole ~50-stage value chain live — at F=1000 the
+        chained network dominates the kernel's scoped-VMEM frame."""
         ri = 0  # row index into the roll-stage mask table
         for stage in plan:
             if stage[0] == "slice":
@@ -144,12 +150,15 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 x = jnp.where(lom, jnp.minimum(x, xd),
                               jnp.where(him, jnp.maximum(x, xu), x))
                 ri += 1
+            if stage_ref is not None:
+                stage_ref[:] = x
+                x = stage_ref[:]
         return x
 
     iota_shape = (n_rows, tile)
 
     def kernel(masks_ref, x_ref, out_ref, degen_ref, rejl_ref,
-               rejh_ref, work_ref=None):
+               rejh_ref, work_ref=None, svi_ref=None):
         # (f_real, tile) block; pad rows (constant 65535) are appended
         # IN VMEM so the (n_rows, P) padded copy never exists in HBM —
         # that concatenate cost a ~4 GB HBM round trip per 100x4K^2
@@ -161,7 +170,12 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             x = jnp.concatenate(
                 [x, jnp.full((n_rows - f_real, tile), 65535, jnp.int32)],
                 axis=0)
-        x = run_network(x, masks_ref)
+        # the strip path stages the network through work_ref (free
+        # until the loop seeds it) so the ~50-stage value chain never
+        # sits whole on Mosaic's scoped stack
+        strip_path = rejection == "winsorized" and f_real > _FULL_F_MAX
+        x = run_network(x, masks_ref,
+                        stage_ref=work_ref if strip_path else None)
         iota = jax.lax.broadcasted_iota(jnp.int32, iota_shape, 0)
 
         def onehot_sum(vals_f, k):
@@ -208,6 +222,11 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
             |offset| <= 65535 and n <= ~16k."""
             s = jnp.sum(jnp.where(mask, vals_i32, 0), axis=0,
                         keepdims=True)
+            return exact_mean_from_sum(s, n, offset)
+
+        def exact_mean_from_sum(s, n, offset=None):
+            """exact_mean_u16 on a pre-accumulated (1, tile) sum (the
+            strip path accumulates s without a full-height buffer)."""
             if offset is not None:
                 s = s + n * offset
             num = 2 * s + n
@@ -336,6 +355,259 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
 
         # ---- windowed iterative clips: sigma / winsorized ----
 
+        if rejection == "winsorized" and f_real > _FULL_F_MAX:
+            # ---- strip-reduction winsorized: F beyond the full-height
+            # stack budget ----
+            # The flat phase-machine's full-height body temporaries
+            # ((n_rows, tile) i32/f32 each) overflow Mosaic's 16 MB
+            # scoped-VMEM stack at F=1000 (21.2M measured; EACH phase
+            # ablated alone measures the same — the win_median +
+            # exact_sd cluster is the driver, not the phase pairing,
+            # and the integer clamp/compare rewrites did not move it).
+            # So beyond _FULL_F_MAX every window statistic is computed
+            # STRIP-WISE: a fori_loop over (SH, tile) row strips of the
+            # VMEM scratch refs carrying only (1, tile) accumulators.
+            # Integer sums are exact under any grouping, and the f32
+            # median/one-hot sums add only zeros outside the two
+            # selected rows (f32 zero-adds are exact), so every
+            # statistic is BIT-IDENTICAL to the full-height kernel's.
+            # Body stack drops from ~21 MB to ~15 (SH, tile) strips;
+            # a nested fori-in-while at F=1000 compiles cleanly on this
+            # Mosaic (probed 2026-08-19) — it was the NESTED data-
+            # dependent while pair that hard-crashed it (ROUND4.md).
+            SH = max(d for d in range(8, 129, 8) if n_rows % d == 0)
+            NS = n_rows // SH
+            zi = jnp.zeros((1, tile), jnp.int32)
+            zf = jnp.zeros((1, tile), jnp.float32)
+
+            anchor = jnp.sum(jnp.where(iota == f_real // 2, x, 0),
+                             axis=0, keepdims=True)
+            svi = x - anchor
+            svi_ref[:] = svi
+            work_ref[:] = svi
+            del svi
+            lo_clip = -anchor.astype(jnp.float32)
+            hi_clip = 65535.0 - anchor.astype(jnp.float32)
+
+            def round_shift(t):
+                r = jnp.floor(t + 0.5)
+                r = jnp.where(t <= lo_clip, lo_clip, r)
+                return jnp.where(t > hi_clip, hi_clip, r)
+
+            def strip_iota(i):
+                return (jax.lax.broadcasted_iota(
+                    jnp.int32, (SH, tile), 0) + i * SH)
+
+            def sd_combine(s1, shh, shl, sll, n):
+                # EXACT copy of exact_sd's combine on the strip-
+                # accumulated integer sums (see exact_sd above)
+                nf = n.astype(jnp.float32)
+                s2 = (shh.astype(jnp.float32) * 65536.0
+                      + shl.astype(jnp.float32) * 512.0
+                      + sll.astype(jnp.float32))
+                s1f = s1.astype(jnp.float32)
+                var = (s2 - s1f * s1f / jnp.maximum(nf, 1.0)) \
+                    / jnp.maximum(nf - 1.0, 1.0)
+                return jnp.where(n > 1,
+                                 jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
+
+            def sd_strips(ref, lo, hi, anch):
+                """exact_sd over ref's window [lo, hi), strip-wise."""
+                def p(i, acc):
+                    s1, shh, shl, sll = acc
+                    v = ref[pl.ds(i * SH, SH), :]
+                    io = strip_iota(i)
+                    m = (io >= lo) & (io < hi)
+                    d = jnp.where(m, v - anch, 0)
+                    ad = jnp.abs(d)
+                    h8 = ad >> 8
+                    l8 = ad & 255
+                    return (s1 + jnp.sum(d, axis=0, keepdims=True),
+                            shh + jnp.sum(h8 * h8, axis=0,
+                                          keepdims=True),
+                            shl + jnp.sum(h8 * l8, axis=0,
+                                          keepdims=True),
+                            sll + jnp.sum(l8 * l8, axis=0,
+                                          keepdims=True))
+                s1, shh, shl, sll = jax.lax.fori_loop(
+                    0, NS, p, (zi, zi, zi, zi))
+                return sd_combine(s1, shh, shl, sll, hi - lo)
+
+            def medanch_strips(ref, lo, hi):
+                """(win_median, value at row lo + n//2) of ref's
+                window, strip-wise (one-hot masked sums)."""
+                n = hi - lo
+                k1 = lo + (n - 1) // 2
+                k2 = lo + n // 2
+
+                def p(i, acc):
+                    msum, asum = acc
+                    v = ref[pl.ds(i * SH, SH), :]
+                    io = strip_iota(i)
+                    vf = v.astype(jnp.float32)
+                    wmed = ((io == k1).astype(jnp.float32) +
+                            (io == k2).astype(jnp.float32))
+                    return (msum + jnp.sum(wmed * vf, axis=0,
+                                           keepdims=True),
+                            asum + jnp.sum(jnp.where(io == k2, v, 0),
+                                           axis=0, keepdims=True))
+
+                msum, asum = jax.lax.fori_loop(0, NS, p, (zf, zi))
+                return 0.5 * msum, asum
+
+            def win_init(lo, hi):
+                """Starting (median, sigma) of the fixed point for the
+                window [lo, lo+n): statistics of svi before any
+                winsorization step (stacking.c:1713-1716)."""
+                med0, anch0 = medanch_strips(svi_ref, lo, hi)
+                return med0, sd_strips(svi_ref, lo, hi, anch0)
+
+            def w_inner(state):
+                (lo, hi, r, done, degen, med_c, sig_c, conv, oit, iit,
+                 _) = state
+                n = hi - lo
+                # integer clamp == the f32 where-chain for integer w
+                # (see the full-height branch's proof)
+                r0 = round_shift(med_c - 1.5 * sig_c).astype(jnp.int32)
+                r1 = round_shift(med_c + 1.5 * sig_c).astype(jnp.int32)
+                convb = conv != 0
+                k1 = lo + (n - 1) // 2
+                k2 = lo + n // 2
+
+                def p1(i, acc):
+                    # clamp + write-back + median/anchor sums of the
+                    # CLAMPED vector in one pass; converged columns
+                    # keep w (their med/sig updates are masked out)
+                    msum, asum = acc
+                    w = work_ref[pl.ds(i * SH, SH), :]
+                    io = strip_iota(i)
+                    m = (io >= lo) & (io < hi)
+                    wv = jnp.where(m, jnp.minimum(jnp.maximum(w, r0),
+                                                  r1), w)
+                    work_ref[pl.ds(i * SH, SH), :] = jnp.where(
+                        convb, w, wv)
+                    vf = wv.astype(jnp.float32)
+                    wmed = ((io == k1).astype(jnp.float32) +
+                            (io == k2).astype(jnp.float32))
+                    return (msum + jnp.sum(wmed * vf, axis=0,
+                                           keepdims=True),
+                            asum + jnp.sum(jnp.where(io == k2, wv, 0),
+                                           axis=0, keepdims=True))
+
+                msum, anch = jax.lax.fori_loop(0, NS, p1, (zf, zi))
+                med_new = 0.5 * msum
+                # clamping tails is monotone: sorted window stays
+                # sorted; work_ref now holds wv for active columns
+                sig_new = 1.134 * sd_strips(work_ref, lo, hi, anch)
+                newconv = jnp.logical_or(
+                    sig_c <= 0,
+                    jnp.abs(sig_new - sig_c)
+                    / jnp.maximum(sig_c, 1e-30) <= 0.0005)
+                med_c = jnp.where(convb, med_c, med_new)
+                sig_c = jnp.where(convb, sig_c, sig_new)
+                conv = jnp.maximum(conv, newconv.astype(jnp.int32))
+                iit = iit + 1
+                phase = jnp.where(
+                    jnp.logical_or(jnp.min(conv) != 0,
+                                   iit >= MAX_ITERS),
+                    jnp.int32(1), jnp.int32(0))
+                return (lo, hi, r, done, degen, med_c, sig_c, conv,
+                        oit, iit, phase)
+
+            def w_outer(state):
+                (lo, hi, r, done, degen, med_c, sig_c, conv, oit, iit,
+                 _) = state
+                n = hi - lo
+                # EXACT integer-diff form of the HBM predicate (see
+                # the full-height branch's proof)
+                m2 = (2.0 * med_c).astype(jnp.int32)
+                tl = 2.0 * (siglow * sig_c)
+                th = 2.0 * (sighigh * sig_c)
+
+                def pA(i, acc):
+                    nl, nh = acc
+                    v = svi_ref[pl.ds(i * SH, SH), :]
+                    io = strip_iota(i)
+                    m = (io >= lo) & (io < hi)
+                    low = m & ((m2 - 2 * v).astype(jnp.float32) > tl)
+                    high = m & ((2 * v - m2).astype(jnp.float32) > th)
+                    return (nl + jnp.sum(low, axis=0, keepdims=True
+                                         ).astype(jnp.int32),
+                            nh + jnp.sum(high, axis=0, keepdims=True
+                                         ).astype(jnp.int32))
+
+                nlow, nhigh = jax.lax.fori_loop(0, NS, pA, (zi, zi))
+                hits_break = ((n - r - (nlow + nhigh)) <= 4
+                              ).astype(jnp.int32)
+                removed = nlow + nhigh
+                upd = (done == 0) & (hits_break == 0)
+                lo = jnp.where(upd, lo + nlow, lo)
+                hi = jnp.where(upd, hi - nhigh, hi)
+                r = jnp.where(upd, r + removed, r)
+                degen = jnp.maximum(
+                    degen, jnp.where(done == 0, hits_break, 0))
+                newdone = hits_break | ((removed == 0)
+                                        | ((hi - lo) <= 3)
+                                        ).astype(jnp.int32)
+                done = jnp.maximum(done, newdone)
+                # re-seed the fixed point for pixels that continue;
+                # finished pixels keep conv=1 so the inner step skips
+                # them (their med/sig are dead once done)
+                cont = done == 0
+                med0, sig0 = win_init(lo, hi)
+                med_c = jnp.where(cont, med0, med_c)
+                sig_c = jnp.where(cont, sig0, sig_c)
+                conv = jnp.where(cont, 0, 1)
+
+                def pC(i, c):
+                    sv = svi_ref[pl.ds(i * SH, SH), :]
+                    w = work_ref[pl.ds(i * SH, SH), :]
+                    work_ref[pl.ds(i * SH, SH), :] = jnp.where(
+                        cont, sv, w)
+                    return c
+
+                jax.lax.fori_loop(0, NS, pC, jnp.int32(0))
+                return (lo, hi, r, done, degen, med_c, sig_c, conv,
+                        oit + 1, jnp.int32(0), jnp.int32(0))
+
+            def f_cond(fs):
+                done, oit = fs[3], fs[8]
+                return jnp.logical_and(jnp.min(done) == 0,
+                                       oit < MAX_ITERS)
+
+            def f_body(fs):
+                # inner first; if it just converged (phase -> 1) the
+                # outer step runs IN THE SAME ITERATION
+                fs = jax.lax.cond(fs[10] == 0, w_inner, lambda s: s, fs)
+                fs = jax.lax.cond(fs[10] == 1, w_outer, lambda s: s, fs)
+                return fs
+
+            med_i0, sig_i0 = win_init(z, full_n)
+            fs0 = (z, full_n, z, jnp.zeros((1, tile), jnp.int32),
+                   jnp.zeros((1, tile), jnp.int32), med_i0, sig_i0,
+                   jnp.zeros((1, tile), jnp.int32), jnp.int32(0),
+                   jnp.int32(0), jnp.int32(0))
+            lo, hi, r, done, degen = jax.lax.while_loop(
+                f_cond, f_body, fs0)[:5]
+
+            # mean of x over the window == mean of svi shifted back by
+            # the anchor; the sum is strip-accumulated so the epilogue
+            # holds no full-height buffer either
+            def pM(i, s):
+                v = svi_ref[pl.ds(i * SH, SH), :]
+                io = strip_iota(i)
+                m = (io >= lo) & (io < hi)
+                return s + jnp.sum(jnp.where(m, v, 0), axis=0,
+                                   keepdims=True)
+
+            s = jax.lax.fori_loop(0, NS, pM, zi)
+            out_ref[:] = exact_mean_from_sum(
+                s, hi - lo, offset=anchor).astype(jnp.uint16)
+            degen_ref[:] = degen
+            rejl_ref[:] = lo
+            rejh_ref[:] = full_n - hi
+            return
+
         if rejection == "winsorized":
             # anchor-centered shifted domain (see reject_winsorized's
             # f32 precision guard): anchor = middle order statistic of
@@ -399,10 +671,20 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                 w = work_ref[:]
                 m0 = med_c - 1.5 * sig_c
                 m1 = med_c + 1.5 * sig_c
-                wf = w.astype(jnp.float32)
-                wv_f = jnp.where(wf < m0, round_shift(m0),
-                                 jnp.where(wf > m1, round_shift(m1), wf))
-                wv = jnp.where(mask, wv_f.astype(jnp.int32), w)
+                # INTEGER clamp to the rounded bounds instead of the f32
+                # where-chain `where(wf<m0, round_shift(m0), where(wf>m1,
+                # round_shift(m1), wf))`: big broadcast f32 select chains
+                # blow Mosaic's scoped-VMEM stack at F=1000 (measured
+                # 21.2M > 16M; the integer min/max form compiles). For
+                # INTEGER w the two are identical: w kept by the chain
+                # satisfies ceil(m0) <= w <= floor(m1), and
+                # floor(m0+0.5) <= ceil(m0), floor(m1) <= floor(m1+0.5),
+                # so the min/max bounds never move a kept value; clamped
+                # values hit exactly round_shift(m0)/round_shift(m1).
+                r0 = round_shift(m0).astype(jnp.int32)
+                r1 = round_shift(m1).astype(jnp.int32)
+                wv_c = jnp.minimum(jnp.maximum(w, r0), r1)
+                wv = jnp.where(mask, wv_c, w)
                 # clamping tails is monotone: sorted window stays sorted
                 med_new = win_median(wv, lo, n)
                 anch = jnp.sum(jnp.where(iota == lo + n // 2, wv, 0),
@@ -440,9 +722,21 @@ def _make_kernel(f_real: int, tile: int, siglow: float, sighigh: float,
                  _) = state
                 n = hi - lo
                 mask = (iota >= lo) & (iota < hi)
-                cmp_vals = svi.astype(jnp.float32)
-                low = mask & (med_c - cmp_vals > siglow * sig_c)
-                high = mask & (cmp_vals - med_c > sighigh * sig_c)
+                # EXACT integer-diff form of the HBM predicate
+                # `med - v > siglow*sig` (reject_winsorized): med is a
+                # half-integer (mean of two order statistics) and v an
+                # integer, so med - v is exact in f32 and the predicate
+                # equals the real-arithmetic (2*med - 2v) > 2*(siglow*
+                # sig); 2*med is an exact i32, the diff stays < 2^19 so
+                # its f32 cast is exact, and doubling an f32 is exact —
+                # bit-identical decisions without the big broadcast f32
+                # subtraction that blows Mosaic's scoped-VMEM stack at
+                # F=1000 (measured 20.7M > 16M; this form compiles).
+                m2 = (2.0 * med_c).astype(jnp.int32)
+                low = mask & ((m2 - 2 * svi).astype(jnp.float32)
+                              > 2.0 * (siglow * sig_c))
+                high = mask & ((2 * svi - m2).astype(jnp.float32)
+                               > 2.0 * (sighigh * sig_c))
                 nlow = jnp.sum(low, axis=0, keepdims=True
                                ).astype(jnp.int32)
                 nhigh = jnp.sum(high, axis=0, keepdims=True
@@ -585,16 +879,25 @@ _VMEM_FACTOR = {"sigma": 12, "percentile": 5, "sigmedian": 12,
                 "winsorized": 17, "median": 5}
 _VMEM_BUDGET = 12 << 20   # of the chip's ~16 MB VMEM
 
-#: measured frame-count ceilings for the fused kernels on this Mosaic
-#: (v5e, 2026-08). History: the NESTED winsorized loop (fixed point
-#: inside the clip loop) hard-crashed Mosaic's nested-while lowering at
+#: full-height-body ceiling for the fused winsorized kernel (v5e,
+#: 2026-08). History: the NESTED winsorized loop (fixed point inside
+#: the clip loop) hard-crashed Mosaic's nested-while lowering at
 #: F>=896 (_F_MAX was 768). The FLAT phase-machine loop (r5) lowers
-#: cleanly — F=896 compiles and runs — but F=1000 still overflows the
-#: 16 MB scoped-VMEM stack (21.42M measured at tile 128, invariant
-#: across cond restructurings). Shapes beyond the ceiling use the HBM
-#: block path without attempting a compile that is known to fail
-#: (each failed remote compile costs ~10-60 s).
-_F_MAX = {"winsorized": 896}
+#: cleanly — F=896 compiles and runs — but F=1000 overflows the 16 MB
+#: scoped-VMEM stack (21.42M measured at tile 128, invariant across
+#: cond restructurings AND the integer clamp/compare rewrites; EACH
+#: phase ablated alone measures 21.18M — the driver is the full-height
+#: win_median+exact_sd temporaries). Beyond this the kernel switches
+#: to the STRIP-REDUCTION body (fori_loop over row strips, (1, tile)
+#: accumulators), which compiles and runs at F=1000 (probed live).
+_FULL_F_MAX = 896
+
+#: measured frame-count ceilings for the fused kernels on this Mosaic.
+#: The strip body removes the stack blow-up; the remaining ceiling is
+#: the full-height sort-network preamble + VMEM data capacity (probed
+#: OK at F=1000/tile=128; 1024 is the next pow2 — failures beyond it
+#: degrade gracefully via the scoped-OOM retry in reject_stack_auto).
+_F_MAX = {"winsorized": 1024}
 
 #: lane-aligned tile candidates, largest first
 _TILES = (2048, 1024, 512, 256, 128)
@@ -724,15 +1027,36 @@ def reject_stack_auto(vals: jnp.ndarray, rejection: str, siglow: float,
     first = pick_tile(f, rejection, p)
     if first is None:
         return None
+    traced = isinstance(vals, jax.core.Tracer)
     for tile in [t for t in _TILES if t <= first and p % t == 0]:
         try:
+            key = (rejection, f, tile, p)
+            if traced and key not in _OK_SHAPES:
+                # called under an OUTER jit (e.g. the file-backed block
+                # engine's kernel): a deferred compile failure would
+                # surface at the outer jit's execute, past this handler
+                # — so AOT-compile the EXACT shape eagerly first (shape
+                # structs only, legal under trace). A scoped-VMEM OOM
+                # or compiler crash is re-raised into the outer handler
+                # (tile walk / shape memo); any OTHER failure (e.g. a
+                # backend that cannot AOT-lower this kernel, like the
+                # CPU test env) keeps the optimistic deferred behavior.
+                try:
+                    _reject_stack_raw.lower(
+                        jax.ShapeDtypeStruct((f, p), jnp.uint16),
+                        rejection=rejection, siglow=float(siglow),
+                        sighigh=float(sighigh), tile=tile,
+                        interpret=False).compile()
+                    _OK_SHAPES.add(key)
+                except Exception as e:
+                    if _is_vmem_oom(e) or _is_compiler_crash(e):
+                        raise
             out = reject_stack_pallas(vals, rejection, float(siglow),
                                       float(sighigh), tile=tile,
                                       with_counters=with_counters)
             # first run of a new shape: force the (deferred) compile to
             # finish so a scoped-VMEM OOM is caught HERE and the tile
             # walk proceeds; validated shapes stay fully async
-            key = (rejection, f, tile, p)
             if key not in _OK_SHAPES and _force(out):
                 _OK_SHAPES.add(key)
             return out
@@ -770,9 +1094,14 @@ def _reject_stack_raw(vals: jnp.ndarray, rejection: str, siglow: float,
                        memory_space=pltpu.VMEM)
     # winsorized/sigmedian mutate a working copy across loop iterations;
     # it lives in a VMEM scratch ref (one buffer, in-place) instead of
-    # the while_loop carry (which Mosaic double-buffers + spills)
+    # the while_loop carry (which Mosaic double-buffers + spills).
+    # The strip-reduction winsorized path (f > _FULL_F_MAX) additionally
+    # keeps the sorted shifted vector in a scratch ref so the outer
+    # clip's comparisons can be strip-read instead of held live.
     scratch = ([pltpu.VMEM((n_rows, tile), jnp.int32)]
                if rejection in ("winsorized", "sigmedian") else [])
+    if rejection == "winsorized" and f > _FULL_F_MAX:
+        scratch.append(pltpu.VMEM((n_rows, tile), jnp.int32))
     out, degen, rejl, rejh = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((1, p), jnp.uint16),

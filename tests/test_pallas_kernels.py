@@ -389,8 +389,9 @@ def test_pick_tile_caps_and_budget():
     """pick_tile respects the measured per-rejection tile caps (sigma
     1024 — 4% faster than 2048 at the north-star shape), the VMEM
     budget (tiles shrink as F grows), and the F ceilings (winsorized
-    F>896 -> None, HBM path; the flat phase-machine loop lifted the
-    nested-lowering crash ceiling from 768)."""
+    F>1024 -> None, HBM path; the strip-reduction body lifted the
+    full-height stack ceiling of 896, which itself lifted the
+    nested-lowering crash ceiling of 768)."""
     from siriltpu.ops.pallas.reject_stack import pick_tile
 
     P = 4096 * 4096
@@ -399,7 +400,9 @@ def test_pick_tile_caps_and_budget():
     assert pick_tile(100, "median", P) == 2048
     t_small = pick_tile(600, "sigma", P)
     assert t_small is not None and t_small < 1024      # budget shrinks
-    assert pick_tile(1000, "winsorized", 480 * 640) is None  # F ceiling
+    # config-3's F=1000 now picks the strip-body tile (was None/HBM)
+    assert pick_tile(1000, "winsorized", 480 * 640) == 128
+    assert pick_tile(1025, "winsorized", 480 * 640) is None  # F ceiling
     assert pick_tile(896, "winsorized", 480 * 640) is not None
 
 
